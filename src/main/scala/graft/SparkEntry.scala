@@ -1,13 +1,24 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.extract.{Pipeline, Structure}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: full extraction pipeline (structure → features → labels →
+   * spans) over the transcripts view of sf0.001 documents. */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Pipeline.extract(Structure.transcriptsFromDocuments(docs))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2.
+   * Populated incrementally; see Queries.scala. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
+  /** DuckDB-equivalent SQL per query (same column names — driver compares
+   * hashes after sorting columns by name). */
+  def oracleSql: Map[String, String] = Queries.oracles
 }

@@ -1,0 +1,122 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextCols
+
+/**
+ * Span assembly (SURVEY.md §2.6, A7–A10): BIO label sequences → contiguous
+ * spans → TEI-XML, byte-compatible with the reference gold fixtures
+ * (`resources/dataset/datacat-body-segmentation/corpus/tei, glob *.tei.xml`).
+ *
+ * The reference walks the labeled rows re-scanning the original token stream
+ * to re-insert skipped spaces and line breaks (`DatacatBodySegmentationParser
+ * .java:800-831,907-976`). Here every token already carries its exact source
+ * separator (`sep_before` from the tokenizer), so assembly is a pure
+ * window + groupBy: the classic sessionization pattern —
+ * segment_id = running count of span starts — then an ordered concat.
+ *
+ * Separator placement rule (fixture-verified): the whitespace between two
+ * consecutive tokens belongs to the EARLIER token's span; at a span
+ * boundary only the part before the first newline is kept (the newline
+ * becomes the inter-span layout), which reproduces fixture bytes like
+ * `…Tableaux. </entry>` (kept trailing space) exactly.
+ */
+object Assemble {
+
+  private def base(label: Column): Column =
+    when(label.startsWith("I-"), substring(label, 3, 1 << 24)).otherwise(label)
+
+  /** A7: BIO sessionization — `I-` prefix or base-label change opens a span. */
+  def withSegmentIds(labeled: DataFrame, orderCols: Seq[String]): DataFrame = {
+    val wConv = Window.partitionBy("conv_id").orderBy(orderCols.map(col): _*)
+    labeled
+      .withColumn("label_base", base(col("label")))
+      .withColumn("span_start",
+        col("label").startsWith("I-") ||
+          coalesce(base(lag(col("label"), 1).over(wConv)) =!= col("label_base"), lit(true)))
+      .withColumn("segment_id",
+        sum(when(col("span_start"), 1L).otherwise(0L)).over(
+          wConv.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /**
+   * Token-level spans with byte-exact source text (body model output).
+   * Input needs (conv_id, turn_idx, line_in_turn, tok_idx, tok, sep_before,
+   * label). Output: one row per (conv_id, segment_id) with `label_base`,
+   * `text` (XML-escaped, original whitespace), and ordering metadata.
+   */
+  def bodySpans(labeled: DataFrame): DataFrame = {
+    val ord = Seq("turn_idx", "line_in_turn", "tok_idx")
+    val wConv = Window.partitionBy("conv_id").orderBy(ord.map(col): _*)
+    val seg = withSegmentIds(labeled, ord)
+      .withColumn("sep_after", coalesce(lead(col("sep_before"), 1).over(wConv),
+        col("line_trailing"), lit("")))
+      .withColumn("span_last",
+        coalesce(lead(col("segment_id"), 1).over(wConv) =!= col("segment_id"), lit(true)))
+      .withColumn("piece", concat(
+        TextCols.htmlEncode(col("tok")),
+        when(col("span_last"), regexp_extract(col("sep_after"), "^[^\n]*", 0))
+          .otherwise(col("sep_after"))))
+    seg.groupBy("conv_id", "segment_id")
+      .agg(
+        first(col("label_base")).as("label"),
+        min(col("turn_idx")).as("turn_idx"),
+        min(struct(ord.map(col): _*)).as("ord"),
+        array_join(
+          transform(array_sort(collect_list(struct(
+            col("turn_idx"), col("line_in_turn"), col("tok_idx"), col("piece")))),
+            x => x.getField("piece")), "").as("text"))
+      .drop("ord")
+  }
+
+  /**
+   * Line-level spans (segmenter model output): lines of a zone joined with
+   * ` <lb/>` markers, reproducing the gold segmenter TEI layout
+   * (`corpus/tei, glob *.training.datacat.tei.xml`:
+   * `<front>line <lb/>\n\nline <lb/>…</front>`).
+   */
+  def zoneSpans(labeledLines: DataFrame): DataFrame = {
+    val ord = Seq("turn_idx", "line_in_turn")
+    val seg = withSegmentIds(labeledLines.withColumnRenamed("zone_label", "label"), ord)
+      .withColumn("piece", concat(TextCols.htmlEncode(col("line")), lit(" <lb/>")))
+    seg.groupBy("conv_id", "segment_id")
+      .agg(
+        first(col("label_base")).as("label"),
+        min(col("turn_idx")).as("turn_idx"),
+        array_join(
+          transform(array_sort(collect_list(struct(
+            col("turn_idx"), col("line_in_turn"), col("piece")))),
+            x => x.getField("piece")), "\n\n").as("text"))
+  }
+
+  /** Tag emitted for a span (body model; reference `writeField` targets
+   * `DatacatBodySegmentationParser.java:861-875`). */
+  private def bodyTag(labelBase: Column): Column =
+    when(labelBase === "<other>", lit("note type=\"other\"")).otherwise(
+      regexp_replace(labelBase, "[<>]", ""))
+
+  /**
+   * A10: full TEI document per conversation, matching the reference wrapper
+   * bytes (`DatacatBodySegmentationParser.java:650-659`).
+   */
+  def teiDocuments(spans: DataFrame, lang: String = "fr"): DataFrame = {
+    val open = when(col("label") === "<other>", "<note type=\"other\">")
+      .otherwise(col("label"))
+    val close = when(col("label") === "<other>", "</note>")
+      .otherwise(concat(lit("</"), regexp_replace(col("label"), "[<>]", ""), lit(">")))
+    val spanXml = concat(open, col("text"), close)
+    spans
+      .groupBy("conv_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("segment_id"), spanXml.as("x")))),
+          s => s.getField("x")), "\n\n").as("spans_xml"))
+      .select(col("conv_id"), concat(
+        lit("<?xml version=\"1.0\" ?>\n<tei xml:space=\"preserve\">\n\t<teiHeader>\n\t\t<fileDesc xml:id=\""),
+        col("conv_id"),
+        lit(s"\"/>\n\t</teiHeader>\n\t<text xml:lang=\"$lang\">\n"),
+        col("spans_xml"),
+        lit("\n\n\t</text>\n</tei>\n")).as("tei"))
+  }
+}

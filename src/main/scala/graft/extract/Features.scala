@@ -1,0 +1,253 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextCols._
+
+/**
+ * Feature computation for the two sequence models, as pure Catalyst
+ * window/scalar expressions (W1–W9 of SURVEY.md §2.4). No UDFs — everything
+ * stays inside WholeStageCodegen except the shuffles implied by the
+ * (conv_id)-partitioned windows.
+ *
+ * Status semantics are pinned against the reference corpus:
+ * recomputing blockStatus/lineStatus over all 32,335 body fixture rows
+ * (given the fixture block structure + newline flags) reproduces the fixture
+ * columns exactly, including the reference's two quirks:
+ * (1) retroactive previous-row corrections (`DatacatBodySegmentationParser
+ * .java:346-410,499-506`) become `lead()` comparisons;
+ * (2) the document-final row keeps BLOCKIN/LINEIN because the reference's
+ * correction pass never sees a next token for it.
+ *
+ * Layout-only features (font, geometry) are grafted onto transcripts:
+ * the `role` column plays the part of the font (a role change is a "font
+ * change"), role rank plays the font size, and leading-whitespace plays
+ * indentation — deterministic, documented equivalents of
+ * `DatacatSegmenterParser.java:545-566` / `DatacatBodySegmentationParser
+ * .java:279-296,433-454`.
+ */
+object Features {
+
+  /** Role → synthetic "font size" (reference: token.getFontSize()). */
+  val roleSize: Column => Column = role =>
+    when(role === "system", 3).when(role === "tool", 1).otherwise(2)
+
+  private def ordCols = Seq(col("turn_idx"), col("line_in_turn"), col("tok_idx"))
+
+  // ---------------------------------------------------------------- body —
+
+  /**
+   * Token-level features of the body model: 24 columns of
+   * `FeaturesVectorDatacatEntries.printVector()`
+   * (`FeaturesVectorDatacatEntries.java:51-157`).
+   * Input: output of [[Structure.tokens]] (optionally zone-filtered).
+   */
+  def body(tokens: DataFrame): DataFrame = {
+    val wConv = Window.partitionBy("conv_id").orderBy(ordCols: _*)
+    val wConvAll = wConv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrev = wConv.rowsBetween(Window.unboundedPreceding, -1)
+    val wTurn = Window.partitionBy("conv_id", "turn_idx")
+
+    val blockKey = concat_ws("#", col("turn_idx"), col("block_idx"))
+    val lineKey = concat_ws("#", col("turn_idx"), col("line_in_turn"))
+
+    val withPos = tokens
+      .withColumn("bk", blockKey)
+      .withColumn("lk", lineKey)
+      .withColumn("first_b", coalesce(lag(col("bk"), 1).over(wConv) =!= col("bk"), lit(true)))
+      .withColumn("last_b", coalesce(lead(col("bk"), 1).over(wConv) =!= col("bk"), lit(true)))
+      .withColumn("first_l", coalesce(lag(col("lk"), 1).over(wConv) =!= col("lk"), lit(true)))
+      .withColumn("last_l", coalesce(lead(col("lk"), 1).over(wConv) =!= col("lk"), lit(true)))
+      .withColumn("is_conv_last", lead(col("tok"), 1).over(wConv).isNull)
+
+    val statused = withPos
+      .withColumn("f_blockStatus",
+        when(col("first_b"), "BLOCKSTART")
+          .when(col("last_b") && !col("is_conv_last"), "BLOCKEND")
+          .otherwise("BLOCKIN"))
+      .withColumn("f_lineStatus",
+        when(col("first_b"), "LINESTART")
+          .when(col("last_b") && !col("is_conv_last"), "LINEEND")
+          .when(col("first_l"), "LINESTART")
+          .when(col("last_l") && !col("is_conv_last"), "LINEEND")
+          .otherwise("LINEIN"))
+
+    // indentation state: leading spaces of the line vs previous line,
+    // carried until it changes (reference W6)
+    val wLines = Window.partitionBy("conv_id").orderBy(col("turn_idx"), col("line_in_turn"))
+    val lineStarts = statused.where(col("first_l"))
+      .withColumn("lead_sp", length(regexp_extract(col("sep_before"), "[ \t]*$", 0)))
+      .withColumn("indent_delta", col("lead_sp") - lag(col("lead_sp"), 1).over(wLines))
+      .withColumn("indent_change",
+        when(col("indent_delta") > 1, "LINEINDENT")
+          .when(col("indent_delta") < -1, "ALIGNEDLEFT")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("f_alignmentStatus",
+        coalesce(last(col("indent_change"), ignoreNulls = true)
+          .over(wLines.rowsBetween(Window.unboundedPreceding, 0)), lit("ALIGNEDLEFT")))
+      .select(col("conv_id"), col("turn_idx"), col("line_in_turn"), col("f_alignmentStatus"))
+
+    val withAlign = statused.join(lineStarts, Seq("conv_id", "turn_idx", "line_in_turn"))
+
+    val fontSized = withFont(withAlign, wConv)
+
+    fontSized
+      .withColumn("f_digit", digitClass(col("tok")))
+      .withColumn("f_capitalisation", capitalisation(col("tok"), col("f_digit")))
+      .withColumn("f_punctType", punctType(col("tok")))
+      .withColumn("f_singleChar", length(col("tok")) === 1)
+      .withColumn("nn",
+        coalesce(sum(length(col("tok")) + length(col("sep_before"))).over(wPrev), lit(0L)))
+      .withColumn("doc_len", sum(length(col("tok")) + length(col("sep_before"))).over(wConvAll))
+      .withColumn("f_relDocPos", linearScaling(col("nn"), col("doc_len"), NbBinsPosition))
+      .withColumn("n_lines_turn", max(col("line_in_turn")).over(wTurn) + 1)
+      .withColumn("f_relPagePos",
+        linearScaling(col("line_in_turn"), col("n_lines_turn"), NbBinsPosition))
+      .drop("bk", "lk", "first_b", "last_b", "first_l", "last_l", "nn", "doc_len", "n_lines_turn")
+  }
+
+  /** Shared running-font logic (reference W5: a single running variable over
+   * the whole document ⇒ lag over the conv-ordered window). */
+  private def withFont(df: DataFrame, wConv: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+    df
+      .withColumn("f_fontStatus",
+        when(coalesce(lag(col("role"), 1).over(wConv) =!= col("role"), lit(true)), "NEWFONT")
+          .otherwise("SAMEFONT"))
+      .withColumn("fsz", roleSize(col("role")))
+      .withColumn("prev_fsz", lag(col("fsz"), 1).over(wConv))
+      .withColumn("f_fontSize",
+        when(col("prev_fsz").isNull, "HIGHERFONT")
+          .when(col("fsz") === col("prev_fsz"), "SAMEFONTSIZE")
+          .when(col("fsz") > col("prev_fsz"), "HIGHERFONT")
+          .otherwise("LOWERFONT"))
+      .drop("fsz", "prev_fsz")
+
+  /** 24-column serialized row, byte-compatible with the body raw fixtures
+   * (`FeaturesVectorDatacatEntries.printVector()` order). */
+  def bodyVector(df: DataFrame): Column = concat_ws(" ",
+    col("tok"),
+    lower(col("tok")),
+    prefix(col("tok"), 1), prefix(col("tok"), 2), prefix(col("tok"), 3), prefix(col("tok"), 4),
+    suffix(col("tok"), 1), suffix(col("tok"), 2), suffix(col("tok"), 3), suffix(col("tok"), 4),
+    col("f_blockStatus"), col("f_lineStatus"), col("f_alignmentStatus"),
+    col("f_fontStatus"), col("f_fontSize"),
+    lit("0"), lit("0"), // bold, italic (text-mode transcripts carry no styling)
+    col("f_capitalisation"), col("f_digit"),
+    bool01(col("f_singleChar")),
+    col("f_punctType"),
+    col("f_relDocPos"), col("f_relPagePos"),
+    lit("0")) // bitmapAround
+
+  // ----------------------------------------------------------- segmenter —
+
+  /**
+   * Line-level features of the segmenter model: the 33 columns of
+   * `FeaturesVectorDatacatSegmenter.printVector()` (lineStatus/punctType are
+   * forced null at `DatacatSegmenterParser.java:472-473` so their columns
+   * are absent). Input: output of [[Structure.keptLines]].
+   */
+  def segmenter(lines: DataFrame): DataFrame = {
+    val wConv = Window.partitionBy("conv_id").orderBy(col("turn_idx"), col("line_in_turn"))
+    val wConvAll = wConv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrev = wConv.rowsBetween(Window.unboundedPreceding, -1)
+    val wBlock = Window.partitionBy("conv_id", "turn_idx", "block_idx")
+    val wTurn = Window.partitionBy("conv_id", "turn_idx")
+
+    val toks = split(trim(regexp_replace(col("line"), "[ \t\f ]+", " ")), " ")
+    val base = lines
+      .withColumn("f_string",
+        regexp_replace(element_at(toks, 1), "[ \n\r]", ""))
+      .withColumn("f_second",
+        coalesce(element_at(toks, 2), element_at(toks, 1)))
+      .where(col("f_string") =!= "")
+      .withColumn("n_lines_block", count(lit(1)).over(wBlock))
+      .withColumn("pos_in_block",
+        row_number().over(wBlock.orderBy(col("line_in_turn"))))
+      .withColumn("f_blockStatus",
+        when(col("pos_in_block") === 1, "BLOCKSTART")
+          .when(col("pos_in_block") === col("n_lines_block"), "BLOCKEND")
+          .otherwise("BLOCKIN"))
+      // PAGESTART on the first line of a turn; the line before a turn change
+      // is retro-corrected to PAGEEND (reference `DatacatSegmenterParser
+      // .java:485-495`, overwrite expressed as a lead comparison)
+      .withColumn("f_pageStatus",
+        when(lead(col("turn_idx"), 1).over(wConv) =!= col("turn_idx"), "PAGEEND")
+          .when(coalesce(lag(col("turn_idx"), 1).over(wConv) =!= col("turn_idx"), lit(true)), "PAGESTART")
+          .otherwise("PAGEIN"))
+
+    val fonted = withFont(base, wConv)
+
+    // repetitive header/footer patterns (reference A2,
+    // `DatacatSegmenterParser.java:268-299,418-430`): candidate lines are the
+    // first line of the first-2/last blocks of each turn; patterns longer
+    // than 8 chars counted conversation-wide.
+    val wTurnBlocks = Window.partitionBy("conv_id", "turn_idx")
+    val withPat = fonted
+      .withColumn("n_blocks_turn", max(col("block_idx")).over(wTurnBlocks) + 1)
+      .withColumn("head_tail_block",
+        col("block_idx") < 2 || col("block_idx") === col("n_blocks_turn") - 1)
+      .withColumn("pat", pattern(col("line")))
+      .withColumn("pat_candidate",
+        col("head_tail_block") && col("line_idx") === 0 && length(col("pat")) > 8)
+    val wPat = Window.partitionBy("conv_id", "pat")
+    val withRep = withPat
+      .withColumn("pat_count",
+        sum(when(col("pat_candidate"), 1).otherwise(0)).over(wPat))
+      .withColumn("f_repetitive",
+        col("head_tail_block") && length(col("pat")) > 8 && col("pat_count") > 1)
+      .withColumn("rep_rank",
+        row_number().over(Window.partitionBy("conv_id", "pat")
+          .orderBy(col("turn_idx"), col("line_in_turn"))))
+      .withColumn("f_firstRepetitive", col("f_repetitive") && col("rep_rank") === 1)
+
+    withRep
+      .withColumn("f_digit", digitClass(col("f_string")))
+      .withColumn("f_capitalisation", capitalisation(col("f_string"), col("f_digit")))
+      .withColumn("f_singleChar", length(col("f_string")) === 1)
+      .withColumn("f_profile", punctuationProfile(col("line")))
+      .withColumn("f_year", yearFlag(col("f_string")))
+      .withColumn("f_month", monthFlag(col("f_string")))
+      .withColumn("f_email", emailFlag(col("f_string")))
+      .withColumn("f_http", httpFlag(col("f_string")))
+      .withColumn("max_line_len", max(length(col("line"))).over(wBlock))
+      .withColumn("f_lineLength",
+        linearScaling(length(col("line")), col("max_line_len"), LineScale))
+      .withColumn("nn", coalesce(sum(length(col("line")) + 1).over(wPrev), lit(0L)))
+      .withColumn("block_nn", first(col("nn")).over(wBlock.orderBy(col("line_in_turn"))))
+      .withColumn("doc_len", sum(length(col("line")) + 1).over(wConvAll))
+      .withColumn("f_relDocPos", linearScaling(col("block_nn"), col("doc_len"), NbBinsPosition))
+      .withColumn("n_lines_turn", max(col("line_in_turn")).over(wTurn) + 1)
+      .withColumn("f_relPagePos",
+        linearScaling(col("line_in_turn"), col("n_lines_turn"), NbBinsPosition))
+      .drop("pos_in_block", "n_lines_block", "n_blocks_turn", "head_tail_block",
+        "pat_candidate", "pat_count", "rep_rank", "max_line_len", "nn", "block_nn",
+        "doc_len", "n_lines_turn")
+  }
+
+  /** 33-column serialized row (`FeaturesVectorDatacatSegmenter.printVector()`
+   * order; dictionary flags properName/commonName/firstName are constant 0 —
+   * transcripts carry no lexicon, reference prints them from lexicon lookups
+   * we do not reproduce). */
+  def segmenterVector(df: DataFrame): Column = concat_ws(" ",
+    col("f_string"),
+    col("f_second"),
+    lower(col("f_string")),
+    prefix(col("f_string"), 1), prefix(col("f_string"), 2),
+    prefix(col("f_string"), 3), prefix(col("f_string"), 4),
+    col("f_blockStatus"), col("f_pageStatus"),
+    col("f_fontStatus"), col("f_fontSize"),
+    lit("0"), lit("0"), // bold, italic
+    col("f_capitalisation"), col("f_digit"),
+    bool01(col("f_singleChar")),
+    lit("0"), lit("0"), lit("0"), // properName, commonName, firstName
+    bool01(col("f_year")), bool01(col("f_month")),
+    bool01(col("f_email")), bool01(col("f_http")),
+    col("f_relDocPos"), col("f_relPagePos"),
+    when(col("f_profile") === "", "no").otherwise(col("f_profile")),
+    when(col("f_profile") === "", "0").otherwise(length(col("f_profile")).cast("string")),
+    col("f_lineLength"),
+    lit("0"), lit("0"), // bitmapAround, vectorAround
+    bool01(col("f_repetitive")), bool01(col("f_firstRepetitive")),
+    lit("1")) // inMainArea
+}

@@ -1,0 +1,135 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.text.{Tok, TextCols}
+
+/**
+ * Structuring pass: transcripts → lines → tokens (reference S2,
+ * `Document.createFromText` at `DatacatSegmenterParser.java:132-135`, and the
+ * block/line/token loops at `:326-620`).
+ *
+ * Document-tree mapping: conversation=document, turn=page,
+ * paragraph-within-turn=block (runs of non-blank lines), line=line.
+ * All structure is declarative (split/posexplode/window) so Catalyst prunes
+ * and pushes down; the only non-builtin piece is the delimiter tokenizer UDF
+ * (exactly [[graft.text.Tok.tokenize]], fixture-pinned).
+ *
+ * Scale note: every window here is partitioned by (conv_id) or finer
+ * (conv_id, turn_idx[, block]); conv_id is high-cardinality at the design
+ * scale (10^12 turns over ~10^8+ convs) so shuffles hash-balance. Skew from
+ * giant conversations is handled upstream by salted repartitioning in the
+ * pipeline (see Pipeline.scala); windows keyed on (conv_id, turn_idx) never
+ * see more than one turn's text.
+ */
+object Structure {
+
+  /** Turn columns expected on the input. */
+  val turnCols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+  private val tokType = ArrayType(StructType(Seq(
+    StructField("tok", StringType, nullable = false),
+    StructField("sep", StringType, nullable = false))))
+
+  /** Delimiter tokenizer as a UDF (the one non-builtin scalar; semantics
+   * pinned byte-exactly against the 14 body fixtures). */
+  val tokenizeUdf = udf((s: String) =>
+    if (s == null) Array.empty[(String, String)]
+    else Tok.tokenize(s).map(t => (t.text, t.sepBefore)).toArray)
+
+  /**
+   * Explode turns into lines with paragraph (block) structure.
+   * Output grain: one row per raw line of each turn, with
+   * (block_idx, line_idx, line_in_turn) and `kept` = survives the
+   * reference's line filter (F1).
+   */
+  def lines(turns: DataFrame): DataFrame = {
+    val wTurn = Window.partitionBy("conv_id", "turn_idx").orderBy("line_in_turn")
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        posexplode_outer(split(coalesce(col("text"), lit("")), "\n"))
+          .as(Seq("line_in_turn", "line")))
+      .withColumn("blank", trim(col("line")) === "")
+      // block_idx: running count of blank→non-blank transitions (paragraphs)
+      .withColumn("new_block",
+        (!col("blank")) && coalesce(lag(col("blank"), 1).over(wTurn), lit(true)))
+      .withColumn("block_idx",
+        sum(when(col("new_block"), 1).otherwise(0)).over(wTurn) - 1)
+      .where(!col("blank"))
+      .withColumn("line_idx",
+        row_number().over(Window.partitionBy("conv_id", "turn_idx", "block_idx")
+          .orderBy("line_in_turn")) - 1)
+      .withColumn("kept", !TextCols.filterLine(col("line")))
+      .drop("blank", "new_block")
+  }
+
+  /** Lines that survive the noise filter (reference F1/F2). */
+  def keptLines(turns: DataFrame): DataFrame = lines(turns).where(col("kept"))
+
+  /**
+   * Explode kept lines into delimiter tokens, carrying exact separators for
+   * byte-exact re-assembly (replaces the reference's realignment re-scan J2,
+   * `DatacatBodySegmentationParser.java:800-831`).
+   *
+   * `sep_before` is the FULL source whitespace before the token: within a
+   * line it is the inter-token gap; for a line's first token it is
+   * trailing-whitespace-of-previous-line + one "\n" per crossed source line
+   * + own leading whitespace (turn boundaries count as one newline). So
+   * concat(sep_before + tok) over a conversation reproduces the source text
+   * up to whitespace-only lines' own spaces.
+   */
+  def tokens(turns: DataFrame): DataFrame = {
+    val wLine = Window.partitionBy("conv_id")
+      .orderBy(col("turn_idx"), col("line_in_turn"))
+    val perLine = keptLines(turns)
+      .withColumn("line_trailing", regexp_extract(col("line"), "[ \t\f ]*$", 0))
+      .withColumn("prev_trailing",
+        coalesce(lag(col("line_trailing"), 1).over(wLine), lit("")))
+      .withColumn("line_gap",
+        when(lag(col("turn_idx"), 1).over(wLine).isNull, 0)
+          .when(lag(col("turn_idx"), 1).over(wLine) =!= col("turn_idx"), 1)
+          .otherwise(col("line_in_turn") - lag(col("line_in_turn"), 1).over(wLine)))
+      .withColumn("toks", tokenizeUdf(col("line")))
+    perLine
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        col("block_idx"), col("line_in_turn"), col("line_idx"),
+        col("line_trailing"), col("prev_trailing"), col("line_gap"),
+        posexplode(col("toks")).as(Seq("tok_idx", "t")))
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        col("block_idx"), col("line_in_turn"), col("line_idx"), col("tok_idx"),
+        col("t._1").as("tok"),
+        when(col("tok_idx") === 0,
+          concat(col("prev_trailing"), repeat(lit("\n"), col("line_gap")), col("t._2")))
+          .otherwise(col("t._2")).as("sep_before"),
+        col("line_trailing"))
+      .withColumn("nl_before", col("tok_idx") === 0 && col("line_in_turn") > 0)
+      .withColumn("sp_before", col("sep_before") =!= "")
+  }
+
+  /** Global per-conversation unit index (stable turn ordering invariant). */
+  def withUnitIdx(df: DataFrame, orderCols: Seq[String]): DataFrame =
+    df.withColumn("unit_idx",
+      row_number().over(Window.partitionBy("conv_id")
+        .orderBy(orderCols.map(col): _*)).cast("long") - 1)
+
+  /**
+   * The transcripts view over the driver's `documents` test table:
+   * 10 consecutive documents form one conversation; each document is one
+   * turn. Deterministic and expressible identically in DuckDB SQL (used by
+   * SparkEntry oracles).
+   */
+  def transcriptsFromDocuments(documents: DataFrame): DataFrame =
+    documents.select(
+      concat(lit("conv"), (col("doc_id") / 10).cast("long").cast("string")).as("conv_id"),
+      (col("doc_id") % 10).cast("int").as("turn_idx"),
+      when(col("doc_id") % 10 === 0, "system")
+        .when(col("doc_id") % 2 === 1, "user")
+        .otherwise("assistant").as("role"),
+      col("text"),
+      when(col("doc_id") % 5 === 4, "search").otherwise(lit(null).cast("string")).as("tool"),
+      (lit("2026-01-01 00:00:00").cast("timestamp") +
+        make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
+          (col("doc_id") % 10).cast("double"))).as("ts"))
+}
