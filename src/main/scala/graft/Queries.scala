@@ -1,34 +1,630 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.extract.Structure
+import graft.extract.{Assemble, Features, Labeler, Pipeline, Structure}
+import graft.ops.{Dedup, Similarity, TextStats}
+import graft.text.TextCols
 
 /**
- * Driver-checked operator queries (SURVEY.md §2) with DuckDB oracle SQL.
- * Column names are aligned between the Spark plan and the oracle SQL —
- * the driver sorts columns by name before hashing.
+ * Driver-checked operator queries (SURVEY.md §2 inventory + training-data
+ * pipeline operators) with DuckDB oracle SQL. Column names and value
+ * rounding are aligned between the Spark plan and the oracle — the driver
+ * sorts columns by name and hashes values.
+ *
+ * Layout: relational baselines (q*), extraction operators (f/s/w/a/k per
+ * SURVEY §2 ids), dedup_*, sim_*, text_*.
  */
 object Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Transcripts view over documents (same derivation as oracle SQL). */
+  /** Transcripts view over documents (same derivation as [[transcriptsCte]]). */
   def transcripts(s: SparkSession, dir: String): DataFrame =
     Structure.transcriptsFromDocuments(t(s, dir, "documents"))
 
+  /** DuckDB CTE mirroring [[Structure.transcriptsFromDocuments]]. */
+  private val transcriptsCte =
+    """transcripts AS (
+      |  SELECT 'conv' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+      |         CAST(doc_id % 10 AS INT) AS turn_idx,
+      |         CASE WHEN doc_id % 10 = 0 THEN 'system'
+      |              WHEN doc_id % 2 = 1 THEN 'user'
+      |              ELSE 'assistant' END AS role,
+      |         text,
+      |         CASE WHEN doc_id % 5 = 4 THEN 'search' ELSE NULL END AS tool,
+      |         TIMESTAMP '2026-01-01 00:00:00'
+      |           + (doc_id % 10) * INTERVAL 1 SECOND AS ts
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB token explode mirroring the delimiter tokenizer: pad every
+   * delimiter char with spaces, split on whitespace. Equivalent to
+   * graft.text.Tok for the token sequence (separators aside). */
+  private val tokensCte =
+    """toks AS (
+      |  SELECT conv_id, turn_idx, role, tool,
+      |         unnest(ws) AS tok, CAST(unnest(range(len(ws))) AS INT) AS tok_idx
+      |  FROM (
+      |    SELECT conv_id, turn_idx, role, tool,
+      |           list_filter(string_split_regex(
+      |             regexp_replace(text, '([(\[•*,:;?.!/)\-–−‐«»„”“‘’''`$\]"])',
+      |                            ' \1 ', 'g'),
+      |             '[ \n\r\t\f ]+'), x -> x <> '') AS ws
+      |    FROM transcripts WHERE text IS NOT NULL AND trim(text) <> ''))""".stripMargin
+
+  /** Spark-side token explode used by token-level queries (same output). */
+  private def tokensOf(s: SparkSession, dir: String): DataFrame =
+    Structure.tokens(transcripts(s, dir))
+
+  private val wordsCte =
+    """words AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                             w -> w <> '') AS ws, text
+      |  FROM documents)""".stripMargin
+
+  private val shinglesCte =
+    """shingles AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+      |    ELSE list_transform(range(len(ws)-4), i -> array_to_string(ws[i+1:i+5], ' '))
+      |    END) AS shingle
+      |  FROM words)""".stripMargin
+
+  // deterministic SRP hyperplane component, shared Spark<->SQL (md5-derived)
+  private def planeSql(p: Int): String =
+    s"(('0x' || substr(md5('$p#' || CAST(i AS VARCHAR)), 1, 6))::INT / 16777216.0 * 2 - 1)"
+
+  private def bucketSql(vecExpr: String, planes: Int): String =
+    (0 until planes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range(len($vecExpr)), " +
+        s"i -> $vecExpr[i+1]::DOUBLE * ${planeSql(p)})) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  // ------------------------------------------------------------- queries —
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // — relational baselines (prove the Catalyst-first plumbing) —
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(sum("l_quantity").as("sum_qty"),
-          count(lit(1)).as("cnt"))
-        .orderBy("l_returnflag"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))),
+
+    "q2_join_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))),
+
+    "q3_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    }),
+
+    "q4_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("ts_s", col("ts").cast("timestamp").cast("long"))
+        .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), max("n_events").as("max_sess_events"))
+    }),
+
+    "q5_asof_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .where(col("prev_value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          round(col("value") - col("prev_value"), 4).as("value_delta"))
+    }),
+
+    "q6_tumbling" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))),
+
+    // — extraction operators over the transcripts view —
+    "f1_filter_lines" -> ((s, dir) =>
+      Structure.keptLines(transcripts(s, dir))
+        .select("conv_id", "turn_idx", "line_in_turn")),
+
+    "s2_tokenize" -> ((s, dir) =>
+      tokensOf(s, dir).select("conv_id", "turn_idx", "tok_idx", "tok")),
+
+    "w2_statuses" -> ((s, dir) =>
+      Features.body(tokensOf(s, dir))
+        .select(col("conv_id"), col("turn_idx"), col("tok_idx"),
+          col("f_blockStatus").as("block_status"),
+          col("f_lineStatus").as("line_status"))),
+
+    "w5_font_status" -> ((s, dir) =>
+      Features.segmenter(Structure.keptLines(transcripts(s, dir)))
+        .select(col("conv_id"), col("turn_idx"),
+          col("f_fontStatus").as("font_status"),
+          col("f_fontSize").as("font_size_status"))),
+
+    "w8_positions" -> ((s, dir) =>
+      Features.segmenter(Structure.keptLines(transcripts(s, dir)))
+        .select(col("conv_id"), col("turn_idx"),
+          col("f_relDocPos").as("rel_doc_pos"),
+          col("f_lineLength").as("line_length_bin"))),
+
+    "scalar_features" -> ((s, dir) => {
+      val toks = tokensOf(s, dir)
+      val dig = TextCols.digitClass(col("tok"))
+      toks.select(col("conv_id"), col("turn_idx"), col("tok_idx"),
+        TextCols.capitalisation(col("tok"), dig).as("capitalisation"),
+        dig.as("digit"),
+        TextCols.punctType(col("tok")).as("punct_type"),
+        TextCols.bool01(length(col("tok")) === 1).as("single_char"))
+    }),
+
+    "a1_conv_stats" -> ((s, dir) =>
+      transcripts(s, dir).groupBy("conv_id")
+        .agg(count(lit(1)).as("n_turns"),
+          sum(length(col("text"))).as("n_chars"),
+          max(length(col("text"))).as("max_turn_chars"),
+          countDistinct(col("role")).as("n_roles"))),
+
+    "a2_repetitive" -> ((s, dir) =>
+      transcripts(s, dir)
+        .select(col("conv_id"), TextCols.pattern(col("text")).as("pattern"))
+        .where(length(col("pattern")) > 8)
+        .groupBy("conv_id", "pattern").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > 1)),
+
+    "a7_zone_segments" -> ((s, dir) => {
+      val zoned = Labeler.zones(
+        Features.segmenter(Structure.keptLines(transcripts(s, dir))))
+        .withColumnRenamed("zone_label", "label")
+      Assemble.withSegmentIds(zoned, Seq("turn_idx", "line_in_turn"))
+        .groupBy("conv_id", "segment_id")
+        .agg(first(col("label_base")).as("zone"), count(lit(1)).as("n_lines"))
+    }),
+
+    "k2_zone_spans" -> ((s, dir) => {
+      val zoned = Labeler.zones(
+        Features.segmenter(Structure.keptLines(transcripts(s, dir))))
+      Assemble.zoneSpans(zoned)
+        .select(col("conv_id"), col("segment_id"), col("label"), col("text"))
+    }),
+
+    "k3_rawtext" -> ((s, dir) =>
+      transcripts(s, dir).groupBy("conv_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+          x => x.getField("text")), "\n").as("rawtext"))),
+
+    // — deduplication —
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"))),
+
+    "dedup_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(t(s, dir, "documents"), k = 8)),
+
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashCandidates(t(s, dir, "documents"), k = 8, rowsPerBand = 4)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash16(t(s, dir, "documents"))),
+
+    "dedup_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.jaccard(docs, Dedup.minhashCandidates(docs, k = 8, rowsPerBand = 4))
+        .where(col("jaccard") >= 0.5)
+    }),
+
+    // — similarity search —
+    "sim_topk_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
+    }),
+
+    "sim_topk_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5, planes = 8)
+    }),
+
+    "sim_near_dups" -> ((s, dir) =>
+      Similarity.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.9, planes = 8)),
+
+    // — text analysis —
+    "text_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))),
+
+    "text_quality" -> ((s, dir) =>
+      TextStats.quality(t(s, dir, "documents"))
+        .select("doc_id", "n_words", "mean_word_len", "punct_ratio",
+          "upper_ratio", "stopword_ratio", "quality_score")),
+
+    "text_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)")).as("n_tokens"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp")))
   )
+
+  // ------------------------------------------------------------- oracles —
+
+  private val zoneCte =
+    s"""$transcriptsCte,
+       |pats AS (
+       |  SELECT conv_id, lower(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS pattern
+       |  FROM transcripts WHERE trim(coalesce(text,'')) <> ''),
+       |patcnt AS (
+       |  SELECT conv_id, pattern, count(*) AS cnt FROM pats
+       |  WHERE length(pattern) > 8 GROUP BY 1, 2),
+       |zl AS (
+       |  SELECT t.conv_id, t.turn_idx,
+       |    CASE
+       |      WHEN coalesce(pc.cnt, 0) > 1 THEN '<other>'
+       |      WHEN t.role = 'tool' OR t.tool IS NOT NULL THEN '<other>'
+       |      WHEN t.role = 'system' AND t.turn_idx = 0 THEN '<front>'
+       |      WHEN t.role = 'system' AND t.turn_idx =
+       |        max(t.turn_idx) OVER (PARTITION BY t.conv_id) THEN '<back>'
+       |      WHEN t.role = 'system' THEN '<other>'
+       |      ELSE '<body>' END AS zone,
+       |    t.text
+       |  FROM transcripts t
+       |  LEFT JOIN patcnt pc ON pc.conv_id = t.conv_id AND pc.pattern =
+       |    lower(regexp_replace(t.text, '[^\\p{L}]', '', 'g'))
+       |  WHERE trim(coalesce(t.text,'')) <> ''),
+       |chg AS (
+       |  SELECT conv_id, turn_idx, zone, text,
+       |    CASE WHEN zone IS DISTINCT FROM
+       |      lag(zone) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+       |      THEN 1 ELSE 0 END AS is_chg
+       |  FROM zl),
+       |segs AS (
+       |  SELECT conv_id, turn_idx, zone, text,
+       |    sum(is_chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+       |                      ROWS UNBOUNDED PRECEDING) AS segment_id
+       |  FROM chg)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
-      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS cnt
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q2_join_agg" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q3_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+
+    "q4_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id,
+        |    sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |c AS (SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_sess_events
+        |FROM c GROUP BY user_id""".stripMargin,
+
+    "q5_asof_lag" ->
+      """SELECT event_id, user_id, round(value - prev_value, 4) AS value_delta FROM (
+        |  SELECT event_id, user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events) WHERE prev_value IS NOT NULL""".stripMargin,
+
+    "q6_tumbling" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "f1_filter_lines" ->
+      s"""WITH $transcriptsCte
+         |SELECT conv_id, turn_idx, 0 AS line_in_turn FROM transcripts
+         |WHERE text IS NOT NULL AND trim(text) <> ''
+         |  AND text NOT LIKE '%@IMAGE%' AND text NOT LIKE '%@PAGE%'
+         |  AND text NOT LIKE '%.pbm%' AND text NOT LIKE '%.svg%'
+         |  AND text NOT LIKE '%.png%' AND text NOT LIKE '%.jpg%'""".stripMargin,
+
+    "s2_tokenize" ->
+      s"""WITH $transcriptsCte, $tokensCte
+         |SELECT conv_id, turn_idx, tok_idx, tok FROM toks""".stripMargin,
+
+    "w2_statuses" ->
+      s"""WITH $transcriptsCte, $tokensCte,
+         |x AS (
+         |  SELECT conv_id, turn_idx, tok_idx, tok,
+         |    tok_idx = 0 AS first_b,
+         |    tok_idx = max(tok_idx) OVER (PARTITION BY conv_id, turn_idx) AS last_b,
+         |    (turn_idx, tok_idx) = (max((turn_idx, tok_idx))
+         |       OVER (PARTITION BY conv_id)) AS conv_last
+         |  FROM toks)
+         |SELECT conv_id, turn_idx, tok_idx,
+         |  CASE WHEN first_b THEN 'BLOCKSTART'
+         |       WHEN last_b AND NOT conv_last THEN 'BLOCKEND'
+         |       ELSE 'BLOCKIN' END AS block_status,
+         |  CASE WHEN first_b THEN 'LINESTART'
+         |       WHEN last_b AND NOT conv_last THEN 'LINEEND'
+         |       ELSE 'LINEIN' END AS line_status
+         |FROM x""".stripMargin,
+
+    "w5_font_status" ->
+      s"""WITH $transcriptsCte,
+         |k AS (SELECT conv_id, turn_idx, role,
+         |        CASE role WHEN 'system' THEN 3 WHEN 'tool' THEN 1 ELSE 2 END AS fsz
+         |      FROM transcripts WHERE trim(coalesce(text,'')) <> ''),
+         |l AS (SELECT conv_id, turn_idx, role, fsz,
+         |        lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prole,
+         |        lag(fsz) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pfsz
+         |      FROM k)
+         |SELECT conv_id, turn_idx,
+         |  CASE WHEN prole IS NULL OR prole <> role THEN 'NEWFONT'
+         |       ELSE 'SAMEFONT' END AS font_status,
+         |  CASE WHEN pfsz IS NULL THEN 'HIGHERFONT'
+         |       WHEN fsz = pfsz THEN 'SAMEFONTSIZE'
+         |       WHEN fsz > pfsz THEN 'HIGHERFONT'
+         |       ELSE 'LOWERFONT' END AS font_size_status
+         |FROM l""".stripMargin,
+
+    "w8_positions" ->
+      s"""WITH $transcriptsCte,
+         |k AS (SELECT conv_id, turn_idx, text,
+         |        length(text) + 1 AS ln
+         |      FROM transcripts WHERE trim(coalesce(text,'')) <> ''),
+         |p AS (SELECT conv_id, turn_idx, text,
+         |        coalesce(sum(ln) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn,
+         |        sum(ln) OVER (PARTITION BY conv_id) AS doc_len
+         |      FROM k)
+         |SELECT conv_id, turn_idx,
+         |  CASE WHEN doc_len <= 0 THEN 0 WHEN nn >= doc_len THEN 12
+         |       WHEN nn <= 0 THEN 0 ELSE CAST(floor(nn * 12.0 / doc_len) AS INT)
+         |  END AS rel_doc_pos,
+         |  10 AS line_length_bin
+         |FROM p""".stripMargin,
+
+    "scalar_features" ->
+      s"""WITH $transcriptsCte, $tokensCte
+         |SELECT conv_id, turn_idx, tok_idx,
+         |  CASE WHEN regexp_matches(tok, '^[0-9]+$$') THEN 'NOCAPS'
+         |       WHEN NOT regexp_matches(tok, '\\p{Ll}') THEN 'ALLCAP'
+         |       WHEN regexp_matches(substr(tok, 1, 1), '^\\p{Lu}') THEN 'INITCAP'
+         |       ELSE 'NOCAPS' END AS capitalisation,
+         |  CASE WHEN regexp_matches(tok, '^[0-9]+$$') THEN 'ALLDIGIT'
+         |       WHEN regexp_matches(tok, '[0-9]') THEN 'CONTAINSDIGITS'
+         |       ELSE 'NODIGIT' END AS digit,
+         |  CASE WHEN tok IN ('(', '[') THEN 'OPENBRACKET'
+         |       WHEN tok IN (')', ']') THEN 'ENDBRACKET'
+         |       WHEN tok = '.' THEN 'DOT' WHEN tok = ',' THEN 'COMMA'
+         |       WHEN tok = '-' THEN 'HYPHEN'
+         |       WHEN tok IN ('"', '''', '`') THEN 'QUOTE'
+         |       WHEN regexp_matches(tok, '^[,:;?.]+$$') THEN 'PUNCT'
+         |       ELSE 'NOPUNCT' END AS punct_type,
+         |  CASE WHEN length(tok) = 1 THEN '1' ELSE '0' END AS single_char
+         |FROM toks""".stripMargin,
+
+    "a1_conv_stats" ->
+      s"""WITH $transcriptsCte
+         |SELECT conv_id, count(*) AS n_turns, sum(length(text)) AS n_chars,
+         |  max(length(text)) AS max_turn_chars,
+         |  count(DISTINCT role) AS n_roles
+         |FROM transcripts GROUP BY conv_id""".stripMargin,
+
+    "a2_repetitive" ->
+      s"""WITH $transcriptsCte
+         |SELECT conv_id, lower(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS pattern,
+         |  count(*) AS cnt
+         |FROM transcripts
+         |WHERE length(lower(regexp_replace(text, '[^\\p{L}]', '', 'g'))) > 8
+         |GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
+
+    "a7_zone_segments" ->
+      s"""WITH $zoneCte
+         |SELECT conv_id, segment_id, min(zone) AS zone, count(*) AS n_lines
+         |FROM segs GROUP BY conv_id, segment_id""".stripMargin,
+
+    "k2_zone_spans" ->
+      s"""WITH $zoneCte
+         |SELECT conv_id, segment_id,
+         |  min(zone) AS label,
+         |  string_agg(replace(replace(replace(replace(replace(text,
+         |    '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'),
+         |    '''', '&apos;') || ' <lb/>', e'\\n\\n' ORDER BY turn_idx) AS text
+         |FROM segs GROUP BY conv_id, segment_id""".stripMargin,
+
+    "k3_rawtext" ->
+      s"""WITH $transcriptsCte
+         |SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS rawtext
+         |FROM transcripts GROUP BY conv_id""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS keeper_id,
+        |  count(*) OVER (PARTITION BY fp) AS dup_count,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+        |FROM f""".stripMargin,
+
+    "dedup_minhash_sig" ->
+      s"""WITH $wordsCte, $shinglesCte,
+         |d AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |seeds AS (SELECT CAST(unnest(range(8)) AS INT) AS seed)
+         |SELECT doc_id, seed,
+         |  min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+         |FROM d CROSS JOIN seeds GROUP BY doc_id, seed""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      s"""WITH $wordsCte, $shinglesCte,
+         |d AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |seeds AS (SELECT CAST(unnest(range(8)) AS INT) AS seed),
+         |sig AS (
+         |  SELECT doc_id, seed,
+         |    min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+         |  FROM d CROSS JOIN seeds GROUP BY doc_id, seed),
+         |b AS (
+         |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         |    md5(string_agg(CAST(seed AS VARCHAR) || '@' || minhash, '|'
+         |      ORDER BY CAST(seed AS VARCHAR) || '@' || minhash)) AS bucket
+         |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT))
+         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+         |WHERE l.doc_id < r.doc_id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $wordsCte,
+         |tk AS (SELECT doc_id, unnest(ws) AS tok FROM words),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INT AS h FROM tk),
+         |bits AS (SELECT doc_id,
+         |  ${(0 until 16).map(i =>
+             s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+             .mkString(", ")}
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST(${(0 until 16).map(i =>
+             s"(CASE WHEN b$i >= 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")}
+         |  AS INT) AS simhash
+         |FROM bits""".stripMargin,
+
+    "dedup_jaccard" ->
+      s"""WITH $wordsCte, $shinglesCte,
+         |d AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |seeds AS (SELECT CAST(unnest(range(8)) AS INT) AS seed),
+         |sig AS (
+         |  SELECT doc_id, seed,
+         |    min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+         |  FROM d CROSS JOIN seeds GROUP BY doc_id, seed),
+         |bkt AS (
+         |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         |    md5(string_agg(CAST(seed AS VARCHAR) || '@' || minhash, '|'
+         |      ORDER BY CAST(seed AS VARCHAR) || '@' || minhash)) AS bucket
+         |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bkt l JOIN bkt r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |cnts AS (SELECT doc_id, count(*) AS n_sh FROM d GROUP BY doc_id),
+         |com AS (
+         |  SELECT p.a, p.b, count(*) AS n_common
+         |  FROM pairs p JOIN d da ON da.doc_id = p.a
+         |  JOIN d db ON db.doc_id = p.b AND db.shingle = da.shingle
+         |  GROUP BY p.a, p.b)
+         |SELECT com.a, com.b, n_common,
+         |  round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) AS jaccard
+         |FROM com JOIN cnts ca ON ca.doc_id = com.a
+         |JOIN cnts cb ON cb.doc_id = com.b
+         |WHERE round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) >= 0.5""".stripMargin,
+
+    "sim_topk_brute" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |                                 c.embedding::DOUBLE[]), 4) AS cosine
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "sim_topk_lsh" -> {
+      val b = bucketSql("e.embedding", 8)
+      s"""WITH bk AS (SELECT e.vec_id, e.embedding, $b AS bucket FROM embeddings e),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+         |                                 c.embedding::DOUBLE[]), 4) AS cosine
+         |  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10),
+         |r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+    },
+
+    "sim_near_dups" -> {
+      val b = bucketSql("e.embedding", 8)
+      s"""WITH bk AS (SELECT e.vec_id, e.embedding, $b AS bucket FROM embeddings e)
+         |SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
+         |  round(list_cosine_similarity(l.embedding::DOUBLE[],
+         |                               r.embedding::DOUBLE[]), 4) AS cosine
+         |FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |WHERE round(list_cosine_similarity(l.embedding::DOUBLE[],
+         |                                   r.embedding::DOUBLE[]), 4) >= 0.9""".stripMargin
+    },
+
+    "text_lang_id" -> {
+      def ratio(lang: String): String = {
+        val list = TextStats.stopwords(lang).map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(ws, w -> w IN ($list))) * 1.0 / greatest(len(ws), 1)"
+      }
+      s"""WITH $wordsCte,
+         |sc AS (SELECT doc_id, text, ws,
+         |  ${ratio("de")} AS r_de, ${ratio("en")} AS r_en,
+         |  ${ratio("es")} AS r_es, ${ratio("fr")} AS r_fr
+         |  FROM words)
+         |SELECT doc_id,
+         |  CASE WHEN length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) * 2
+         |         > length(text) THEN 'zh'
+         |       WHEN greatest(r_de, r_en, r_es, r_fr) <= 0.05 THEN 'und'
+         |       WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de THEN 'fr'
+         |       WHEN r_es >= r_en AND r_es >= r_de THEN 'es'
+         |       WHEN r_en >= r_de THEN 'en'
+         |       ELSE 'de' END AS lang_pred
+         |FROM sc""".stripMargin
+    },
+
+    "text_quality" -> {
+      val en = TextStats.stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH $wordsCte
+         |SELECT doc_id, len(ws) AS n_words,
+         |  CASE WHEN len(ws) > 0
+         |    THEN round((length(text) + 1.0) / len(ws) - 1, 4) ELSE 0 END AS mean_word_len,
+         |  CASE WHEN length(text) > 0
+         |    THEN round(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0
+         |      / length(text), 4) ELSE 0 END AS punct_ratio,
+         |  CASE WHEN length(text) > 0
+         |    THEN round(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
+         |      / length(text), 4) ELSE 0 END AS upper_ratio,
+         |  round(len(list_filter(ws, w -> w IN ($en))) * 1.0 / greatest(len(ws), 1), 4)
+         |    AS stopword_ratio,
+         |  round(CASE WHEN len(ws) = 0 THEN 0 ELSE 1.0
+         |    - least(0.4, (length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0
+         |        / greatest(length(text), 1)) * 2)
+         |    - least(0.3, length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
+         |        / greatest(length(text), 1))
+         |    - (CASE WHEN len(ws) < 5 THEN 0.3 ELSE 0 END) END, 4) AS quality_score
+         |FROM words""".stripMargin
+    },
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin
   )
 }

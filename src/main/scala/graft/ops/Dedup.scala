@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines, designed scale-first:
+ *
+ *  - exact:      one hash-aggregate shuffle on the fingerprint; map-side
+ *                partial aggregation makes it bandwidth-bound, not skewed.
+ *  - minhash:    shingle → K minhashes → band buckets → candidate pairs via
+ *                a bucket equi-join. The band join is the standard LSH trick
+ *                that avoids the O(n²) cross join; bucket sizes are bounded
+ *                because identical-signature clusters are exactly the near-
+ *                duplicate clusters we want.
+ *  - simhash:    16-bit sign fingerprint via per-token hashes; near-dups =
+ *                equal fingerprints (or small hamming distance via 2-probe).
+ *  - n-gram jaccard: exact verification on candidate pairs only.
+ *
+ * All hashes are md5-derived so DuckDB computes the identical values —
+ * every operator here is oracle-checkable.
+ */
+object Dedup {
+
+  /** Word 5-gram shingles (n configurable), SQL-parity construction. */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val ws = TextStats.words(text)
+    when(size(ws) < n, array(array_join(ws, " ")))
+      .otherwise(transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + 1, lit(n)), " ")))
+  }
+
+  /** Exact dedup verdict per document: keeper = min id per fingerprint. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = TextStats.fingerprint(col(textCol))
+    val w = Window.partitionBy("fp")
+    docs.withColumn("fp", fp)
+      .withColumn("keeper_id", min(col(idCol)).over(w))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("keeper_id"))
+      .select(col(idCol), col("fp"), col("keeper_id"),
+        col("dup_count"), col("is_dup"))
+  }
+
+  /** Long-format minhash signatures: (id, seed, minhash) for seed<k.
+   * minhash(seed) = min over distinct shingles of md5(seed:shingle). */
+  def minhashSignatures(docs: DataFrame, k: Int = 16, n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    val seeds = docs.sparkSession.range(k).select(col("id").cast("int").as("seed"))
+    sh.crossJoin(broadcast(seeds))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(md5(concat(col("seed"), lit(":"), col("shingle")))).as("minhash"))
+  }
+
+  /** LSH band buckets: rows (id, band, bucket) — join on (band, bucket) for
+   * candidate pairs. bands = k/rowsPerBand. */
+  def lshBuckets(sigs: DataFrame, rowsPerBand: Int = 4, idCol: String = "doc_id"): DataFrame =
+    sigs.withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(md5(array_join(array_sort(collect_list(
+        concat_ws("@", col("seed"), col("minhash")))), "|")).as("bucket"))
+
+  /** Candidate near-dup pairs from LSH buckets (a < b). */
+  def minhashCandidates(docs: DataFrame, k: Int = 16, n: Int = 5, rowsPerBand: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val b = lshBuckets(minhashSignatures(docs, k, n, idCol, textCol), rowsPerBand, idCol)
+    val l = b.select(col(idCol).as("a"), col("band"), col("bucket"))
+    val r = b.select(col(idCol).as("b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for given (a,b) id pairs. */
+  def jaccard(docs: DataFrame, pairs: DataFrame, n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    val counts = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val common = pairs
+      .join(sh.withColumnRenamed(idCol, "a").withColumnRenamed("shingle", "s_a"), Seq("a"))
+      .join(sh.withColumnRenamed(idCol, "b").withColumnRenamed("shingle", "s_b"), Seq("b"))
+      .where(col("s_a") === col("s_b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.withColumnRenamed(idCol, "a").withColumnRenamed("n_sh", "n_a"), Seq("a"))
+      .join(counts.withColumnRenamed(idCol, "b").withColumnRenamed("n_sh", "n_b"), Seq("b"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4))
+      .select("a", "b", "n_common", "jaccard")
+  }
+
+  /** 16-bit SimHash from per-token md5 hashes (frequency-weighted). */
+  def simhash16(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextStats.words(col(textCol))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+    val bitCols = (0 until 16).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = toks.groupBy(idCol).agg(bitCols.head, bitCols.tail: _*)
+    val sim = (0 until 16).map { i =>
+      when(col(s"b$i") >= 0, 1 << i).otherwise(0)
+    }.reduce(_ + _)
+    agg.select(col(idCol), sim.cast("int").as("simhash"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a large-scale training-data pipeline:
+ * language ID (stopword heuristic), quality scoring, token counting,
+ * document fingerprinting. All pure Catalyst expressions (codegen'd), all
+ * shuffle-free per-document — they scale linearly and pushdown-friendly.
+ * Semantics are deliberately SQL-expressible so the driver's DuckDB oracle
+ * can check them 1:1.
+ */
+object TextStats {
+
+  /** Whitespace word split (lowercased), the SQL-parity tokenization. */
+  def words(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
+
+  // tiny deterministic stopword lists, enough to separate the testdata langs
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "es", "un", "una", "que"))
+
+  /** Fraction of words present in `list`. */
+  def stopwordRatio(ws: Column, list: Seq[String]): Column = {
+    val inList = filter(ws, w => w.isInCollection(list))
+    when(size(ws) > 0, size(inList).cast("double") / size(ws)).otherwise(0.0)
+  }
+
+  /**
+   * Heuristic language ID: argmax of stopword-list hit ratio; `zh` when CJK
+   * characters dominate; `und` when nothing scores. Deterministic tie-break
+   * by language code.
+   */
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val cjk = length(regexp_replace(text, "[^\\p{IsHan}]", ""))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, list) =>
+      struct(stopwordRatio(ws, list).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(cjk * 2 > length(text), "zh")
+      .when(best.getField("score") > 0.05, best.getField("lang"))
+      .otherwise("und")
+  }
+
+  /** Token count, BPE-ish: word pieces + standalone non-word chars. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+|(?=[^\\w\\s])|(?<=[^\\w\\s])"), t => t =!= ""))
+
+  /** Quality features + a composite score in [0,1]. */
+  def quality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val ws = words(text)
+    val en = stopwords("en")
+    df.withColumn("n_chars_q", length(text))
+      .withColumn("n_words", size(ws))
+      .withColumn("mean_word_len",
+        when(size(ws) > 0, round((length(text) + 1).cast("double") / size(ws) - 1, 4))
+          .otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(length(text) > 0,
+          round(length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
+            length(text), 4)).otherwise(0.0))
+      .withColumn("upper_ratio",
+        when(length(text) > 0,
+          round(length(regexp_replace(text, "[^A-Z]", "")).cast("double") /
+            length(text), 4)).otherwise(0.0))
+      .withColumn("stopword_ratio", round(stopwordRatio(ws, en), 4))
+      .withColumn("quality_score", round(
+        when(col("n_words") === 0, 0.0).otherwise(
+          lit(1.0)
+            - least(lit(0.4), col("punct_ratio") * 2)
+            - least(lit(0.3), col("upper_ratio"))
+            - when(col("n_words") < 5, 0.3).otherwise(0.0)), 4))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercase text
+   * (the exact-dedup key). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}
