@@ -63,12 +63,10 @@ object Assemble {
       .agg(
         first(col("label_base")).as("label"),
         min(col("turn_idx")).as("turn_idx"),
-        min(struct(ord.map(col): _*)).as("ord"),
         array_join(
           transform(array_sort(collect_list(struct(
             col("turn_idx"), col("line_in_turn"), col("tok_idx"), col("piece")))),
             x => x.getField("piece")), "").as("text"))
-      .drop("ord")
   }
 
   /**

@@ -74,21 +74,23 @@ object Features {
           .otherwise("LINEIN"))
 
     // indentation state: leading spaces of the line vs previous line,
-    // carried until it changes (reference W6)
-    val wLines = Window.partitionBy("conv_id").orderBy(col("turn_idx"), col("line_in_turn"))
-    val lineStarts = statused.where(col("first_l"))
-      .withColumn("lead_sp", length(regexp_extract(col("sep_before"), "[ \t]*$", 0)))
-      .withColumn("indent_delta", col("lead_sp") - lag(col("lead_sp"), 1).over(wLines))
+    // carried until it changes (reference W6). Expressed as token-row
+    // windows (last(...) ignoreNulls carry-forward) — no self-join, so the
+    // single conv_id exchange of the pipeline covers it at any scale.
+    val wPrevRows = wConv.rowsBetween(Window.unboundedPreceding, -1)
+    val wUpToHere = wConv.rowsBetween(Window.unboundedPreceding, 0)
+    val withAlign = statused
+      .withColumn("lsp", when(col("first_l"),
+        length(regexp_extract(col("sep_before"), "[ \t]*$", 0))))
+      .withColumn("prev_lsp", last(col("lsp"), ignoreNulls = true).over(wPrevRows))
       .withColumn("indent_change",
-        when(col("indent_delta") > 1, "LINEINDENT")
-          .when(col("indent_delta") < -1, "ALIGNEDLEFT")
+        when(col("first_l") && col("lsp") - col("prev_lsp") > 1, "LINEINDENT")
+          .when(col("first_l") && col("lsp") - col("prev_lsp") < -1, "ALIGNEDLEFT")
           .otherwise(lit(null).cast("string")))
       .withColumn("f_alignmentStatus",
-        coalesce(last(col("indent_change"), ignoreNulls = true)
-          .over(wLines.rowsBetween(Window.unboundedPreceding, 0)), lit("ALIGNEDLEFT")))
-      .select(col("conv_id"), col("turn_idx"), col("line_in_turn"), col("f_alignmentStatus"))
-
-    val withAlign = statused.join(lineStarts, Seq("conv_id", "turn_idx", "line_in_turn"))
+        coalesce(last(col("indent_change"), ignoreNulls = true).over(wUpToHere),
+          lit("ALIGNEDLEFT")))
+      .drop("lsp", "prev_lsp", "indent_change")
 
     val fontSized = withFont(withAlign, wConv)
 
@@ -157,9 +159,9 @@ object Features {
     val toks = split(trim(regexp_replace(col("line"), "[ \t\f ]+", " ")), " ")
     val base = lines
       .withColumn("f_string",
-        regexp_replace(element_at(toks, 1), "[ \n\r]", ""))
+        regexp_replace(coalesce(try_element_at(toks, lit(1)), lit("")), "[ \n\r]", ""))
       .withColumn("f_second",
-        coalesce(element_at(toks, 2), element_at(toks, 1)))
+        coalesce(try_element_at(toks, lit(2)), try_element_at(toks, lit(1))))
       .where(col("f_string") =!= "")
       .withColumn("n_lines_block", count(lit(1)).over(wBlock))
       .withColumn("pos_in_block",

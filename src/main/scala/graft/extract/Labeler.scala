@@ -65,7 +65,7 @@ object Labeler {
    * Input must contain columns (conv_id, turn_idx, line_in_turn, tok_idx,
    * tok, f_capitalisation). Output adds `label` (BIO-encoded).
    */
-  def bodyLabels(tokens: DataFrame): DataFrame = {
+  def bodyLabels(tokens: DataFrame, repartitionByConv: Boolean = true): DataFrame = {
     val spark = tokens.sparkSession
     val inSchema = tokens.schema
     val outSchema = StructType(inSchema.fields :+ StructField("label", StringType, false))
@@ -78,8 +78,9 @@ object Labeler {
     val entryStart = "^(\\p{Nd}+|[iIjJ!,]\\p{Nd}*|[iIjJ]{1,3})$".r
     val dashes = Set("-", "_", "–", "−", ".")
 
-    val sorted = tokens
-      .repartition(col("conv_id"))
+    // when the caller's plan is already hash-partitioned by conv_id (the
+    // single-exchange pipeline), skip the redundant shuffle
+    val sorted = (if (repartitionByConv) tokens.repartition(col("conv_id")) else tokens)
       .sortWithinPartitions("conv_id", "turn_idx", "line_in_turn", "tok_idx")
 
     val labeled = sorted.mapPartitions { it =>

@@ -1,0 +1,82 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.AccumulatorV2
+import scala.collection.concurrent.TrieMap
+
+/**
+ * Per-partition lineage rows + counters (north-rule requirement; replaces
+ * the reference's CntManager, `EngineDatacat.java:28,338-344`).
+ *
+ * Two complementary mechanisms:
+ *  - [[observe]]: Dataset.observe() named metrics (rows/bytes) — zero-cost,
+ *    collected with the job, suitable for always-on counters;
+ *  - [[withPartitionLineage]]: a pass-through mapPartitions that records
+ *    (partition_id, rows, bytes) into an accumulator, dumped as a DataFrame
+ *    by [[lineageRows]] after an action. Use on checkpoint boundaries.
+ */
+object Lineage {
+
+  final class PartitionStats extends AccumulatorV2[(Int, Long, Long), Map[Int, (Long, Long)]] {
+    private val m = TrieMap.empty[Int, (Long, Long)]
+    def isZero: Boolean = m.isEmpty
+    def copy(): PartitionStats = { val c = new PartitionStats; m.foreach(kv => c.m += kv); c }
+    def reset(): Unit = m.clear()
+    def add(v: (Int, Long, Long)): Unit = {
+      val (p, r, b) = v
+      val (r0, b0) = m.getOrElse(p, (0L, 0L))
+      m.update(p, (r0 + r, b0 + b))
+    }
+    def merge(other: AccumulatorV2[(Int, Long, Long), Map[Int, (Long, Long)]]): Unit =
+      other.value.foreach { case (p, (r, b)) =>
+        val (r0, b0) = m.getOrElse(p, (0L, 0L))
+        m.update(p, (r0 + r, b0 + b))
+      }
+    def value: Map[Int, (Long, Long)] = m.toMap
+  }
+
+  /** Register a fresh accumulator for a stage. */
+  def newStats(spark: SparkSession, name: String): PartitionStats = {
+    val acc = new PartitionStats
+    spark.sparkContext.register(acc, s"lineage_$name")
+    acc
+  }
+
+  /** Pass-through that counts rows and serialized text bytes per partition.
+   * `textCols` contribute to the byte counter. */
+  def withPartitionLineage(df: DataFrame, acc: PartitionStats, textCols: Seq[String]): DataFrame = {
+    val schema = df.schema
+    val idxs = textCols.map(schema.fieldIndex)
+    df.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.map { r =>
+        var bytes = 0L
+        idxs.foreach { i => if (!r.isNullAt(i)) bytes += r.getString(i).length.toLong }
+        acc.add((pid, 1L, bytes))
+        r
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Materialize collected per-partition stats as a lineage DataFrame. */
+  def lineageRows(spark: SparkSession, stage: String, acc: PartitionStats,
+      parseFailures: Long = 0L): DataFrame = {
+    import spark.implicits._
+    acc.value.toSeq.sortBy(_._1)
+      .map { case (p, (r, b)) => (stage, p, r, b, parseFailures) }
+      .toDF("stage", "partition_id", "rows", "bytes", "parse_failures")
+  }
+
+  /** Always-on observe() counters for a turns input: turns in/out (after the
+   * noise filter) and text bytes — read via QueryExecutionListener or
+   * `df.observe` result collection. */
+  def observedTurns(turns: DataFrame, name: String): DataFrame =
+    turns.observe(name,
+      count(lit(1)).as("turns_in"),
+      sum(when(TextCols_filter(col("text")), 0L).otherwise(1L)).as("turns_kept"),
+      sum(length(coalesce(col("text"), lit("")))).as("bytes_in"))
+
+  private def TextCols_filter(c: org.apache.spark.sql.Column) =
+    graft.text.TextCols.filterLine(c)
+}

@@ -22,21 +22,80 @@ object Pipeline {
   def zonedLines(turns: DataFrame): DataFrame =
     Labeler.zones(Features.segmenter(Structure.keptLines(turns)))
 
-  /** Full extraction: body spans of the <body> zone per conversation. */
-  def extract(turns: DataFrame): DataFrame = {
-    val zones = zonedLines(turns)
-      .select(col("conv_id"), col("turn_idx"), col("line_in_turn"),
-        col("zone").as("line_zone"))
+  /**
+   * Full extraction: body spans of the <body> zone per conversation.
+   *
+   * Single-pass, single-exchange: the kept lines are hash-partitioned by
+   * conv_id ONCE up front; every downstream window (keys ⊇ {conv_id}), the
+   * zone filter, the token explode (partition-preserving), the labeler FSM
+   * (repartition skipped) and the span groupBy are all satisfied by that
+   * one exchange — `.explain` shows exactly one hashpartitioning(conv_id).
+   */
+  def extract(turns: DataFrame): DataFrame =
+    Assemble.bodySpans(labeledBodyTokens(turns))
+
+  /** structure → zone → body features → FSM labels, over one exchange. */
+  def labeledBodyTokens(turns: DataFrame): DataFrame = {
+    val lines = Structure.keptLines(turns.repartition(col("conv_id")))
+    val zoned = Labeler.zones(Features.segmenter(lines))
     // F4: zone selection is a plain filter because labels are columns
-    val toks = Structure.tokens(turns)
-      .join(zones, Seq("conv_id", "turn_idx", "line_in_turn"))
-      .where(col("line_zone") === "<body>")
+    val bodyLines = zoned.where(col("zone") === "<body>")
+      .select("conv_id", "turn_idx", "role", "tool", "block_idx",
+        "line_in_turn", "line_idx", "line")
+    val toks = Structure.tokensFromLines(bodyLines)
     val feats = Features.body(toks)
-    val labeled = Labeler.bodyLabels(feats)
-    Assemble.bodySpans(labeled)
+      // the FSM consumes a narrow projection; Catalyst prunes the unused
+      // feature windows behind it (mapPartitions would otherwise pin all
+      // 24 feature columns through the object boundary)
+      .select("conv_id", "turn_idx", "line_in_turn", "tok_idx",
+        "tok", "sep_before", "line_trailing", "f_capitalisation")
+    Labeler.bodyLabels(feats, repartitionByConv = false)
   }
 
   /** Extraction result as one TEI document per conversation. */
   def extractTei(turns: DataFrame): DataFrame =
     Assemble.teiDocuments(extract(turns))
+
+  /**
+   * conv_id-salted repartition for turn-keyed stages (north rule): spreads a
+   * giant conversation over `salt` partitions while keeping each turn whole.
+   * Whole-conversation stages (the FSM, span groupBy) re-group on conv_id —
+   * their inputs are already reduced to label/segment rows by then.
+   */
+  def saltedByTurn(df: DataFrame, partitions: Int, salt: Int = 16): DataFrame =
+    df.repartition(partitions, col("conv_id"),
+      pmod(hash(col("turn_idx")), lit(salt)))
+
+  /**
+   * Resumable run (north rule): each stage commits a parquet snapshot +
+   * manifest through [[TableIO]]; a re-run skips committed stages, so a
+   * killed job resumes from its last checkpoint with identical output.
+   * Per-partition lineage rows (rows/bytes/parse failures) are committed
+   * alongside each stage.
+   */
+  def runResumable(turns: DataFrame, io: TableIO, runId: String = "r1"): DataFrame = {
+    val spark = turns.sparkSession
+
+    val labeled = io.committedSnapshot("labeled") match {
+      case Some(_) => io.read(spark, "labeled")
+      case None =>
+        val acc = Lineage.newStats(spark, "labeled")
+        val out = Lineage.withPartitionLineage(
+          labeledBodyTokens(turns), acc, Seq("tok", "sep_before"))
+        io.commit(out, "labeled", runId)
+        io.commit(Lineage.lineageRows(spark, "labeled", acc), "lineage_labeled", runId)
+        io.read(spark, "labeled")
+    }
+
+    io.committedSnapshot("spans") match {
+      case Some(_) => io.read(spark, "spans")
+      case None =>
+        val acc = Lineage.newStats(spark, "spans")
+        val spans = Lineage.withPartitionLineage(
+          Assemble.bodySpans(labeled), acc, Seq("text"))
+        io.commit(spans, "spans", runId)
+        io.commit(Lineage.lineageRows(spark, "spans", acc), "lineage_spans", runId)
+        io.read(spark, "spans")
+    }
+  }
 }

@@ -80,10 +80,17 @@ object Structure {
    * concat(sep_before + tok) over a conversation reproduces the source text
    * up to whitespace-only lines' own spaces.
    */
-  def tokens(turns: DataFrame): DataFrame = {
+  def tokens(turns: DataFrame): DataFrame = tokensFromLines(keptLines(turns))
+
+  /** Token explode over an existing kept-lines frame (single-pass pipelines
+   * reuse the zoned lines instead of re-structuring the turns). Extra
+   * columns on `lines` are carried through to the token rows. */
+  def tokensFromLines(keptLines: DataFrame): DataFrame = {
     val wLine = Window.partitionBy("conv_id")
       .orderBy(col("turn_idx"), col("line_in_turn"))
-    val perLine = keptLines(turns)
+    val carried = keptLines.columns.toSeq
+      .diff(Seq("line", "kept", "line_trailing", "prev_trailing", "line_gap", "toks"))
+    val perLine = keptLines
       .withColumn("line_trailing", regexp_extract(col("line"), "[ \t\f ]*$", 0))
       .withColumn("prev_trailing",
         coalesce(lag(col("line_trailing"), 1).over(wLine), lit("")))
@@ -93,17 +100,16 @@ object Structure {
           .otherwise(col("line_in_turn") - lag(col("line_in_turn"), 1).over(wLine)))
       .withColumn("toks", tokenizeUdf(col("line")))
     perLine
-      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
-        col("block_idx"), col("line_in_turn"), col("line_idx"),
+      .select(carried.map(col) ++ Seq(
         col("line_trailing"), col("prev_trailing"), col("line_gap"),
-        posexplode(col("toks")).as(Seq("tok_idx", "t")))
-      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
-        col("block_idx"), col("line_in_turn"), col("line_idx"), col("tok_idx"),
+        posexplode(col("toks")).as(Seq("tok_idx", "t"))): _*)
+      .select(carried.map(col) ++ Seq(
+        col("tok_idx"),
         col("t._1").as("tok"),
         when(col("tok_idx") === 0,
           concat(col("prev_trailing"), repeat(lit("\n"), col("line_gap")), col("t._2")))
           .otherwise(col("t._2")).as("sep_before"),
-        col("line_trailing"))
+        col("line_trailing")): _*)
       .withColumn("nl_before", col("tok_idx") === 0 && col("line_in_turn") > 0)
       .withColumn("sp_before", col("sep_before") =!= "")
   }

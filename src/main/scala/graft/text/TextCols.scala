@@ -116,10 +116,11 @@ object TextCols {
    * comma inside the class is reference behavior (fixtures flag ",949.").
    */
   def yearFlag(tok: Column): Column = tok.rlike("[1,2][0-9][0-9][0-9]")
-  def emailFlag(tok: Column): Column = tok.rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")
+  def emailFlag(tok: Column): Column =
+    tok.rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
   def httpFlag(tok: Column): Column = tok.contains("http")
   def monthFlag(tok: Column): Column =
-    tok.rlike("(?i)^(january|february|march|april|may|june|july|august|september|october|november|december|jan|feb|mar|apr|jun|jul|aug|sep|sept|oct|nov|dec)[.,]?$")
+    tok.rlike("(?i)^(january|february|march|april|may|june|july|august|september|october|november|december|jan|feb|mar|apr|jun|jul|aug|sep|oct|nov|dec)$")
 
   def bool01(c: Column): Column = when(c, "1").otherwise("0")
 }

@@ -54,7 +54,7 @@ object Fixtures {
 
   private val spanRe =
     """(?s)<(entry|title|titledesc)>(.*?)</\1>""".r
-  private val textRe = """(?s)<text[^>]*>\n?(.*?)\n*\t</text>""".r
+  private val textRe = """(?s)<text[^>]*>\n?(.*?)\n*[\t ]*</text>""".r
 
   def bodyFixtureNames: Seq[String] =
     listDir(bodyRaw, ".text").map(_.getFileName.toString.stripSuffix(".training.bodySegmentation.datacat.text"))
@@ -144,22 +144,50 @@ object Fixtures {
 
   /** Segmenter gold: per (kept) line, its zone label, BIO on zone start —
    * SAX semantics of `TEIDatacatSegmenterSaxParser.java:123-189` over the
-   * `<lb/>`-separated lines. */
+   * `<lb/>`-separated lines. Zone labels are assigned by char offset over
+   * the tag-stripped body (content outside zone tags → `<other>`). */
   def loadSeg(name: String): SegFixture = {
     val tei = read(s"$segTei/$name.training.datacat.tei.xml")
+    // leftover tags from an older label scheme appear in a handful of files;
+    // the SAX parser ignores them (keeps the enclosing zone) — strip likewise
     val body = textRe.findFirstMatchIn(tei).get.group(1)
-    val lines = zoneRe.findAllMatchIn(body).toVector.flatMap { m =>
-      val label = s"<${m.group(1)}>"
-      val segs = m.group(2).split("<lb/>").toVector
-        .map(s => decodeEntities(s).replace("\n", " ").replace("\r", " "))
-        .map(_.trim).filter(_.nonEmpty)
-        .filterNot(s => s.contains("@IMAGE") || s.contains("@PAGE"))
-      segs.zipWithIndex.map { case (s, i) =>
-        SegLine(s, if (i == 0) s"I-$label" else label)
+      .replaceAll("</?(unit|reference)>", "")
+    // ordered (label, content) pieces partitioning the tag-stripped body
+    val pieces = Vector.newBuilder[(String, String)]
+    var pos = 0
+    zoneRe.findAllMatchIn(body).foreach { m =>
+      if (m.start > pos) pieces += (("<other>", body.substring(pos, m.start)))
+      pieces += ((s"<${m.group(1)}>", m.group(2)))
+      pos = m.end
+    }
+    if (pos < body.length) pieces += (("<other>", body.substring(pos)))
+    val segs = pieces.result()
+    val stripped = segs.map(_._2).mkString
+    val segStarts = segs.scanLeft(0)(_ + _._2.length)
+    def zoneAt(o: Int): (Int, String) = {
+      var i = segs.size - 1
+      while (i > 0 && segStarts(i) > o) i -= 1
+      (i, segs(i)._1)
+    }
+    // split on <lb/>, tracking each line's char offset in `stripped`
+    val lb = "<lb/>"
+    val out = Vector.newBuilder[SegLine]
+    var off = 0
+    var prevSeg = -1
+    stripped.split(java.util.regex.Pattern.quote(lb), -1).foreach { piece =>
+      val norm = decodeEntities(piece).replace("\n", " ").replace("\r", " ").trim
+      if (norm.nonEmpty && !norm.contains("@IMAGE") && !norm.contains("@PAGE")) {
+        // zone of the first non-whitespace char of the line
+        val lead = piece.indexWhere(!_.isWhitespace) match { case -1 => 0; case i => i }
+        val (si, label) = zoneAt(off + lead)
+        val bio = if (si != prevSeg && label != "<other>") s"I-$label" else label
+        prevSeg = si
+        out += SegLine(norm, bio)
       }
+      off += piece.length + lb.length
     }
     val raw = read(s"$segRaw/$name.training.datacat")
       .split("\n").toVector.map(_.split(" ")).filter(_.length == 33)
-    SegFixture(name, lines, raw)
+    SegFixture(name, out.result(), raw)
   }
 }
