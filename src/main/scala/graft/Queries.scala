@@ -255,7 +255,53 @@ object Queries {
 
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
-        TextStats.fingerprint(col("text")).as("fp")))
+        TextStats.fingerprint(col("text")).as("fp"))),
+
+    // — multimodal plumbing (payload = utf-8 bytes of text; stub codec) —
+    "mm_media_meta" -> ((s, dir) =>
+      graft.ops.Multimodal.withMediaMeta(
+        t(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")), kind = "image")
+        .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.duration_ms").as("duration_ms"))),
+
+    "mm_frames" -> ((s, dir) =>
+      graft.ops.Multimodal.sampleFrames(
+        graft.ops.Multimodal.withMediaMeta(
+          t(s, dir, "documents").select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload")), kind = "video"),
+        everyMs = 5000)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))),
+
+    // — full-pipeline surfaces (not SQL-expressible: rows-only checks) —
+    "w10_body_labels" -> ((s, dir) =>
+      Pipeline.labeledBodyTokens(transcripts(s, dir))
+        .select("conv_id", "turn_idx", "tok_idx", "tok", "label")),
+
+    "pipeline_spans" -> ((s, dir) =>
+      Pipeline.extract(transcripts(s, dir))),
+
+    "tei_documents" -> ((s, dir) =>
+      Pipeline.extractTei(transcripts(s, dir))),
+
+    "k1_feature_vectors" -> ((s, dir) => {
+      val toks = tokensOf(s, dir)
+      Features.body(toks)
+        .withColumn("vector", Features.bodyVector(null))
+        .select("conv_id", "turn_idx", "tok_idx", "vector")
+    }),
+
+    "sim_brute_vs_lsh_recall" -> ((s, dir) => {
+      // ANN quality harness: LSH top-k recall against the exact baseline
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.lshTopK(e, q, k = 5, planes = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    })
   )
 
   // ------------------------------------------------------------- oracles —
@@ -291,8 +337,8 @@ object Queries {
        |  FROM zl),
        |segs AS (
        |  SELECT conv_id, turn_idx, zone, text,
-       |    sum(is_chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
-       |                      ROWS UNBOUNDED PRECEDING) AS segment_id
+       |    CAST(sum(is_chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+       |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS segment_id
        |  FROM chg)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -425,7 +471,7 @@ object Queries {
 
     "a1_conv_stats" ->
       s"""WITH $transcriptsCte
-         |SELECT conv_id, count(*) AS n_turns, sum(length(text)) AS n_chars,
+         |SELECT conv_id, count(*) AS n_turns, CAST(sum(length(text)) AS BIGINT) AS n_chars,
          |  max(length(text)) AS max_turn_chars,
          |  count(DISTINCT role) AS n_roles
          |FROM transcripts GROUP BY conv_id""".stripMargin,
@@ -625,6 +671,17 @@ object Queries {
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "mm_media_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  octet_length(encode(text)) * 10 AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "mm_frames" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) * 10 // 5000 + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin
   )
 }
