@@ -274,6 +274,11 @@ object Queries {
         .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))),
 
     // — full-pipeline surfaces (not SQL-expressible: rows-only checks) —
+    "f5_size_guard" -> ((s, dir) =>
+      Structure.sizeGuard(Structure.keptLines(transcripts(s, dir)),
+        maxLines = 9, maxBlocks = 1000)
+        .groupBy("conv_id").agg(count(lit(1)).as("n_lines"))),
+
     "w10_body_labels" -> ((s, dir) =>
       Pipeline.labeledBodyTokens(transcripts(s, dir))
         .select("conv_id", "turn_idx", "tok_idx", "tok", "label")),
@@ -672,6 +677,17 @@ object Queries {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    "f5_size_guard" ->
+      s"""WITH $transcriptsCte,
+         |kept AS (
+         |  SELECT conv_id FROM transcripts
+         |  WHERE text IS NOT NULL AND trim(text) <> ''
+         |    AND text NOT LIKE '%@IMAGE%' AND text NOT LIKE '%@PAGE%'
+         |    AND text NOT LIKE '%.pbm%' AND text NOT LIKE '%.svg%'
+         |    AND text NOT LIKE '%.png%' AND text NOT LIKE '%.jpg%'),
+         |c AS (SELECT conv_id, count(*) AS n_lines FROM kept GROUP BY 1)
+         |SELECT conv_id, n_lines FROM c WHERE n_lines <= 9""".stripMargin,
 
     "mm_media_meta" ->
       """SELECT doc_id,

@@ -98,22 +98,37 @@ object Assemble {
   /**
    * A10: full TEI document per conversation, matching the reference wrapper
    * bytes (`DatacatBodySegmentationParser.java:650-659`).
+   *
+   * A5: `xml:lang` comes from language-ID over a ~500-char sample of the
+   * conversation's span text (the reference samples the first blocks and
+   * runs `LanguageUtilities.runLanguageId`, defaulting to "fr" —
+   * `DatacatSegmenterParser.java:667-682`). The sample rides the same
+   * groupBy as the span concat: no extra shuffle.
    */
-  def teiDocuments(spans: DataFrame, lang: String = "fr"): DataFrame = {
+  def teiDocuments(spans: DataFrame, defaultLang: String = "fr"): DataFrame = {
     val open = when(col("label") === "<other>", "<note type=\"other\">")
       .otherwise(col("label"))
     val close = when(col("label") === "<other>", "</note>")
       .otherwise(concat(lit("</"), regexp_replace(col("label"), "[<>]", ""), lit(">")))
     val spanXml = concat(open, col("text"), close)
+    val ordered = array_sort(collect_list(struct(col("segment_id"),
+      spanXml.as("x"), substring(col("text"), 1, 500).as("t"))))
+    val langOf = {
+      val l = graft.ops.TextStats.langId(col("lang_sample"))
+      when(l === "und", lit(defaultLang)).otherwise(l)
+    }
     spans
       .groupBy("conv_id")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("segment_id"), spanXml.as("x")))),
-          s => s.getField("x")), "\n\n").as("spans_xml"))
+      .agg(ordered.as("arr"))
+      .select(col("conv_id"),
+        array_join(transform(col("arr"), s => s.getField("x")), "\n\n").as("spans_xml"),
+        substring(array_join(transform(col("arr"), s => s.getField("t")), " "), 1, 500)
+          .as("lang_sample"))
       .select(col("conv_id"), concat(
         lit("<?xml version=\"1.0\" ?>\n<tei xml:space=\"preserve\">\n\t<teiHeader>\n\t\t<fileDesc xml:id=\""),
         col("conv_id"),
-        lit(s"\"/>\n\t</teiHeader>\n\t<text xml:lang=\"$lang\">\n"),
+        lit("\"/>\n\t</teiHeader>\n\t<text xml:lang=\""), langOf,
+        lit("\">\n"),
         col("spans_xml"),
         lit("\n\n\t</text>\n</tei>\n")).as("tei"))
   }

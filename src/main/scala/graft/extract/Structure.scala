@@ -69,6 +69,34 @@ object Structure {
   def keptLines(turns: DataFrame): DataFrame = lines(turns).where(col("kept"))
 
   /**
+   * F5: size guards (QoS) — drop whole conversations whose kept-line count
+   * or block count exceeds the limits, the analog of the reference's
+   * PdfTokensMax/PdfBlocksMax rejects (`DatacatSegmenterParser.java:140-143,
+   * 261-263`). Defaults mirror the reference's generous caps so normal
+   * corpora are untouched; at 100 TB this is the cheap upper bound on
+   * pathological conversations *before* the quadratic-ish feature windows.
+   * Window-agg over conv_id: reuses the pipeline's existing conv_id
+   * exchange, no extra shuffle. Rejected convs are countable via
+   * `observe`/[[Lineage]] on the `size_rejected` column upstream of the
+   * filter (see [[sizeGuardMarked]]).
+   */
+  def sizeGuard(lines: DataFrame, maxLines: Long = 512 * 1000,
+      maxBlocks: Long = 100 * 1000): DataFrame =
+    sizeGuardMarked(lines, maxLines, maxBlocks)
+      .where(!col("size_rejected")).drop("size_rejected")
+
+  /** Size-guard predicate as a column (for counting rejects separately).
+   * Blocks per conversation = count of block-start lines (`line_idx == 0`);
+   * `block_idx` itself restarts per turn. */
+  def sizeGuardMarked(lines: DataFrame, maxLines: Long, maxBlocks: Long): DataFrame = {
+    val wConv = Window.partitionBy("conv_id")
+    lines
+      .withColumn("size_rejected",
+        count(lit(1)).over(wConv) > maxLines ||
+          sum(when(col("line_idx") === 0, 1L).otherwise(0L)).over(wConv) > maxBlocks)
+  }
+
+  /**
    * Explode kept lines into delimiter tokens, carrying exact separators for
    * byte-exact re-assembly (replaces the reference's realignment re-scan J2,
    * `DatacatBodySegmentationParser.java:800-831`).
