@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val turns = graft.extract.Synthetic.transcripts(spark, 100)
+    val plan = graft.extract.Pipeline.extract(turns).queryExecution.executedPlan.toString
+    println("== exchanges: " + plan.linesIterator.count(_.contains("Exchange hashpartitioning")))
+    println("== sorts: " + plan.linesIterator.count(l => l.contains("Sort [")))
+    plan.linesIterator.filter(l =>
+      l.contains("Exchange") || l.contains("Sort [") || l.contains("Window") ||
+      l.contains("WholeStageCodegen") || l.contains("MapPartitions") ||
+      l.contains("HashAggregate")).foreach(println)
+    spark.stop()
+  }
+}

@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Ensure at least `defaultParallelism` partitions before the hash-heavy
+   * shingle/minhash compute: a single-split input (tiny file, coalesced
+   * upstream) would otherwise serialize k·|shingles| md5 calls onto one
+   * task. No-op when the scan already provides enough splits — at 100 TB
+   * the file splits give full parallelism and no shuffle is added. */
+  def spread(docs: DataFrame): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+  }
+
   /** Word 5-gram shingles (n configurable), SQL-parity construction. */
   def shingles(text: Column, n: Int = 5): Column = {
     val ws = TextStats.words(text)
@@ -47,11 +57,23 @@ object Dedup {
    * minhash(seed) = min over distinct shingles of md5(seed:shingle). */
   def minhashSignatures(docs: DataFrame, k: Int = 16, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    val sh = spread(docs).select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
     val seeds = docs.sparkSession.range(k).select(col("id").cast("int").as("seed"))
     sh.crossJoin(broadcast(seeds))
       .groupBy(col(idCol), col("seed"))
       .agg(min(md5(concat(col("seed"), lit(":"), col("shingle")))).as("minhash"))
+  }
+
+  /** Wide minhash signatures: one row per doc with columns m0..m{k-1} —
+   * ONE hash-agg shuffle at document grain (the long/seed-exploded form
+   * shuffles k× the rows; at 100 TB that k× matters). Values are identical
+   * to [[minhashSignatures]]. */
+  def minhashWide(docs: DataFrame, k: Int = 16, n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = spread(docs).select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    val aggs = (0 until k).map(s =>
+      min(md5(concat(lit(s), lit(":"), col("shingle")))).as(s"m$s"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band buckets: rows (id, band, bucket) — join on (band, bucket) for
@@ -62,10 +84,25 @@ object Dedup {
       .agg(md5(array_join(array_sort(collect_list(
         concat_ws("@", col("seed"), col("minhash")))), "|")).as("bucket"))
 
+  /** Band buckets from the wide signature frame — bucket bytes identical to
+   * [[lshBuckets]] (same sorted `seed@minhash` string), but computed by a
+   * shuffle-free explode instead of a second groupBy. */
+  def lshBucketsFromWide(wide: DataFrame, k: Int, rowsPerBand: Int = 4,
+      idCol: String = "doc_id"): DataFrame = {
+    val bands = (0 until k by rowsPerBand).zipWithIndex.map { case (s0, b) =>
+      val parts = (s0 until math.min(s0 + rowsPerBand, k)).map(s =>
+        concat_ws("@", lit(s), col(s"m$s")))
+      struct(lit(b).as("band"),
+        md5(array_join(array_sort(array(parts: _*)), "|")).as("bucket"))
+    }
+    wide.select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   /** Candidate near-dup pairs from LSH buckets (a < b). */
   def minhashCandidates(docs: DataFrame, k: Int = 16, n: Int = 5, rowsPerBand: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val b = lshBuckets(minhashSignatures(docs, k, n, idCol, textCol), rowsPerBand, idCol)
+    val b = lshBucketsFromWide(minhashWide(docs, k, n, idCol, textCol), k, rowsPerBand, idCol)
     val l = b.select(col(idCol).as("a"), col("band"), col("bucket"))
     val r = b.select(col(idCol).as("b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
@@ -75,12 +112,14 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for given (a,b) id pairs. */
   def jaccard(docs: DataFrame, pairs: DataFrame, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    val sh = spread(docs).select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
     val counts = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    // intersection via an equi-join on (b, shingle): linear in shingle count
+    // — joining on b alone and filtering s_a === s_b afterwards would blow
+    // up to |sh(a)|·|sh(b)| rows per pair before the filter
     val common = pairs
-      .join(sh.withColumnRenamed(idCol, "a").withColumnRenamed("shingle", "s_a"), Seq("a"))
-      .join(sh.withColumnRenamed(idCol, "b").withColumnRenamed("shingle", "s_b"), Seq("b"))
-      .where(col("s_a") === col("s_b"))
+      .join(sh.withColumnRenamed(idCol, "a"), Seq("a"))
+      .join(sh.withColumnRenamed(idCol, "b"), Seq("b", "shingle"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
     common
       .join(counts.withColumnRenamed(idCol, "a").withColumnRenamed("n_sh", "n_a"), Seq("a"))
