@@ -28,10 +28,7 @@ object Dedup {
    * upstream) would otherwise serialize k·|shingles| md5 calls onto one
    * task. No-op when the scan already provides enough splits — at 100 TB
    * the file splits give full parallelism and no shuffle is added. */
-  def spread(docs: DataFrame): DataFrame = {
-    val target = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
-  }
+  def spread(docs: DataFrame): DataFrame = Par.spread(docs)
 
   /** Word 5-gram shingles (n configurable), SQL-parity construction. */
   def shingles(text: Column, n: Int = 5): Column = {

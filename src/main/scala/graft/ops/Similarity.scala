@@ -37,7 +37,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = Par.spread(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(q)
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("cv")), 4))
@@ -54,17 +54,40 @@ object Similarity {
     (conv(substring(md5(concat(lit(p), lit("#"), d)), 1, 6), 16, 10).cast("double")
       / lit((1 << 24).toDouble)) * 2.0 - 1.0
 
-  /** P-bit sign-random-projection bucket id for an embedding column. */
-  def srpBucket(vec: Column, planes: Int = 8): Column = {
+  /** Same value computed driver-side (identical md5-derived bytes) so plane
+   * vectors become plan-time literals instead of per-row md5 calls. */
+  private def planeValue(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p#$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 6), 16).toDouble / (1 << 24)) * 2.0 - 1.0
+  }
+
+  /** P-bit sign-random-projection bucket id for an embedding column.
+   * `dim > 0` precomputes the P plane vectors as literals (the md5s depend
+   * only on (plane, dim) — without this every row re-derives planes·dim
+   * hashes); `dim = 0` falls back to the in-plan derivation. */
+  def srpBucket(vec: Column, planes: Int = 8, dim: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
-      val dotp = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
+      val dotp =
+        if (dim > 0)
+          aggregate(
+            zip_with(vec, array((0 until dim).map(d => lit(planeValue(p, d))): _*),
+              (v, w) => v.cast("double") * w),
+            lit(0.0), (acc, v) => acc + v)
+        else
+          aggregate(
+            zip_with(vec, sequence(lit(0), size(vec) - 1),
+              (v, i) => v.cast("double") * planeComponent(p, i)),
+            lit(0.0), (acc, v) => acc + v)
       when(dotp >= 0, 1 << p).otherwise(0)
     }
     bits.reduce(_ + _).cast("int")
   }
+
+  /** Embedding width, read once from the first corpus row (plan-time cost:
+   * one tiny job) so srpBucket can use literal plane vectors. */
+  private def dimOf(corpus: DataFrame, vecCol: String): Int =
+    corpus.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
 
   /**
    * ANN via SRP-LSH: bucket both sides, candidates share a bucket, exact
@@ -74,10 +97,11 @@ object Similarity {
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, planes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      srpBucket(col(vecCol), planes).as("bucket"))
+    val dim = dimOf(corpus, vecCol)
+    val c = Par.spread(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      srpBucket(col(vecCol), planes, dim).as("bucket"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      srpBucket(col(vecCol), planes).as("bucket")))
+      srpBucket(col(vecCol), planes, dim).as("bucket")))
     val scored = c.join(q, Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("cv")), 4))
@@ -92,8 +116,8 @@ object Similarity {
    * buckets (a < b ordering, exact cosine verification inside buckets). */
   def cosineNearDups(corpus: DataFrame, threshold: Double = 0.95, planes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = corpus.select(col(idCol), col(vecCol),
-      srpBucket(col(vecCol), planes).as("bucket"))
+    val b = Par.spread(corpus).select(col(idCol), col(vecCol),
+      srpBucket(col(vecCol), planes, dimOf(corpus, vecCol)).as("bucket"))
     val l = b.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket"))
     val r = b.select(col(idCol).as("b"), col(vecCol).as("vb"), col("bucket"))
     l.join(r, Seq("bucket")).where(col("a") < col("b"))
