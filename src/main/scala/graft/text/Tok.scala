@@ -34,6 +34,20 @@ object Tok {
 
   @inline def isDelim(c: Char): Boolean = whitespace(c) || punctDelims(c)
 
+  // class lookup table for the hot tokenizer loop (codepoints ≤ maxClassed):
+  // 0 = regular, 1 = whitespace, 2 = punct delimiter. All delimiter chars
+  // are < 0x2220; anything above is a regular token char.
+  private final val maxClassed: Int =
+    (whitespace ++ punctDelims).map(_.toInt).max
+  private final val charClass: Array[Byte] = {
+    val t = new Array[Byte](maxClassed + 1)
+    whitespace.foreach(c => t(c.toInt) = 1)
+    punctDelims.foreach(c => t(c.toInt) = 2)
+    t
+  }
+  @inline private def classOf(c: Char): Byte =
+    if (c.toInt <= maxClassed) charClass(c.toInt) else 0
+
   /** One token plus the exact whitespace that preceded it in the source. */
   final case class RawTok(text: String, sepBefore: String)
 
@@ -44,22 +58,28 @@ object Tok {
    */
   def tokenize(text: String): Vector[RawTok] = {
     val out = Vector.newBuilder[RawTok]
-    val sep = new StringBuilder
-    val cur = new StringBuilder
+    val n = text.length
     var i = 0
-    def flushCur(): Unit = if (cur.nonEmpty) {
-      out += RawTok(cur.toString, sep.toString); sep.clear(); cur.clear()
+    var sepStart = 0 // current separator = text[sepStart, i) when scanning ws
+    var tokStart = -1 // current token start, -1 = none open
+    var sepEnd = 0
+    def flushCur(end: Int): Unit = if (tokStart >= 0) {
+      out += RawTok(text.substring(tokStart, end), text.substring(sepStart, sepEnd))
+      sepStart = end; sepEnd = end; tokStart = -1
     }
-    while (i < text.length) {
-      val c = text.charAt(i)
-      if (whitespace(c)) { flushCur(); sep.append(c) }
-      else if (punctDelims(c)) {
-        flushCur()
-        out += RawTok(c.toString, sep.toString); sep.clear()
-      } else cur.append(c)
+    while (i < n) {
+      val cls = classOf(text.charAt(i))
+      if (cls == 1) { // whitespace
+        flushCur(i)
+        sepEnd = i + 1
+      } else if (cls == 2) { // stand-alone delimiter token
+        flushCur(i)
+        out += RawTok(text.substring(i, i + 1), text.substring(sepStart, sepEnd))
+        sepStart = i + 1; sepEnd = i + 1
+      } else if (tokStart < 0) tokStart = i
       i += 1
     }
-    flushCur()
+    flushCur(n)
     out.result()
   }
 
