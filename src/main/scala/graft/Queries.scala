@@ -498,9 +498,9 @@ object Queries {
       s"""WITH $zoneCte
          |SELECT conv_id, segment_id,
          |  min(zone) AS label,
-         |  string_agg(replace(replace(replace(replace(replace(text,
+         |  string_agg(replace(replace(replace(replace(replace(replace(text,
          |    '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'),
-         |    '''', '&apos;') || ' <lb/>', e'\\n\\n' ORDER BY turn_idx) AS text
+         |    '''', '&apos;'), '@BULLET', '•') || ' <lb/>', e'\\n\\n' ORDER BY turn_idx) AS text
          |FROM segs GROUP BY conv_id, segment_id""".stripMargin,
 
     "k3_rawtext" ->

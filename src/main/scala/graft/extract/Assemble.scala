@@ -78,7 +78,11 @@ object Assemble {
   def zoneSpans(labeledLines: DataFrame): DataFrame = {
     val ord = Seq("turn_idx", "line_in_turn")
     val seg = withSegmentIds(labeledLines.withColumnRenamed("zone_label", "label"), ord)
-      .withColumn("piece", concat(TextCols.htmlEncode(col("line")), lit(" <lb/>")))
+      // A8: the reference rewrites @BULLET → • at zone-TEI emission
+      // (`DatacatSegmenterParser.java:1022`), after entity escaping
+      .withColumn("piece", concat(
+        regexp_replace(TextCols.htmlEncode(col("line")), "@BULLET", "•"),
+        lit(" <lb/>")))
     seg.groupBy("conv_id", "segment_id")
       .agg(
         first(col("label_base")).as("label"),

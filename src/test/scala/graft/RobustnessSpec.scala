@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.extract.{Assemble, Pipeline, Structure}
+
+/** Adversarial inputs through the full pipeline: nulls, empties,
+  * whitespace-only, system-only, XML-special chars, unicode, @BULLET. */
+class RobustnessSpec extends SparkSpec {
+
+  private def turnsDf(rows: Seq[(String, Int, String, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("conv_id", "turn_idx", "role", "text", "tool")
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+  }
+
+  test("null/empty/whitespace-only turns survive with no spans and no crash") {
+    val turns = turnsDf(Seq(
+      ("c1", 0, "user", null, null),
+      ("c1", 1, "assistant", "", null),
+      ("c1", 2, "user", "   \t  ", null),
+      ("c1", 3, "assistant", "\n\n\n", null)))
+    assert(Pipeline.extract(turns).count() == 0)
+    assert(Pipeline.extractTei(turns).count() == 0)
+  }
+
+  test("system-only conversation yields zero body spans, no crash") {
+    val turns = turnsDf(Seq(
+      ("c2", 0, "system", "You are a helpful assistant.", null),
+      ("c2", 1, "system", "Remember the rules.", null)))
+    assert(Pipeline.extract(turns).count() == 0)
+  }
+
+  test("null tool column and tool turns are handled") {
+    val turns = turnsDf(Seq(
+      ("c3", 0, "user", "hello world one two three", null),
+      ("c3", 1, "tool", "raw tool output {json:1}", "search"),
+      ("c3", 2, "assistant", "final answer body text here", null)))
+    val spans = Pipeline.extract(turns)
+    // the tool turn is zoned <other> and excluded from body spans
+    assert(!spans.select("text").collect().exists(_.getString(0).contains("tool output")))
+  }
+
+  test("XML-special characters come back escaped in span text and TEI") {
+    val turns = turnsDf(Seq(
+      ("c4", 0, "user", "a < b & c > d \"quoted\" and 'single'", null)))
+    val texts = Pipeline.extract(turns).select("text").collect().map(_.getString(0))
+    assert(texts.nonEmpty)
+    val all = texts.mkString
+    assert(all.contains("&lt;") && all.contains("&amp;") && all.contains("&gt;"))
+    assert(all.contains("&quot;") && all.contains("&apos;"))
+    assert(!all.replaceAll("&(lt|gt|amp|quot|apos);", "").exists(c => c == '<' || c == '&'))
+    val tei = Pipeline.extractTei(turns).select("tei").head().getString(0)
+    assert(tei.contains("&lt;") && tei.contains("&amp;"))
+  }
+
+  test("unicode NBSP, guillemets, bullets, CJK, emoji round through") {
+    val nbsp = " "
+    val turns = turnsDf(Seq(
+      ("c5", 0, "user", s"«citation»${nbsp}précédée • suivie 中文 🙂 fin", null)))
+    val all = Pipeline.extract(turns).select("text").collect().map(_.getString(0)).mkString
+    assert(all.contains("«") && all.contains("»"))
+    assert(all.contains("précédée") && all.contains("中文") && all.contains("🙂"))
+  }
+
+  test("@BULLET rewrites to • in zone spans (reference A8 emission rule)") {
+    val turns = turnsDf(Seq(
+      ("c6", 0, "user", "@BULLET first item text goes here", null)))
+    val zoned = graft.extract.Labeler.zones(
+      graft.extract.Features.segmenter(Structure.keptLines(turns)))
+    val text = Assemble.zoneSpans(zoned).select("text").head().getString(0)
+    assert(text.contains("•") && !text.contains("@BULLET"))
+  }
+
+  test("a single giant line streams through (no per-conv materialization blowup)") {
+    val big = (1 to 20000).map(i => s"tok$i").mkString(" ")
+    val turns = turnsDf(Seq(("c7", 0, "user", big, null)))
+    val spans = Pipeline.extract(turns)
+    assert(spans.count() >= 1)
+    val total = spans.agg(sum(length(col("text")))).head().getLong(0)
+    assert(total >= big.length)
+  }
+}
