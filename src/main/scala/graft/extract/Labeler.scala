@@ -52,6 +52,36 @@ object Labeler {
   // one buffered line of the body FSM
   private case class LineBuf(rows: Vector[Row], tokIdxOf: Int, labelAt: Int)
 
+  private[extract] val entryStartRe = "^(\\p{Nd}+|[iIjJ!,]\\p{Nd}*|[iIjJ]{1,3})$".r
+  private[extract] val dashSet = Set("-", "_", "–", "−", ".")
+
+  /** The body FSM's line-classification state machine, shared by the
+   * label-emitting and span-emitting (fused) passes so they cannot drift. */
+  private final class LineClassifier {
+    private var curConv: String = null
+    private var openLabel: String = null
+    private var lastWasTitle = false
+
+    /** Returns (base label, starts-new-span) and advances the state. */
+    def classify(conv: String, toks: Seq[String], caps: Seq[String]): (String, Boolean) = {
+      if (conv != curConv) { openLabel = null; lastWasTitle = false; curConv = conv }
+      val alpha = toks.zip(caps).filter(_._1.exists(_.isLetter))
+      val allCaps = alpha.nonEmpty && alpha.forall(_._2 == "ALLCAP")
+      val isEntry = toks.headOption.exists(t => entryStartRe.findFirstIn(t).isDefined) &&
+        (toks.lift(1).exists(dashSet) || toks.headOption.exists(_.forall(_.isDigit)))
+      val base =
+        if (isEntry) "<entry>"
+        else if (allCaps && toks.size <= 8) "<title>"
+        else if (openLabel == null) "<other>"
+        else if (lastWasTitle) "<titledesc>"
+        else openLabel
+      val isStart = base != openLabel
+      openLabel = base
+      lastWasTitle = base == "<title>"
+      (base, isStart)
+    }
+  }
+
   /**
    * Body labeler: token-level entry/title/titledesc/other FSM.
    * Heuristics (deterministic, on catalogue-style content):
@@ -75,9 +105,6 @@ object Labeler {
     val iTok = inSchema.fieldIndex("tok")
     val iCap = inSchema.fieldIndex("f_capitalisation")
 
-    val entryStart = "^(\\p{Nd}+|[iIjJ!,]\\p{Nd}*|[iIjJ]{1,3})$".r
-    val dashes = Set("-", "_", "–", "−", ".")
-
     // when the caller's plan is already hash-partitioned by conv_id (the
     // single-exchange pipeline), skip the redundant shuffle
     val sorted = (if (repartitionByConv) tokens.repartition(col("conv_id")) else tokens)
@@ -86,32 +113,12 @@ object Labeler {
     val labeled = sorted.mapPartitions { it =>
       new Iterator[Row] {
         private var out: Iterator[Row] = Iterator.empty
-        private var curConv: String = null
-        private var openLabel: String = null // current span base label
-        private var lastWasTitle = false
+        private val cls = new LineClassifier
         private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
 
-        private def classifyLine(rows: Seq[Row]): String = {
-          val toks = rows.map(_.getString(iTok))
-          val caps = rows.map(_.getString(iCap))
-          val alpha = toks.zip(caps).filter(_._1.exists(_.isLetter))
-          val allCaps = alpha.nonEmpty && alpha.forall(_._2 == "ALLCAP")
-          val isEntry = toks.headOption.exists(t => entryStart.findFirstIn(t).isDefined) &&
-            (toks.lift(1).exists(dashes) || toks.headOption.exists(_.forall(_.isDigit)))
-          if (isEntry) "<entry>"
-          else if (allCaps && toks.size <= 8) "<title>"
-          else if (openLabel == null) "<other>"
-          else if (lastWasTitle) "<titledesc>"
-          else openLabel // continuation
-        }
-
         private def emitLine(rows: Seq[Row]): Iterator[Row] = {
-          val conv = rows.head.getString(iConv)
-          if (conv != curConv) { openLabel = null; lastWasTitle = false; curConv = conv }
-          val base = classifyLine(rows)
-          val isStart = base != openLabel
-          openLabel = base
-          lastWasTitle = base == "<title>"
+          val (base, isStart) = cls.classify(rows.head.getString(iConv),
+            rows.map(_.getString(iTok)), rows.map(_.getString(iCap)))
           rows.iterator.zipWithIndex.map { case (r, i) =>
             val lab = if (i == 0 && isStart) "I-" + base else base
             Row.fromSeq(r.toSeq :+ lab)
@@ -140,5 +147,135 @@ object Labeler {
     }(org.apache.spark.sql.Encoders.row(outSchema))
 
     labeled
+  }
+
+  /** Scala mirror of [[graft.text.TextCols.htmlEncode]] (same replacement
+   * order) for the fused span emitter. */
+  private def htmlEncode(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
+
+  /**
+   * Fused label+assemble pass: the FSM emits finished SPANS instead of
+   * labeled tokens — exactly what the reference does (TEI is written during
+   * the label walk, `DatacatSegmenterParser.java:1009-1088`). Output rows and
+   * bytes are identical to `Assemble.bodySpans(bodyLabels(tokens))` (the
+   * declarative path, kept for the driver's oracle queries and pinned by a
+   * differential test), but the whole job needs ONE exchange: no second
+   * shuffle for the span groupBy, no window sorts, no collect_list
+   * materialization. State is O(current span text) — conversations stream.
+   *
+   * Separator rule (fixture-pinned, same as [[Assemble.bodySpans]]): each
+   * token carries its following whitespace (= next token's sep_before; the
+   * conv-last token carries its line's trailing whitespace); at a span
+   * boundary only the part before the first newline is kept.
+   *
+   * Output: (conv_id, segment_id, label, turn_idx, text).
+   */
+  def bodySpansFused(tokens: DataFrame, repartitionByConv: Boolean = true): DataFrame = {
+    val inSchema = tokens.schema
+    val iConv = inSchema.fieldIndex("conv_id")
+    val iTurn = inSchema.fieldIndex("turn_idx")
+    val iLine = inSchema.fieldIndex("line_in_turn")
+    val iTok = inSchema.fieldIndex("tok")
+    val iSep = inSchema.fieldIndex("sep_before")
+    val iTrail = inSchema.fieldIndex("line_trailing")
+    val iCap = inSchema.fieldIndex("f_capitalisation")
+    val outSchema = StructType(Seq(
+      StructField("conv_id", StringType, nullable = true),
+      StructField("segment_id", LongType, nullable = false),
+      StructField("label", StringType, nullable = false),
+      StructField("turn_idx", IntegerType, nullable = true),
+      StructField("text", StringType, nullable = false)))
+
+    val sorted = (if (repartitionByConv) tokens.repartition(col("conv_id")) else tokens)
+      .sortWithinPartitions("conv_id", "turn_idx", "line_in_turn", "tok_idx")
+
+    val spans = sorted.mapPartitions { it =>
+      new Iterator[Row] {
+        private val cls = new LineClassifier
+        private val outQ = scala.collection.mutable.Queue.empty[Row]
+        private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+
+        // open span accumulator
+        private var spanConv: String = null
+        private var spanSeg: Long = 0L
+        private var spanLabel: String = null
+        private var spanTurn: Int = 0
+        private val spanText = new java.lang.StringBuilder
+        // last token of the previous line, waiting for its sep_after
+        private var pendTok: String = null
+        private var pendTrail: String = null
+
+        private def closeSpan(): Unit = if (spanLabel != null) {
+          outQ += Row(spanConv, spanSeg, spanLabel, spanTurn, spanText.toString)
+          spanLabel = null
+          spanText.setLength(0)
+        }
+
+        /** Flush the held-back line-last token given its sep_after. */
+        private def resolvePend(sepAfter: String, spanLast: Boolean): Unit =
+          if (pendTok != null) {
+            val sep = if (spanLast) sepAfter.takeWhile(_ != '\n') else sepAfter
+            spanText.append(htmlEncode(pendTok)).append(sep)
+            pendTok = null
+          }
+
+        private def emitLine(rows: Seq[Row]): Unit = {
+          val conv = rows.head.getString(iConv)
+          if (conv != spanConv && spanConv != null) {
+            // conversation ended: conv-last token's sep_after = line_trailing
+            resolvePend(if (pendTrail == null) "" else pendTrail, spanLast = true)
+            closeSpan()
+            spanSeg = 0L
+          }
+          val (base, isStart) = cls.classify(conv,
+            rows.map(_.getString(iTok)), rows.map(_.getString(iCap)))
+          // the held-back token's sep_after = this line's first sep_before
+          resolvePend(rows.head.getString(iSep), spanLast = isStart)
+          if (isStart) {
+            closeSpan()
+            spanSeg += 1
+            spanConv = conv
+            spanLabel = base
+            spanTurn = rows.head.getInt(iTurn)
+          }
+          spanConv = conv
+          var i = 0
+          while (i < rows.size - 1) {
+            spanText.append(htmlEncode(rows(i).getString(iTok)))
+              .append(rows(i + 1).getString(iSep))
+            i += 1
+          }
+          val last = rows.last
+          pendTok = last.getString(iTok)
+          pendTrail = if (last.isNullAt(iTrail)) "" else last.getString(iTrail)
+        }
+
+        private def lineKey(r: Row) = (r.getString(iConv), r.getInt(iTurn), r.getInt(iLine))
+
+        private def advance(): Unit = {
+          while (outQ.isEmpty && it.hasNext) {
+            val r = it.next()
+            if (buf.nonEmpty && lineKey(buf.head) != lineKey(r)) {
+              val rows = buf.toVector; buf.clear(); buf += r
+              emitLine(rows)
+            } else buf += r
+          }
+          if (outQ.isEmpty && !it.hasNext) {
+            if (buf.nonEmpty) { val rows = buf.toVector; buf.clear(); emitLine(rows) }
+            if (pendTok != null || spanLabel != null) {
+              resolvePend(if (pendTrail == null) "" else pendTrail, spanLast = true)
+              closeSpan()
+            }
+          }
+        }
+
+        def hasNext: Boolean = { advance(); outQ.nonEmpty }
+        def next(): Row = { advance(); outQ.dequeue() }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+
+    spans
   }
 }

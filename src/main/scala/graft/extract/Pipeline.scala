@@ -32,10 +32,17 @@ object Pipeline {
    * one exchange — `.explain` shows exactly one hashpartitioning(conv_id).
    */
   def extract(turns: DataFrame): DataFrame =
+    Labeler.bodySpansFused(bodyTokenFeats(turns), repartitionByConv = false)
+
+  /** Declarative span assembly (windows + groupBy) over the labeled tokens —
+   * output-identical to [[extract]] (differential-tested); kept as the
+   * Catalyst-native reference path and for the driver's oracle queries. */
+  def extractDeclarative(turns: DataFrame): DataFrame =
     Assemble.bodySpans(labeledBodyTokens(turns))
 
-  /** structure → zone → body features → FSM labels, over one exchange. */
-  def labeledBodyTokens(turns: DataFrame): DataFrame = {
+  /** structure → zone → body features, narrowed to the FSM's inputs, over
+   * one exchange. */
+  private def bodyTokenFeats(turns: DataFrame): DataFrame = {
     val lines = Structure.keptLines(turns.repartition(col("conv_id")))
     val zoned = Labeler.zones(Features.segmenter(lines))
     // F4: zone selection is a plain filter because labels are columns
@@ -43,14 +50,17 @@ object Pipeline {
       .select("conv_id", "turn_idx", "role", "tool", "block_idx",
         "line_in_turn", "line_idx", "line")
     val toks = Structure.tokensFromLines(bodyLines)
-    val feats = Features.body(toks)
+    Features.body(toks)
       // the FSM consumes a narrow projection; Catalyst prunes the unused
       // feature windows behind it (mapPartitions would otherwise pin all
       // 24 feature columns through the object boundary)
       .select("conv_id", "turn_idx", "line_in_turn", "tok_idx",
         "tok", "sep_before", "line_trailing", "f_capitalisation")
-    Labeler.bodyLabels(feats, repartitionByConv = false)
   }
+
+  /** structure → zone → body features → FSM labels, over one exchange. */
+  def labeledBodyTokens(turns: DataFrame): DataFrame =
+    Labeler.bodyLabels(bodyTokenFeats(turns), repartitionByConv = false)
 
   /** Extraction result as one TEI document per conversation. */
   def extractTei(turns: DataFrame): DataFrame =

@@ -23,6 +23,18 @@ class PipelineSpec extends SparkSpec {
     assert(canon(Pipeline.extract(salted)) == base, "salting changed output")
   }
 
+  test("fused span emission is byte-identical to the declarative assembly") {
+    val turns = Synthetic.transcripts(spark, 40)
+    val fused = Pipeline.extract(turns)
+      .select("conv_id", "segment_id", "label", "turn_idx", "text")
+      .collect().map(_.mkString("")).sorted.toSeq
+    val decl = Pipeline.extractDeclarative(turns)
+      .select("conv_id", "segment_id", "label", "turn_idx", "text")
+      .collect().map(_.mkString("")).sorted.toSeq
+    assert(fused.nonEmpty)
+    assert(fused == decl)
+  }
+
   test("labels are deterministic across runs") {
     val turns = Synthetic.transcripts(spark, 10)
     val a = canon(Pipeline.extract(turns))
