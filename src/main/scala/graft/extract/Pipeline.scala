@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
  *   transcripts → structure (lines/tokens) → features → zone labels →
  *   body labels on the <body> zone → segment ids → span assembly → TEI.
  *
- * Scale shape (the plan to protect at 100 TB): two conceptual exchanges —
- * one hash(conv_id) shuffle for the per-conversation windows/FSM, one for
- * the span-assembly groupBy; everything between pipelines inside a stage.
- * AQE handles residual skew; giant single conversations are bounded
- * upstream by the turn-grain windows (keyed (conv_id, turn_idx)) doing most
- * of the work.
+ * Scale shape (the plan to protect at 100 TB): ONE exchange — a single
+ * hash(conv_id) shuffle feeds every per-conversation window, the zone
+ * filter, the token explode, and the FSM, which emits finished spans
+ * during its label walk (no second shuffle for span assembly; `.explain`
+ * shows exactly one hashpartitioning). AQE handles residual skew; giant
+ * single conversations are bounded upstream by the turn-grain windows
+ * (keyed (conv_id, turn_idx)) doing most of the work and by the F5 size
+ * guards.
  */
 object Pipeline {
 
