@@ -35,6 +35,63 @@ object StreamingExtract {
   final case class ConvState(turns: List[(Int, String)], bytes: Long, lastTs: Long)
   final case class ClosedConv(conv_id: String, n_turns: Int, bytes: Long, text: String)
 
+  /** A full input-schema turn (input_hint), emitted when its conversation
+   * closes — the unit the batch pipeline consumes. */
+  final case class Turn(conv_id: String, turn_idx: Int, role: String,
+      text: String, tool: String, ts: Timestamp)
+  final case class OpenConv(turns: List[Turn], lastTs: Long)
+
+  /** Like [[convClose]], but emits the buffered TURNS of a closed
+   * conversation (full input schema) instead of a summary row — the exact
+   * input of [[graft.extract.Pipeline.extract]]. */
+  def convCloseTurns(turns: Dataset[Turn], gapSeconds: Long = 1800): Dataset[Turn] = {
+    import turns.sparkSession.implicits._
+    turns
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (convId: String, events: Iterator[Turn], state: GroupState[OpenConv]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            s.turns.sortBy(_.turn_idx).iterator
+          } else {
+            val prev = state.getOption.getOrElse(OpenConv(Nil, 0L))
+            val evs = events.toList
+            val next = OpenConv(prev.turns ++ evs,
+              math.max(prev.lastTs, evs.map(_.ts.getTime).max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastTs + gapSeconds * 1000)
+            Iterator.empty
+          }
+        })
+  }
+
+  /**
+   * End-to-end STREAMING extraction: conversations close on event-time
+   * silence, then each micro-batch of closed conversations runs through the
+   * batch flagship pipeline inside `foreachBatch` — byte-identical span
+   * semantics (a conversation is only extracted once complete, so no
+   * cross-batch span stitching is needed), incremental arrival, exactly-once
+   * parquet output via the checkpoint. This is the standard Spark shape for
+   * "complex batch logic over sessionized streams": sessionize with state,
+   * extract with the (Catalyst-optimized, fixture-pinned) batch plan.
+   */
+  def extractionQuery(turns: Dataset[Turn], outDir: String, checkpointDir: String,
+      gapSeconds: Long = 1800): org.apache.spark.sql.streaming.StreamingQuery =
+    convCloseTurns(turns, gapSeconds)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.extract.Pipeline.extract(batch.toDF())
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Close a conversation after `gapSeconds` of event-time silence and emit
    * its ordered text (turn texts joined by newline — the Structure input). */
   def convClose(turns: Dataset[TurnEvent], gapSeconds: Long = 1800): Dataset[ClosedConv] = {

@@ -39,6 +39,42 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming extraction matches the batch pipeline on closed conversations") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingExtract.Turn
+
+    val convTurns = Seq(
+      Turn("s1", 0, "system", "You are helpful.", null, ts(0)),
+      Turn("s1", 1, "user", "first question about spark rows", null, ts(1)),
+      Turn("s1", 2, "assistant", "an answer with enough body text", null, ts(2)))
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
+    val input = MemoryStream[Turn]
+    val q = StreamingExtract.extractionQuery(input.toDS(), outDir, ckDir, gapSeconds = 600)
+
+    input.addData(convTurns: _*)
+    q.processAllAvailable()
+    // push event time past gap + watermark so s1 closes
+    input.addData(Turn("s2", 0, "user", "late turn", null, ts(58)))
+    q.processAllAvailable()
+    input.addData(Turn("s2", 1, "user", "later still", null, ts(59)))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .where($"conv_id" === "s1")
+      .select("conv_id", "segment_id", "label", "turn_idx", "text")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val batch = graft.extract.Pipeline.extract(convTurns.toDF())
+      .select("conv_id", "segment_id", "label", "turn_idx", "text")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch, "streamed spans differ from batch spans")
+  }
+
   test("turnRates windows with watermark") {
     val sparkS = spark
     import sparkS.implicits._
