@@ -236,6 +236,12 @@ object Queries {
       Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5, planes = 8)
     }),
 
+    "sim_topk_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 10),
+        k = 5, centroidStride = 50, nProbe = 2)
+    }),
+
     "sim_near_dups" -> ((s, dir) =>
       Similarity.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.9, planes = 8)),
 
@@ -612,6 +618,37 @@ object Queries {
          |  FROM s)
          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
     },
+
+    "sim_topk_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |assign AS (
+        |  SELECT vec_id AS neighbor_id, embedding, cell FROM (
+        |    SELECT c.vec_id, c.embedding, ct.cell,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        round(list_cosine_similarity(c.embedding::DOUBLE[], ct.cv), 4) DESC,
+        |        ct.cell DESC) AS rn
+        |    FROM embeddings c CROSS JOIN cents ct)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS qemb, cell FROM (
+        |    SELECT q.vec_id, q.embedding, ct.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_cosine_similarity(q.embedding::DOUBLE[], ct.cv), 4) DESC,
+        |        ct.cell DESC) AS rn
+        |    FROM embeddings q CROSS JOIN cents ct WHERE q.vec_id < 10)
+        |  WHERE rn <= 2),
+        |s AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    round(list_cosine_similarity(p.qemb::DOUBLE[],
+        |                                 a.embedding::DOUBLE[]), 4) AS cosine
+        |  FROM probes p JOIN assign a
+        |    ON p.cell = a.cell AND a.neighbor_id <> p.query_id),
+        |r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
 
     "sim_near_dups" -> {
       val b = bucketSql("e.embedding", 8)

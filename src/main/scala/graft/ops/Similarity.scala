@@ -112,6 +112,57 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /**
+   * IVF-flat ANN (the second scale path besides SRP-LSH): centroids are a
+   * deterministic sample of the corpus (`vec_id % centroidStride == 0` —
+   * an oracle-expressible stand-in for k-means training), every vector is
+   * assigned to its best cell, and each query probes its `nProbe` best
+   * cells with exact re-ranking inside.
+   *
+   * Scale shape: the centroid table is tiny (≤ a few thousand rows at any
+   * corpus size — it is collected once and embedded as literals), so cell
+   * assignment is a pure per-row expression: NO shuffle to build the
+   * inverted file, one (cell)-keyed join corpus-side to search. Assignment
+   * cosines are rounded to 4dp with cell-id tie-breaks so the partitioning
+   * is deterministic and engine-independent (DuckDB-checkable).
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      centroidStride: Long = 100, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // centroid cells: (cell_id = centroid vec_id, centroid vector literal)
+    val cents: Array[(Long, Array[Double])] = corpus
+      .where(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+    // best = max over struct(cosine4, cell_id): highest cosine, tie → higher id
+    def bestCells(vec: Column, n: Int): Column = {
+      val scored = cents.map { case (cid, cv) =>
+        val cvCol = array(cv.map(lit): _*)
+        struct(round(cosine(vec, cvCol), 4).as("c"), lit(cid).as("cell"))
+      }
+      slice(reverse(array_sort(array(scored: _*))), 1, n)
+    }
+
+    val assigned = Par.spread(corpus).select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      element_at(bestCells(col(vecCol), 1), 1).getField("cell").as("cell"))
+    val probes = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(transform(bestCells(col(vecCol), nProbe), s => s.getField("cell")))
+        .as("cell")))
+    val scored = assigned.join(probes, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via SRP
    * buckets (a < b ordering, exact cosine verification inside buckets). */
   def cosineNearDups(corpus: DataFrame, threshold: Double = 0.95, planes: Int = 8,
