@@ -95,7 +95,8 @@ object Labeler {
    * Input must contain columns (conv_id, turn_idx, line_in_turn, tok_idx,
    * tok, f_capitalisation). Output adds `label` (BIO-encoded).
    */
-  def bodyLabels(tokens: DataFrame, repartitionByConv: Boolean = true): DataFrame = {
+  def bodyLabels(tokens: DataFrame, repartitionByConv: Boolean = true,
+      failures: Option[Lineage.PartitionStats] = None): DataFrame = {
     val spark = tokens.sparkSession
     val inSchema = tokens.schema
     val outSchema = StructType(inSchema.fields :+ StructField("label", StringType, false))
@@ -116,14 +117,22 @@ object Labeler {
         private val cls = new LineClassifier
         private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
 
-        private def emitLine(rows: Seq[Row]): Iterator[Row] = {
-          val (base, isStart) = cls.classify(rows.head.getString(iConv),
-            rows.map(_.getString(iTok)), rows.map(_.getString(iCap)))
-          rows.iterator.zipWithIndex.map { case (r, i) =>
-            val lab = if (i == 0 && isStart) "I-" + base else base
-            Row.fromSeq(r.toSeq :+ lab)
+        private def emitLine(rows: Seq[Row]): Iterator[Row] =
+          // S3-style per-line error isolation: a malformed line is dropped
+          // and counted per partition instead of failing the task (the
+          // reference isolates per FILE, EngineDatacat.java:114-150)
+          try {
+            val (base, isStart) = cls.classify(rows.head.getString(iConv),
+              rows.map(_.getString(iTok)), rows.map(_.getString(iCap)))
+            rows.iterator.zipWithIndex.map { case (r, i) =>
+              val lab = if (i == 0 && isStart) "I-" + base else base
+              Row.fromSeq(r.toSeq :+ lab)
+            }
+          } catch { case scala.util.control.NonFatal(_) =>
+            failures.foreach(_.add(
+              (org.apache.spark.TaskContext.getPartitionId(), 1L, 0L)))
+            Iterator.empty
           }
-        }
 
         private def lineKey(r: Row) = (r.getString(iConv), r.getInt(iTurn), r.getInt(iLine))
 
@@ -172,7 +181,8 @@ object Labeler {
    *
    * Output: (conv_id, segment_id, label, turn_idx, text).
    */
-  def bodySpansFused(tokens: DataFrame, repartitionByConv: Boolean = true): DataFrame = {
+  def bodySpansFused(tokens: DataFrame, repartitionByConv: Boolean = true,
+      failures: Option[Lineage.PartitionStats] = None): DataFrame = {
     val inSchema = tokens.schema
     val iConv = inSchema.fieldIndex("conv_id")
     val iTurn = inSchema.fieldIndex("turn_idx")
@@ -221,7 +231,7 @@ object Labeler {
             pendTok = null
           }
 
-        private def emitLine(rows: Seq[Row]): Unit = {
+        private def emitLine(rows: Seq[Row]): Unit = try {
           val conv = rows.head.getString(iConv)
           if (conv != spanConv && spanConv != null) {
             // conversation ended: conv-last token's sep_after = line_trailing
@@ -250,6 +260,10 @@ object Labeler {
           val last = rows.last
           pendTok = last.getString(iTok)
           pendTrail = if (last.isNullAt(iTrail)) "" else last.getString(iTrail)
+        } catch { case scala.util.control.NonFatal(_) =>
+          // per-line error isolation (S3): drop the line, count per partition
+          failures.foreach(_.add(
+            (org.apache.spark.TaskContext.getPartitionId(), 1L, 0L)))
         }
 
         private def lineKey(r: Row) = (r.getString(iConv), r.getInt(iTurn), r.getInt(iLine))

@@ -59,12 +59,19 @@ object Lineage {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
-  /** Materialize collected per-partition stats as a lineage DataFrame. */
+  /** Materialize collected per-partition stats as a lineage DataFrame.
+   * `failures` carries per-partition parse-failure counts (see
+   * [[graft.extract.Labeler]]'s per-line error isolation); partitions that
+   * only appear in `failures` still get a lineage row. */
   def lineageRows(spark: SparkSession, stage: String, acc: PartitionStats,
-      parseFailures: Long = 0L): DataFrame = {
+      failures: Map[Int, Long] = Map.empty): DataFrame = {
     import spark.implicits._
-    acc.value.toSeq.sortBy(_._1)
-      .map { case (p, (r, b)) => (stage, p, r, b, parseFailures) }
+    val parts = (acc.value.keySet ++ failures.keySet).toSeq.sorted
+    parts
+      .map { p =>
+        val (r, b) = acc.value.getOrElse(p, (0L, 0L))
+        (stage, p, r, b, failures.getOrElse(p, 0L))
+      }
       .toDF("stage", "partition_id", "rows", "bytes", "parse_failures")
   }
 

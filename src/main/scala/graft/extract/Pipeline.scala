@@ -61,8 +61,9 @@ object Pipeline {
   }
 
   /** structure → zone → body features → FSM labels, over one exchange. */
-  def labeledBodyTokens(turns: DataFrame): DataFrame =
-    Labeler.bodyLabels(bodyTokenFeats(turns), repartitionByConv = false)
+  def labeledBodyTokens(turns: DataFrame,
+      failures: Option[Lineage.PartitionStats] = None): DataFrame =
+    Labeler.bodyLabels(bodyTokenFeats(turns), repartitionByConv = false, failures)
 
   /** Extraction result as one TEI document per conversation. */
   def extractTei(turns: DataFrame): DataFrame =
@@ -92,10 +93,12 @@ object Pipeline {
       case Some(_) => io.read(spark, "labeled")
       case None =>
         val acc = Lineage.newStats(spark, "labeled")
+        val fails = Lineage.newStats(spark, "labeled_failures")
         val out = Lineage.withPartitionLineage(
-          labeledBodyTokens(turns), acc, Seq("tok", "sep_before"))
+          labeledBodyTokens(turns, Some(fails)), acc, Seq("tok", "sep_before"))
         io.commit(out, "labeled", runId)
-        io.commit(Lineage.lineageRows(spark, "labeled", acc), "lineage_labeled", runId)
+        io.commit(Lineage.lineageRows(spark, "labeled", acc,
+          fails.value.map { case (p, (r, _)) => p -> r }), "lineage_labeled", runId)
         io.read(spark, "labeled")
     }
 

@@ -71,6 +71,27 @@ class RobustnessSpec extends SparkSpec {
     assert(text.contains("•") && !text.contains("@BULLET"))
   }
 
+  test("per-line error isolation: malformed lines are dropped and counted") {
+    import spark.implicits._
+    // hand-built token frame with a null tok (impossible from the tokenizer,
+    // possible from a foreign upstream) → classify NPEs → line dropped
+    val toks = Seq(
+      ("c8", 0, 0, 0, "good", "", "", "NOCAPS"),
+      ("c8", 0, 1, 0, null, "", "", "NOCAPS"),
+      ("c8", 0, 2, 0, "fine", "", "", "NOCAPS"))
+      .toDF("conv_id", "turn_idx", "line_in_turn", "tok_idx",
+        "tok", "sep_before", "line_trailing", "f_capitalisation")
+    val fails = graft.extract.Lineage.newStats(spark, "test_failures")
+    val labeled = graft.extract.Labeler.bodyLabels(toks, failures = Some(fails))
+    assert(labeled.select("tok").collect().map(_.getString(0)).toSet == Set("good", "fine"))
+    assert(fails.value.values.map(_._1).sum == 1L, "one failed line counted")
+    // lineage rows surface the failure per partition
+    val acc = graft.extract.Lineage.newStats(spark, "test_rows")
+    val lin = graft.extract.Lineage.lineageRows(spark, "labeled", acc,
+      fails.value.map { case (p, (r, _)) => p -> r })
+    assert(lin.agg(sum("parse_failures")).head().getLong(0) == 1L)
+  }
+
   test("a single giant line streams through (no per-conv materialization blowup)") {
     val big = (1 to 20000).map(i => s"tok$i").mkString(" ")
     val turns = turnsDf(Seq(("c7", 0, "user", big, null)))
