@@ -29,15 +29,10 @@ object Structure {
   /** Turn columns expected on the input. */
   val turnCols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
-  private val tokType = ArrayType(StructType(Seq(
-    StructField("tok", StringType, nullable = false),
-    StructField("sep", StringType, nullable = false))))
-
-  /** Delimiter tokenizer as a UDF (the one non-builtin scalar; semantics
-   * pinned byte-exactly against the 14 body fixtures). */
-  val tokenizeUdf = udf((s: String) =>
-    if (s == null) Array.empty[(String, String)]
-    else Tok.tokenize(s).map(t => (t.text, t.sepBefore)).toArray)
+  /** Delimiter tokenizer as a native codegen'd Catalyst expression
+   * ([[graft.functions.Tokenize]]; semantics pinned byte-exactly against
+   * the 14 body fixtures, property-tested in TokPropertySpec). */
+  private def tokenizeCol = graft.functions.Tokenize.ofAttr("line")
 
   /**
    * Explode turns into lines with paragraph (block) structure.
@@ -126,17 +121,17 @@ object Structure {
         when(lag(col("turn_idx"), 1).over(wLine).isNull, 0)
           .when(lag(col("turn_idx"), 1).over(wLine) =!= col("turn_idx"), 1)
           .otherwise(col("line_in_turn") - lag(col("line_in_turn"), 1).over(wLine)))
-      .withColumn("toks", tokenizeUdf(col("line")))
+      .withColumn("toks", tokenizeCol)
     perLine
       .select(carried.map(col) ++ Seq(
         col("line_trailing"), col("prev_trailing"), col("line_gap"),
         posexplode(col("toks")).as(Seq("tok_idx", "t"))): _*)
       .select(carried.map(col) ++ Seq(
         col("tok_idx"),
-        col("t._1").as("tok"),
+        col("t.tok").as("tok"),
         when(col("tok_idx") === 0,
-          concat(col("prev_trailing"), repeat(lit("\n"), col("line_gap")), col("t._2")))
-          .otherwise(col("t._2")).as("sep_before"),
+          concat(col("prev_trailing"), repeat(lit("\n"), col("line_gap")), col("t.sep")))
+          .otherwise(col("t.sep")).as("sep_before"),
         col("line_trailing")): _*)
       .withColumn("nl_before", col("tok_idx") === 0 && col("line_in_turn") > 0)
       .withColumn("sp_before", col("sep_before") =!= "")

@@ -1,0 +1,13 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionColumnNode
+
+/** Minimal bridge into `private[sql]` surface: wrap a Catalyst Expression
+  * as a user-facing Column (the classic-session column node). Lives in an
+  * `org.apache.spark.sql` subpackage solely for access; no Spark internals
+  * are modified. */
+object bridge {
+  def column(e: Expression): Column = new Column(ExpressionColumnNode(e))
+}
