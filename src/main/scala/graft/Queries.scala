@@ -236,6 +236,12 @@ object Queries {
       Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5, planes = 8)
     }),
 
+    "sim_topk_lsh_mp" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5, planes = 8,
+        multiProbe = true)
+    }),
+
     "sim_topk_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 10),
@@ -613,6 +619,23 @@ object Queries {
          |                                 c.embedding::DOUBLE[]), 4) AS cosine
          |  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
          |  WHERE q.vec_id < 10),
+         |r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+    },
+
+    "sim_topk_lsh_mp" -> {
+      val b = bucketSql("e.embedding", 8)
+      val probes = ("bucket" +: (0 until 8).map(p => s"xor(bucket, ${1 << p})")).mkString(", ")
+      s"""WITH bk AS (SELECT e.vec_id, e.embedding, $b AS bucket FROM embeddings e),
+         |qp AS (SELECT vec_id, embedding, unnest([$probes]) AS bucket
+         |       FROM bk WHERE vec_id < 10),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+         |                                 c.embedding::DOUBLE[]), 4) AS cosine
+         |  FROM qp q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
          |r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (
          |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM s)

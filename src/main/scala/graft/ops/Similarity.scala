@@ -96,12 +96,21 @@ object Similarity {
    * ~256×; increase `planes` with corpus size.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, planes: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      multiProbe: Boolean = false): DataFrame = {
     val dim = dimOf(corpus, vecCol)
     val c = Par.spread(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       srpBucket(col(vecCol), planes, dim).as("bucket"))
+    // multi-probe: a query also searches every hamming-1 neighbor bucket
+    // (one flipped plane bit) — planes+1 probes, recall up at the cost of
+    // ~planes× more candidate pairs; corpus side is untouched
+    val qBucket = srpBucket(col(vecCol), planes, dim)
+    val probeBuckets =
+      if (!multiProbe) array(qBucket)
+      else array((qBucket +: (0 until planes).map(p =>
+        qBucket.bitwiseXOR(lit(1 << p)))): _*)
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      srpBucket(col(vecCol), planes, dim).as("bucket")))
+      explode(probeBuckets).as("bucket")))
     val scored = c.join(q, Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("cv")), 4))
