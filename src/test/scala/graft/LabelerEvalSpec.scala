@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.extract.{Features, Labeler, Structure}
+
+/**
+ * FSM labeler quality vs the gold fixtures — the analog of the reference's
+ * CRF eval reports (best archived body-segmentation micro-F1 85.84,
+ * `prev_models/bienaime_naville/eval.txt`). Our deterministic heuristic FSM
+ * is measured on the same 14 gold documents; the floor asserted here is the
+ * measured round-1 level so regressions fail loudly.
+ */
+class LabelerEvalSpec extends SparkSpec {
+
+  assume(Fixtures.available)
+
+  test("FSM token-label agreement vs gold on all body fixtures") {
+    val sparkS = spark
+    import sparkS.implicits._
+
+    val fxs = Fixtures.bodyFixtureNames.map(Fixtures.loadBody)
+    val turns = fxs.map(fx => (fx.name, 0, "user", fx.sourceText, null: String,
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+    val feats = Features.body(Structure.tokens(turns))
+      .select("conv_id", "turn_idx", "line_in_turn", "tok_idx",
+        "tok", "sep_before", "line_trailing", "f_capitalisation")
+    val predicted = Labeler.bodyLabels(feats)
+      .withColumn("unit_idx", row_number().over(Window.partitionBy("conv_id")
+        .orderBy("turn_idx", "line_in_turn", "tok_idx")).cast("long") - 1)
+      .select("conv_id", "unit_idx", "label")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+
+    val gold = fxs.flatMap(fx =>
+      fx.goldLabels.zipWithIndex.map { case (l, i) => (fx.name, i.toLong) -> l }).toMap
+    assert(predicted.keySet == gold.keySet, "token universes must align")
+
+    def base(l: String) = l.stripPrefix("I-")
+    val pairs = gold.toSeq.map { case (k, g) => (base(g), base(predicted(k))) }
+    val n = pairs.size
+    val acc = pairs.count(p => p._1 == p._2).toDouble / n
+
+    val labels = pairs.map(_._1).distinct.sorted
+    val report = labels.map { l =>
+      val tp = pairs.count(p => p._1 == l && p._2 == l).toDouble
+      val fp = pairs.count(p => p._1 != l && p._2 == l).toDouble
+      val fn = pairs.count(p => p._1 == l && p._2 != l).toDouble
+      val p = if (tp + fp > 0) tp / (tp + fp) else 0.0
+      val r = if (tp + fn > 0) tp / (tp + fn) else 0.0
+      val f1 = if (p + r > 0) 2 * p * r / (p + r) else 0.0
+      f"$l%-12s P=${p * 100}%5.1f R=${r * 100}%5.1f F1=${f1 * 100}%5.1f  n=${(tp + fn).toInt}"
+    }
+    info(f"token accuracy: ${acc * 100}%.2f%% over $n tokens, ${fxs.size} docs")
+    report.foreach(info(_))
+
+    // floor = measured round-1 level (91.7%) minus slack; the reference's own
+    // CRF scores 85.8 micro-F1 on held-out docs (different split, upper bound)
+    assert(acc >= 0.85, f"labeler accuracy regressed: ${acc * 100}%.1f%%")
+  }
+}
