@@ -200,6 +200,11 @@ object Queries {
         .select(col("conv_id"), col("segment_id"), col("label"), col("text"))
     }),
 
+    "w11_zones_content" -> ((s, dir) =>
+      // content-based segmenter (no role signal): zone line counts per conv
+      Labeler.zonesContent(Structure.keptLines(transcripts(s, dir)))
+        .groupBy("conv_id", "zone").agg(count(lit(1)).as("n_lines"))),
+
     "k3_rawtext" -> ((s, dir) =>
       transcripts(s, dir).groupBy("conv_id")
         .agg(array_join(transform(
@@ -505,6 +510,86 @@ object Queries {
       s"""WITH $zoneCte
          |SELECT conv_id, segment_id, min(zone) AS zone, count(*) AS n_lines
          |FROM segs GROUP BY conv_id, segment_id""".stripMargin,
+
+    "w11_zones_content" ->
+      s"""WITH $transcriptsCte,
+         |kl AS (
+         |  SELECT conv_id, turn_idx, 0 AS line_in_turn, trim(text) AS line
+         |  FROM transcripts
+         |  WHERE text IS NOT NULL AND trim(text) <> ''
+         |    AND text NOT LIKE '%@IMAGE%' AND text NOT LIKE '%@PAGE%'
+         |    AND text NOT LIKE '%.pbm%' AND text NOT LIKE '%.svg%'
+         |    AND text NOT LIKE '%.png%' AND text NOT LIKE '%.jpg%'),
+         |p AS (
+         |  SELECT conv_id, turn_idx, line_in_turn, line,
+         |    row_number() OVER wo AS line_no,
+         |    (regexp_matches(line, '^[*"«''~]?[0-9]+([-_–−.\\s]|$$)') OR
+         |     regexp_matches(line, '^[iIjJ!,][0-9]+')) AS is_mark,
+         |    (length(line) <= 50 AND (
+         |       regexp_matches(line, '(?i)prix\\s+d(es|'')?\\s*adjudications?') OR
+         |       regexp_matches(line, '(?i)r[ée]sultats?\\s+des?\\s+ench[èe]res') OR
+         |       regexp_matches(line, '(?i)bases\\s+d.[ée]valuations?') OR
+         |       regexp_matches(line, '(?i)commande\\s+[ée]manant') OR
+         |       regexp_matches(line, '(?i)^annexe$$'))) AS is_trigger,
+         |    (length(line) > 6 AND
+         |     2 * length(regexp_replace(line, '[^.]', '', 'g')) > length(line)) AS is_form,
+         |    (regexp_matches(line, '^[0-9]{1,4}$$') OR
+         |     (length(regexp_replace(line, '[\\p{L}0-9]', '', 'g')) = length(line)
+         |      AND length(line) <= 8)) AS is_pagenum,
+         |    (length(line) >= 10 AND
+         |     5 * length(regexp_replace(line, '[^\\p{L}]', '', 'g')) <
+         |       2 * length(line)) AS is_garbage
+         |  FROM kl
+         |  WINDOW wo AS (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn)),
+         |q AS (
+         |  SELECT *,
+         |    avg(CASE WHEN is_mark THEN 1.0 ELSE 0.0 END) OVER wn AS mark_frac,
+         |    sum(CAST(length(regexp_replace(line, '[^\\p{L}]', '', 'g')) AS DOUBLE))
+         |      OVER wn /
+         |      greatest(sum(CAST(length(line) AS DOUBLE)) OVER wn, 1.0) AS letter_frac
+         |  FROM p
+         |  WINDOW wn AS (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn
+         |                ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING)),
+         |r AS (
+         |  SELECT *,
+         |    (mark_frac >= 0.3 AND letter_frac < 0.35) AS price_list,
+         |    (mark_frac >= 0.3 AND letter_frac >= 0.35) AS entry_region,
+         |    (is_mark AND NOT (mark_frac >= 0.3 AND letter_frac < 0.35)
+         |     AND mark_frac >= 0.1) AS weak_mark
+         |  FROM q),
+         |a1 AS (
+         |  SELECT *,
+         |    min(CASE WHEN entry_region THEN line_no END)
+         |      OVER (PARTITION BY conv_id) AS first_entry
+         |  FROM r),
+         |a2 AS (
+         |  SELECT *,
+         |    min(CASE WHEN is_trigger AND line_no > first_entry THEN line_no END)
+         |      OVER (PARTITION BY conv_id) AS annex_start
+         |  FROM a1),
+         |a3 AS (
+         |  SELECT *,
+         |    max(CASE WHEN weak_mark AND (annex_start IS NULL OR line_no < annex_start)
+         |             THEN line_no END) OVER (PARTITION BY conv_id) AS last_entry,
+         |    (min(CASE WHEN price_list THEN line_no END)
+         |       OVER (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn
+         |             ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)) IS NOT NULL AS near_price
+         |  FROM a2),
+         |z AS (
+         |  SELECT conv_id,
+         |    CASE
+         |      WHEN first_entry IS NULL AND price_list THEN '<annex>'
+         |      WHEN first_entry IS NULL THEN '<body>'
+         |      WHEN price_list THEN '<annex>'
+         |      WHEN annex_start IS NOT NULL AND line_no >= annex_start THEN '<annex>'
+         |      WHEN line_no BETWEEN first_entry AND last_entry THEN '<body>'
+         |      WHEN line_no < first_entry AND near_price THEN '<annex>'
+         |      WHEN is_form OR is_trigger THEN '<annex>'
+         |      WHEN is_pagenum OR is_garbage THEN '<other>'
+         |      WHEN line_no < first_entry THEN '<front>'
+         |      ELSE '<back>' END AS zone
+         |  FROM a3)
+         |SELECT conv_id, zone, count(*) AS n_lines FROM z GROUP BY 1, 2""".stripMargin,
 
     "k2_zone_spans" ->
       s"""WITH $zoneCte

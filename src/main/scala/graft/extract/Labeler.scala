@@ -49,6 +49,107 @@ object Labeler {
           concat(lit("I-"), col("zone"))).otherwise(col("zone")))
   }
 
+  /**
+   * Content-based zone labeler (segmenter analog for document-shaped input,
+   * where the role/tool columns of [[zones]] carry no signal — e.g. the
+   * reference's catalogue corpus itself). Entirely declarative Catalyst:
+   * per-line predicates + two window aggregates per conversation, no custom
+   * code — the optimizer owns it (§4: this is one Exchange on conv_id).
+   *
+   * Document shape learned from the 418 segmenter gold docs
+   * (`resources/dataset/datacat-segmenter/corpus/tei/`): front matter up to
+   * the first lot-entry line, `<body>` through the last lot-entry line, back
+   * matter after; order-form pages (runs of dotted fill-in lines) → `<annex>`
+   * (`12148-bpt6k97773279`: COMMANDE/PRIX/..... lines), OCR garbage and bare
+   * page numbers outside the body → `<other>`.
+   *
+   * Input needs (conv_id, turn_idx, line_in_turn, line). Adds `zone` and
+   * BIO-encoded `zone_label`.
+   */
+  def zonesContent(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    val wConv = Window.partitionBy("conv_id")
+    val wOrd = wConv.orderBy(col("turn_idx"), col("line_in_turn"))
+    val text = trim(col(lineCol))
+    // lot-entry marker: numeric-ish line start in any of the corpus shapes
+    // ("151 - ", "246.", "3 Zeugitane", "*483 Jean-Louis", OCR confusables).
+    // Individually too noisy (dates, addresses, page numbers also match) —
+    // the body range is decided by marker DENSITY below, not single markers
+    val isMark = text.rlike("^[\\*\"«'~]?\\p{Nd}+([-_–−.\\s]|$)") ||
+      text.rlike("^[iIjJ!,]\\p{Nd}+")
+    // annex trigger: auction-result / order-form section HEADERS
+    // ("PRIX DES ADJUDICATIONS", "RESULTAT DES ENCHERES", "BASES
+    // D'ÉVALUATION", "COMMANDE émanant de") — these open the numbered
+    // price-list pages that line-local rules cannot tell from lot entries.
+    // Length-capped so front-matter prose mentioning "prix d'adjudication"
+    // (the sale conditions) does not fire
+    val isTrigger = length(text) <= 50 && (
+      text.rlike("(?i)prix\\s+d(es|')?\\s*adjudications?") ||
+      text.rlike("(?i)r[ée]sultats?\\s+des?\\s+ench[èe]res") ||
+      text.rlike("(?i)bases\\s+d.[ée]valuations?") ||
+      text.rlike("(?i)commande\\s+[ée]manant") ||
+      text.rlike("(?i)^annexe$"))
+    // order-form fill-in line: mostly dots
+    val dots = length(regexp_replace(text, "[^.]", ""))
+    val isForm = length(text) > 6 && dots * 2 > length(text)
+    // bare page number / tiny non-alphabetic fragment
+    val isPageNum = text.rlike("^\\p{Nd}{1,4}$") ||
+      (length(regexp_replace(text, "[\\p{L}\\p{Nd}]", "")) === length(text) &&
+        length(text) <= 8)
+    // OCR garbage: less than 40% letters on a long-enough line
+    val letters = length(regexp_replace(text, "[^\\p{L}]", ""))
+    val isGarbage = length(text) >= 10 && letters * 5 < length(text) * 2
+    val wNear = wOrd.rowsBetween(-10, 10)
+    val withPreds = lines
+      .withColumn("_line_no", row_number().over(wOrd))
+      .withColumn("_is_mark", isMark)
+      .withColumn("_is_trigger", isTrigger)
+      // numbered region: >=30% of the surrounding 21 lines start with a lot
+      // number — isolated numeric lines (a date in the front, a library-stamp
+      // year in the back) never qualify
+      .withColumn("_mark_frac",
+        avg(col("_is_mark").cast("double")).over(wNear))
+      // letter richness of the neighborhood splits the two kinds of numbered
+      // region: catalogue entries are prose ("246. Diane chasseresse tenant
+      // une flèche."), auction price lists are number pairs ("151 1 / 82")
+      .withColumn("_letter_frac",
+        sum(length(regexp_replace(text, "[^\\p{L}]", "")).cast("double")).over(wNear) /
+          greatest(sum(length(text).cast("double")).over(wNear), lit(1.0)))
+      .withColumn("_price_list", col("_mark_frac") >= 0.3 && col("_letter_frac") < 0.35)
+      .withColumn("_entry_region", col("_mark_frac") >= 0.3 && col("_letter_frac") >= 0.35)
+      // prose-heavy catalogues (multi-line art descriptions) fall under the
+      // 0.3 density inside the body — a weak marker still extends the range
+      .withColumn("_weak_mark", col("_is_mark") && !col("_price_list") &&
+        col("_mark_frac") >= 0.1)
+    val firstEntry = min(when(col("_entry_region"), col("_line_no"))).over(wConv)
+    // first annex header after the body has started caps the body range:
+    // everything from it to the end of the document is the annex
+    val annexStart = min(when(col("_is_trigger") && col("_line_no") > firstEntry,
+      col("_line_no"))).over(wConv)
+    val lastEntry = max(when(col("_weak_mark") &&
+      (annexStart.isNull || col("_line_no") < annexStart), col("_line_no"))).over(wConv)
+    // the expert-letterhead block right above a leading price list ("Émile
+    // BOURGEY / Expert National / 7, rue Drouot") is part of the annex
+    val nearPrice = min(when(col("_price_list"), col("_line_no")))
+      .over(wOrd.rowsBetween(0, 15)).isNotNull
+    val zone =
+      when(firstEntry.isNull && col("_price_list"), "<annex>")
+        .when(firstEntry.isNull, "<body>")
+        .when(col("_price_list"), "<annex>")
+        .when(annexStart.isNotNull && col("_line_no") >= annexStart, "<annex>")
+        .when(col("_line_no").between(firstEntry, lastEntry), "<body>")
+        .when(col("_line_no") < firstEntry && nearPrice, "<annex>")
+        .when(isForm || isTrigger, "<annex>")
+        .when(isPageNum || isGarbage, "<other>")
+        .when(col("_line_no") < firstEntry, "<front>")
+        .otherwise("<back>")
+    withPreds
+      .withColumn("zone", zone)
+      .withColumn("zone_label",
+        when(coalesce(lag(col("zone"), 1).over(wOrd) =!= col("zone"), lit(true)),
+          concat(lit("I-"), col("zone"))).otherwise(col("zone")))
+      .drop("_line_no", "_is_mark", "_is_trigger", "_mark_frac", "_letter_frac", "_price_list", "_entry_region", "_weak_mark")
+  }
+
   // one buffered line of the body FSM
   private case class LineBuf(rows: Vector[Row], tokIdxOf: Int, labelAt: Int)
 
