@@ -303,6 +303,13 @@ object Queries {
     "pipeline_spans" -> ((s, dir) =>
       Pipeline.extract(transcripts(s, dir))),
 
+    "pipeline_doc_spans" -> ((s, dir) =>
+      // document-mode cascade (stage-1 content zoning, no role signal):
+      // one document = one conversation
+      Pipeline.extractDocuments(t(s, dir, "documents")
+        .select(concat(lit("doc"), col("doc_id")).as("conv_id"),
+          lit(0).as("turn_idx"), col("text")))),
+
     "tei_documents" -> ((s, dir) =>
       Pipeline.extractTei(transcripts(s, dir))),
 

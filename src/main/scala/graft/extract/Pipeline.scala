@@ -36,6 +36,35 @@ object Pipeline {
   def extract(turns: DataFrame): DataFrame =
     Labeler.bodySpansFused(bodyTokenFeats(turns), repartitionByConv = false)
 
+  /**
+   * Document-mode extraction — the reference's E1 cascade
+   * (`DatacatBodySegmentationParser.createTraining`: stage-1 segmenter →
+   * select BODY → stage-2 entry labeling) for corpora with NO role/tool
+   * signal: stage 1 is the content-based [[Labeler.zonesContent]] (front
+   * matter, price-list annexes and OCR junk are dropped), stage 2 the same
+   * fused FSM as [[extract]]. Input needs (conv_id, turn_idx, text); role
+   * and tool are synthesized as nulls when absent. Same single-exchange
+   * shape: zonesContent's windows are all keyed on conv_id.
+   */
+  def extractDocuments(docs: DataFrame): DataFrame = {
+    val withRole =
+      if (docs.columns.contains("role")) docs
+      else docs.withColumn("role", lit(null).cast("string"))
+    val turns =
+      if (withRole.columns.contains("tool")) withRole
+      else withRole.withColumn("tool", lit(null).cast("string"))
+    val lines = Structure.keptLines(turns.repartition(col("conv_id")))
+    val bodyLines = Labeler.zonesContent(lines)
+      .where(col("zone") === "<body>")
+      .select("conv_id", "turn_idx", "role", "tool", "block_idx",
+        "line_in_turn", "line_idx", "line")
+    val toks = Structure.tokensFromLines(bodyLines)
+    val feats = Features.body(toks)
+      .select("conv_id", "turn_idx", "line_in_turn", "tok_idx",
+        "tok", "sep_before", "line_trailing", "f_capitalisation")
+    Labeler.bodySpansFused(feats, repartitionByConv = false)
+  }
+
   /** Declarative span assembly (windows + groupBy) over the labeled tokens —
    * output-identical to [[extract]] (differential-tested); kept as the
    * Catalyst-native reference path and for the driver's oracle queries. */
