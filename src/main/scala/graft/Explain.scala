@@ -7,13 +7,20 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val turns = graft.extract.Synthetic.transcripts(spark, 100)
-    val plan = graft.extract.Pipeline.extract(turns).queryExecution.executedPlan.toString
-    println("== exchanges: " + plan.linesIterator.count(_.contains("Exchange hashpartitioning")))
-    println("== sorts: " + plan.linesIterator.count(l => l.contains("Sort [")))
-    plan.linesIterator.filter(l =>
-      l.contains("Exchange") || l.contains("Sort [") || l.contains("Window") ||
-      l.contains("WholeStageCodegen") || l.contains("MapPartitions") ||
-      l.contains("HashAggregate")).foreach(println)
+    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      println(s"==== $name")
+      println("== exchanges: " + plan.linesIterator.count(_.contains("Exchange hashpartitioning")))
+      println("== sorts: " + plan.linesIterator.count(l => l.contains("Sort [")))
+      plan.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Sort [") || l.contains("Window") ||
+        l.contains("WholeStageCodegen") || l.contains("MapPartitions") ||
+        l.contains("HashAggregate")).foreach(println)
+    }
+    dump("extract (transcript mode)", graft.extract.Pipeline.extract(turns))
+    dump("extractDocuments (document mode)",
+      graft.extract.Pipeline.extractDocuments(
+        turns.select("conv_id", "turn_idx", "text")))
     spark.stop()
   }
 }
