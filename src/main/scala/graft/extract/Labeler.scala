@@ -164,62 +164,107 @@ object Labeler {
     private var lastWasTitle = false
     private var lastWasGrade = false
 
-    /** Returns (base label, starts-new-span) and advances the state. */
+    /** Returns (base label, starts-new-span) and advances the state.
+     *
+     * Hot path of the whole pipeline (runs once per line inside the FSM
+     * mapPartitions): every line-shape statistic is gathered in ONE manual
+     * scan over the tokens, no intermediate collections. Heading-rule
+     * semantics are pinned by LabelerEvalSpec (98.8% vs gold) and the
+     * fused≡declarative differential. */
     def classify(conv: String, toks: Seq[String], caps: Seq[String]): (String, Boolean) = {
       if (conv != curConv) {
         openLabel = null; lastWasTitle = false; lastWasGrade = false; curConv = conv
       }
-      val alpha = toks.zip(caps).filter(_._1.exists(_.isLetter))
-      val maxAlphaLen = if (alpha.isEmpty) 0 else alpha.map(_._1.count(_.isLetter)).max
-      val allCaps = alpha.nonEmpty && alpha.forall(_._2 == "ALLCAP")
-      val isEntry = toks.headOption.exists(t => entryStartRe.findFirstIn(t).isDefined) &&
-        (toks.lift(1).exists(dashSet) || toks.headOption.exists(_.forall(_.isDigit)))
+      val n = toks.size
+      // one pass: alpha-token stats, digit/roman/paren/dash shape flags
+      var nAlpha = 0; var maxAlphaLen = 0; var allCapsAcc = true
+      var firstAlphaCap: String = null; var firstAlphaLetters = 0
+      var hasInitcap = false; var hasTrueDashInner = false
+      var parenIdx = -1; var hasClose = false
+      var yearToks = 0; var hasDigit3 = false; var hasDigit2 = false
+      var hasRoman5 = false
+      var i = 0
+      while (i < n) {
+        val t = toks(i)
+        var letters = 0; var digits = 0; var roman = true
+        var j = 0
+        while (j < t.length) {
+          val c = t.charAt(j)
+          if (Character.isLetter(c)) letters += 1
+          if (Character.isDigit(c)) digits += 1
+          if ("IVXLCDM".indexOf(c) < 0) roman = false
+          j += 1
+        }
+        if (letters > 0) {
+          nAlpha += 1
+          if (letters > maxAlphaLen) maxAlphaLen = letters
+          val cap = caps(i)
+          if (firstAlphaCap == null) { firstAlphaCap = cap; firstAlphaLetters = letters }
+          if (cap != "ALLCAP") allCapsAcc = false
+          if (cap == "INITCAP") hasInitcap = true
+        }
+        if (digits == t.length && t.nonEmpty) {
+          if (t.length >= 3) hasDigit3 = true
+          if (t.length >= 2) hasDigit2 = true
+          if (t.length >= 3 && t.length <= 4) yearToks += 1
+        }
+        if (t.length >= 5 && roman) hasRoman5 = true
+        if (i < n - 1 && (t == "-" || t == "–" || t == "−")) hasTrueDashInner = true
+        if (parenIdx < 0 && t == "(") parenIdx = i
+        if (t == ")") hasClose = true
+        i += 1
+      }
+      val allCaps = nAlpha > 0 && allCapsAcc
+      val head = if (n > 0) toks.head else ""
+      val isEntry = n > 0 && entryStartRe.findFirstIn(head).isDefined &&
+        ((n > 1 && dashSet(toks(1))) || head.forall(_.isDigit))
       // heading shapes (tuned against the 14 gold body docs, LabelerEvalSpec):
-      // all-caps headings need >=2 alpha tokens, a real word (>=4 letters),
-      // no year/long-roman-numeral token and an alphabetic first token, so
-      // coin-grade codes ("AR ."), legends ("BPETTIQN .") and wrapped motto
-      // lines ("WESTPH . FR . PR 1808 .") stay entry continuations
-      val capsHeading = allCaps && toks.size <= 8 && maxAlphaLen >= 4 &&
-        toks.headOption.exists(_.exists(_.isLetter)) &&
-        !toks.exists(t => t.length >= 3 && t.forall(_.isDigit)) &&
-        !toks.exists(t => t.length >= 5 && t.forall("IVXLCDM".contains(_)))
-      val trueDash = Set("-", "–", "−")
+      // all-caps headings need a real word (>=4 letters), no year/long-roman-
+      // numeral token and an alphabetic first token, so coin-grade codes
+      // ("AR ."), legends ("BPETTIQN .") and wrapped motto lines
+      // ("WESTPH . FR . PR 1808 .") stay entry continuations
+      val capsHeading = allCaps && n <= 8 && maxAlphaLen >= 4 &&
+        head.exists(_.isLetter) && !hasDigit3 && !hasRoman5
       // "GAULE . - Massilia ." — all-caps region word, a real dash (not the
       // "." also in dashSet), then an init-cap place name
-      val geoHeading = toks.size <= 10 &&
-        alpha.headOption.exists(p => p._2 == "ALLCAP" && p._1.count(_.isLetter) >= 4) &&
-        toks.dropRight(1).exists(trueDash) && alpha.exists(_._2 == "INITCAP")
+      val geoHeading = n <= 10 && firstAlphaCap == "ALLCAP" &&
+        firstAlphaLetters >= 4 && hasTrueDashInner && hasInitcap
       // "ANSELIN ( J . - L . ) ." / "LE BEAU ( P . - A . ) ." / "ÉPIRE ( in
       // genere ) ." — all-caps headword(s) followed by a parenthesized
       // qualifier within the first few tokens
-      val parenIdx = toks.indexOf("(")
-      val capsParenHeading = toks.size <= 14 && toks.contains(")") &&
+      val capsParenHeading = n <= 14 && hasClose &&
         parenIdx >= 1 && parenIdx <= 4 && {
-          val head = toks.take(parenIdx).zip(caps).filter(_._1.exists(_.isLetter))
-          head.nonEmpty && head.forall(_._2 == "ALLCAP") &&
-            head.map(_._1.count(_.isLetter)).max >= 3
+          var ok = true; var any = false; var maxL = 0; var k = 0
+          while (k < parenIdx) {
+            val t = toks(k); val letters = t.count(_.isLetter)
+            if (letters > 0) {
+              any = true
+              if (caps(k) != "ALLCAP") ok = false
+              if (letters > maxL) maxL = letters
+            }
+            k += 1
+          }
+          any && ok && maxL >= 3
         }
       // "Louis XIV ( 1643 - 1715 )" — init-cap name with a parenthesized
       // year range (two 3-4 digit numbers inside parens)
-      val yearHeading = toks.size <= 12 && toks.contains("(") && toks.contains(")") &&
-        alpha.headOption.exists(_._2 == "INITCAP") &&
-        toks.count(t => t.length >= 3 && t.length <= 4 && t.forall(_.isDigit)) >= 2
+      val yearHeading = n <= 12 && parenIdx >= 0 && hasClose &&
+        firstAlphaCap == "INITCAP" && yearToks >= 2
       // runs of headings: a short init-cap dotted line right after a title
       // ("Syracuse .", "Pyrrhus , roi .") continues the heading run; the same
       // shape right after a coin-grade line ("AR .") starts a new section
-      val shortNameLine = toks.size <= 8 &&
-        alpha.headOption.exists(_._2 == "INITCAP") && toks.lastOption.contains(".") &&
-        !toks.exists(t => t.length >= 2 && t.forall(_.isDigit))
+      val shortNameLine = n <= 8 && firstAlphaCap == "INITCAP" &&
+        n > 0 && toks(n - 1) == "." && !hasDigit2
       val runHeading = (lastWasTitle || lastWasGrade) && shortNameLine
       val isTitle = !isEntry &&
         (capsHeading || geoHeading || capsParenHeading || yearHeading || runHeading)
       // grade-code line: short, all-caps, only abbreviation-length words —
       // the typical last line of a coin entry ("AR .", "OR * F . D . C .")
-      val isGrade = allCaps && toks.size <= 8 && maxAlphaLen <= 3
+      val isGrade = allCaps && n <= 8 && maxAlphaLen <= 3
       // the one titledesc shape in the gold corpus: a fully parenthesized
       // subtitle right under a title — "(PIÈCES FRAPPÉES EN TOSCANE)"
-      val parenDesc = lastWasTitle && toks.headOption.contains("(") &&
-        toks.takeRight(2).contains(")")
+      val parenDesc = lastWasTitle && n > 0 && head == "(" &&
+        (toks(n - 1) == ")" || (n > 1 && toks(n - 2) == ")"))
       val base =
         if (isEntry) "<entry>"
         else if (isTitle) "<title>"
