@@ -57,4 +57,18 @@ class ZoneEvalSpec extends SparkSpec {
 
     assert(acc >= 0.80, f"zone labeler accuracy regressed: ${acc * 100}%.1f%%")
   }
+
+  test("zonesContent is invariant to input row order") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val fx = Fixtures.loadSeg(Fixtures.segFixtureNames.head)
+    val rows = fx.lines.zipWithIndex.map { case (l, i) => ("c0", i, 0, l.text) }
+    def run(rs: Seq[(String, Int, Int, String)]) =
+      Labeler.zonesContent(rs.toDF("conv_id", "turn_idx", "line_in_turn", "line"))
+        .select("turn_idx", "zone", "zone_label")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+    val shuffled = new scala.util.Random(42).shuffle(rows)
+    assert(run(rows) == run(shuffled))
+  }
 }
