@@ -100,4 +100,25 @@ class RobustnessSpec extends SparkSpec {
     val total = spans.agg(sum(length(col("text")))).head().getLong(0)
     assert(total >= big.length)
   }
+
+  test("one conversation with 50k turns streams through (long-conv skew)") {
+    // the worst-case skew shape at design scale: one conv_id owning a whole
+    // partition — the FSM's O(current-span) state and the spillable window
+    // sorts must carry it; content must round-trip completely
+    val sparkS = spark
+    import sparkS.implicits._
+    // letter content must differ per turn or the A2 repetitive-pattern rule
+    // (correctly) strips the whole conversation as boilerplate
+    val turns = sparkS.range(50000)
+      .select(lit("giant").as("conv_id"), col("id").cast("int").as("turn_idx"),
+        lit("user").as("role"),
+        concat(lit("turn body text number "),
+          translate(col("id").cast("string"), "0123456789", "abcdefghij")).as("text"),
+        lit(null).cast("string").as("tool"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"))
+    val spans = Pipeline.extract(turns)
+    val total = spans.agg(sum(length(col("text")))).head().getLong(0)
+    // every turn's text (>= 22 chars each) must be present in some span
+    assert(total >= 50000L * 22)
+  }
 }
