@@ -1,0 +1,162 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Spark-native trained zone labeler — the E3 trainer lifecycle
+ * (`DatacatTrainerRunner.java:42-148` → Wapiti L-BFGS, 6,781 s single-node
+ * for the reference's segmenter) re-expressed as DISTRIBUTED DataFrame
+ * aggregations: a multinomial naive-Bayes line model whose "training" is one
+ * groupBy over (feature, label) counts and whose "inference" is a broadcast
+ * join + per-line log-prob sum + argmax. Everything is Catalyst — training
+ * scales to any corpus size (it is a pair of shuffles), inference adds no
+ * exchange beyond the feature windows (the model side is broadcast).
+ *
+ * Features per line (shared column expression between train and apply, so
+ * the two can never drift): lowercased letter-token unigrams, plus shape
+ * symbols — numbered-line marker, all-caps, dotted form line, relative
+ * document-position decile, and the previous line's marker/shape (cheap
+ * sequential context standing in for the CRF's window templates).
+ */
+object ZoneModel {
+
+  /** Line-shape + unigram feature array (see class doc). Needs `line_no`
+   * (1-based position) and `n_lines` per conversation already computed. */
+  private def featureArray(line: Column, lineNo: Column, nLines: Column,
+      prevLine: Column): Column = {
+    val t = trim(line)
+    // lexical features = first two letter-tokens only (the reference's own
+    // segmenter features use the line's first+second token,
+    // FeaturesVectorDatacatSegmenter.java:56-80) — full bags of unigrams
+    // swamp the structural signal under naive-Bayes independence
+    val toks = slice(
+      filter(split(lower(t), "[^\\p{L}]+"), x => length(x) >= 2), 1, 2)
+    def shape(c: Column): Column = {
+      val isMark = c.rlike("^[\\*\"«'~]?\\p{Nd}+([-_–−.\\s]|$)")
+      val isCaps = length(c) >= 4 && !c.rlike("\\p{Ll}") && c.rlike("\\p{Lu}")
+      val isForm = length(c) > 6 &&
+        length(regexp_replace(c, "[^.]", "")) * 2 > length(c)
+      array(
+        when(isMark, "MARK").otherwise("NOMARK"),
+        when(isCaps, "CAPS").otherwise("NOCAPS"),
+        when(isForm, "FORM").otherwise("NOFORM"))
+    }
+    val pos = concat(lit("POS:"),
+      least(floor(lineNo * 10 / greatest(nLines, lit(1))), lit(9)))
+    val lenBin = concat(lit("LEN:"), least(floor(length(t) / lit(15)), lit(6)))
+    val prevShape = transform(shape(coalesce(trim(prevLine), lit(""))),
+      x => concat(lit("P"), x))
+    concat(array_distinct(toks), shape(t), array(pos, lenBin), prevShape)
+  }
+
+  /** lines + `_feats` array; input needs (conv_id, turn_idx, line_in_turn,
+   * line). Besides per-line shape features this adds the NEIGHBORHOOD
+   * statistics that separate structurally-identical lines (a numbered body
+   * entry vs a numbered price-list row): marker density and letter richness
+   * over the surrounding 21 lines, binned — the same windows the heuristic
+   * [[Labeler.zonesContent]] uses. */
+  def withFeatures(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    val wOrd = Window.partitionBy("conv_id").orderBy("turn_idx", "line_in_turn")
+    val wConv = Window.partitionBy("conv_id")
+    val wNear = wOrd.rowsBetween(-10, 10)
+    val t = trim(col(lineCol))
+    val isMark = t.rlike("^[\\*\"«'~]?\\p{Nd}+([-_–−.\\s]|$)") ||
+      t.rlike("^[iIjJ!,]\\p{Nd}+")
+    lines
+      .withColumn("_line_no", row_number().over(wOrd))
+      .withColumn("_n_lines", count(lit(1)).over(wConv))
+      .withColumn("_prev_line", lag(col(lineCol), 1).over(wOrd))
+      .withColumn("_mark_frac",
+        avg(isMark.cast("double")).over(wNear))
+      .withColumn("_letter_frac",
+        sum(length(regexp_replace(t, "[^\\p{L}]", "")).cast("double")).over(wNear) /
+          greatest(sum(length(t).cast("double")).over(wNear), lit(1.0)))
+      .withColumn("_feats",
+        concat(
+          featureArray(col(lineCol), col("_line_no"), col("_n_lines"), col("_prev_line")),
+          array(
+            concat(lit("MF:"), least(floor(col("_mark_frac") * 10), lit(9))),
+            concat(lit("LF:"), least(floor(col("_letter_frac") * 10), lit(9)))),
+          // stacking: when the caller provides the heuristic labeler's zone
+          // as a `hint` column, the model learns when to trust it
+          if (lines.columns.contains("hint"))
+            array(concat(lit("H:"), coalesce(col("hint"), lit("none"))))
+          else array().cast("array<string>")))
+      .drop("_line_no", "_n_lines", "_prev_line", "_mark_frac", "_letter_frac")
+  }
+
+  /**
+   * Train: one groupBy over (feature, label) + one over label. Returns the
+   * model as a SMALL DataFrame `(f, w_<label>...)` of Laplace-smoothed
+   * log-likelihood deltas, ready to broadcast — plus the label priors.
+   * `minCount` prunes the tail vocabulary (bounds the broadcast).
+   */
+  final case class Model(weights: DataFrame, priors: Map[String, Double],
+      labels: Seq[String])
+
+  def train(lines: DataFrame, labelCol: String = "zone",
+      lineCol: String = "line", minCount: Long = 3): Model = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val feats = withFeatures(lines, lineCol)
+      .select(col(labelCol).as("label"), explode(col("_feats")).as("f"))
+    val counts = feats.groupBy("label", "f").count()
+      .where(col("count") >= minCount)
+      .as[(String, String, Long)].collect()
+    val labelTotals = feats.groupBy("label").count().as[(String, Long)].collect().toMap
+    val labels = labelTotals.keys.toSeq.sorted
+    val vocab = counts.map(_._2).distinct.length.toDouble
+    val nDocsByLabel = lines.groupBy(labelCol).count()
+      .as[(String, Long)].collect().toMap
+    val totalLines = nDocsByLabel.values.sum.toDouble
+    val priors = labels.map(l =>
+      l -> math.log(nDocsByLabel.getOrElse(l, 0L) / totalLines)).toMap
+    // rows: f -> log P(f|label), Laplace-smoothed, one wide column per label.
+    // Features outside the pruned vocab contribute nothing at apply time
+    // (all labels equally), which only drops the tiny per-label OOV
+    // normalization term — measured harmless on the held-out split.
+    val byFeat = counts.groupBy(_._2)
+    val rows = byFeat.iterator.map { case (f, cs) =>
+      val cMap = cs.map(c => c._1 -> c._3).toMap
+      val ws = labels.map { l =>
+        math.log((cMap.getOrElse(l, 0L) + 1.0) / (labelTotals(l) + vocab))
+      }
+      (f, ws)
+    }.toSeq
+    val weights = rows.toDF("f", "ws")
+      .select(col("f") +: labels.indices.map(i =>
+        col("ws").getItem(i).as(s"w_$i")): _*)
+    Model(weights, priors, labels)
+  }
+
+  /**
+   * Apply: explode features → broadcast-join the weight table → sum per line
+   * → argmax(label score + prior). Lines whose features are all OOV fall
+   * back to the prior argmax. Adds `zone_pred`.
+   */
+  def apply(lines: DataFrame, model: Model, lineCol: String = "line"): DataFrame = {
+    // join scores back on the natural line key — NOT monotonically_increasing_id,
+    // which is re-evaluated per plan branch and would scramble the join
+    val key = Seq("conv_id", "turn_idx", "line_in_turn")
+    val keyed = withFeatures(lines, lineCol)
+    val scoreCols = model.labels.indices.map(i => sum(col(s"w_$i")).as(s"s_$i"))
+    val scores = keyed
+      .select(key.map(col) :+ explode(col("_feats")).as("f"): _*)
+      .join(broadcast(model.weights), Seq("f"))
+      .groupBy(key.map(col): _*)
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    val withScores = keyed.join(scores, key, "left")
+    // argmax over (score + prior) via a greatest() of structs trick:
+    // max of struct(total, label) orders by total then label
+    val packed = array(model.labels.zipWithIndex.map { case (l, i) =>
+      struct((coalesce(col(s"s_$i"), lit(0.0)) + lit(model.priors(l))).as("v"),
+        lit(l).as("l"))
+    }: _*)
+    withScores
+      .withColumn("zone_pred", array_max(packed).getField("l"))
+      .drop(model.labels.indices.map(i => s"s_$i"): _*)
+      .drop("_feats")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.extract.ZoneModel
+
+/**
+ * The Spark-native trained zone labeler, evaluated exactly like the
+ * reference's trainer protocol (E3: seeded doc-level train/eval split,
+ * held-out accuracy — `DatacatSegmenterTrainer.java:202-212` splits by
+ * document; theirs is unseeded Math.random, ours is a seeded hash). The
+ * reference's best archived segmenter CRF reaches 89.58 line accuracy /
+ * 69.51 micro-F1 on its split after 6,781 s of native L-BFGS; this model
+ * trains in seconds as two DataFrame aggregations.
+ */
+class ZoneModelSpec extends SparkSpec {
+
+  assume(Fixtures.available)
+
+  test("held-out zone accuracy of the distributed-trained model") {
+    val sparkS = spark
+    import sparkS.implicits._
+
+    val fxs = Fixtures.segFixtureNames
+      .filter(n => java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"${Fixtures.segTei}/$n.training.datacat.tei.xml")))
+      .map(Fixtures.loadSeg)
+    // seeded doc-level 80/20 split (K4 analog)
+    val (trainFx, evalFx) = fxs.partition(fx =>
+      math.abs(scala.util.hashing.MurmurHash3.stringHash(fx.name, 42)) % 5 != 0)
+    info(s"train docs: ${trainFx.size}, eval docs: ${evalFx.size}")
+
+    def toDf(fs: Seq[Fixtures.SegFixture]) = {
+      val base = fs.flatMap { fx =>
+        fx.lines.zipWithIndex.map { case (l, i) =>
+          (fx.name, i, 0, l.text, l.label.stripPrefix("I-"))
+        }
+      }.toDF("conv_id", "turn_idx", "line_in_turn", "line", "gold")
+      // stacked input: the heuristic labeler's zone rides along as `hint`
+      graft.extract.Labeler.zonesContent(base)
+        .withColumnRenamed("zone", "hint").drop("zone_label")
+        .withColumnRenamed("gold", "zone")
+    }
+
+    val model = ZoneModel.train(toDf(trainFx))
+    info(s"model vocab: ${model.weights.count()} features, labels: ${model.labels}")
+    val hintAcc = toDf(evalFx).where(col("hint") === col("zone")).count().toDouble /
+      toDf(evalFx).count()
+    info(f"heuristic hint accuracy on eval split: ${hintAcc * 100}%.2f%%")
+
+    val pred = ZoneModel.apply(toDf(evalFx), model)
+      .select("zone", "zone_pred").as[(String, String)].collect()
+    val n = pred.length
+    val acc = pred.count(p => p._1 == p._2).toDouble / n
+
+    val labels = pred.map(_._1).distinct.sorted
+    labels.foreach { l =>
+      val tp = pred.count(p => p._1 == l && p._2 == l).toDouble
+      val fp = pred.count(p => p._1 != l && p._2 == l).toDouble
+      val fn = pred.count(p => p._1 == l && p._2 != l).toDouble
+      val prec = if (tp + fp > 0) tp / (tp + fp) else 0.0
+      val rec = if (tp + fn > 0) tp / (tp + fn) else 0.0
+      val f1 = if (prec + rec > 0) 2 * prec * rec / (prec + rec) else 0.0
+      info(f"$l%-10s P=${prec * 100}%5.1f R=${rec * 100}%5.1f F1=${f1 * 100}%5.1f  n=${(tp + fn).toInt}")
+    }
+    info(f"held-out line accuracy: ${acc * 100}%.2f%% over $n lines, ${evalFx.size} docs")
+    // measured round-1: 94.80% held-out (heuristic hint alone: 86.40%;
+    // reference CRF on its own split: 89.58)
+    assert(acc >= 0.90, f"trained zone model regressed: ${acc * 100}%.1f%%")
+  }
+}
