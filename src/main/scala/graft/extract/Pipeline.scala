@@ -24,6 +24,15 @@ object Pipeline {
   def zonedLines(turns: DataFrame): DataFrame =
     Labeler.zones(Features.segmenter(Structure.keptLines(turns)))
 
+  /** Synthesize null role/tool columns for document-shaped input. */
+  private def withNullRoleCols(docs: DataFrame): DataFrame = {
+    val withRole =
+      if (docs.columns.contains("role")) docs
+      else docs.withColumn("role", lit(null).cast("string"))
+    if (withRole.columns.contains("tool")) withRole
+    else withRole.withColumn("tool", lit(null).cast("string"))
+  }
+
   /**
    * Full extraction: body spans of the <body> zone per conversation.
    *
@@ -47,15 +56,33 @@ object Pipeline {
    * shape: zonesContent's windows are all keyed on conv_id.
    */
   def extractDocuments(docs: DataFrame): DataFrame = {
-    val withRole =
-      if (docs.columns.contains("role")) docs
-      else docs.withColumn("role", lit(null).cast("string"))
-    val turns =
-      if (withRole.columns.contains("tool")) withRole
-      else withRole.withColumn("tool", lit(null).cast("string"))
+    val turns = withNullRoleCols(docs)
     val lines = Structure.keptLines(turns.repartition(col("conv_id")))
     val bodyLines = Labeler.zonesContent(lines)
       .where(col("zone") === "<body>")
+      .select("conv_id", "turn_idx", "role", "tool", "block_idx",
+        "line_in_turn", "line_idx", "line")
+    val toks = Structure.tokensFromLines(bodyLines)
+    val feats = Features.body(toks)
+      .select("conv_id", "turn_idx", "line_in_turn", "tok_idx",
+        "tok", "sep_before", "line_trailing", "f_capitalisation")
+    Labeler.bodySpansFused(feats, repartitionByConv = false)
+  }
+
+  /**
+   * Document-mode extraction with a TRAINED stage-1: like
+   * [[extractDocuments]], but zone selection comes from a [[ZoneModel]]
+   * (naive-Bayes, heuristic-stacked — 94.8% held-out vs the heuristic's
+   * 86.4%, ZoneModelSpec). The model side is a broadcast join; the plan
+   * still has a single conv_id exchange.
+   */
+  def extractDocumentsModeled(docs: DataFrame, model: ZoneModel.Model): DataFrame = {
+    val turns = withNullRoleCols(docs)
+    val lines = Structure.keptLines(turns.repartition(col("conv_id")))
+    val hinted = Labeler.zonesContent(lines)
+      .withColumnRenamed("zone", "hint").drop("zone_label")
+    val bodyLines = ZoneModel.apply(hinted, model)
+      .where(col("zone_pred") === "<body>")
       .select("conv_id", "turn_idx", "role", "tool", "block_idx",
         "line_in_turn", "line_idx", "line")
     val toks = Structure.tokensFromLines(bodyLines)

@@ -62,6 +62,34 @@ class DocumentPipelineSpec extends SparkSpec {
       s"only ${common.size}/${bodySpans.length} body spans survived doc-mode")
   }
 
+  test("modeled cascade: trained stage-1 strips front/annex like the heuristic") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // train on a handful of gold segmenter docs
+    val trainFx = Fixtures.segFixtureNames
+      .filter(n => java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"${Fixtures.segTei}/$n.training.datacat.tei.xml")))
+      .take(40).map(Fixtures.loadSeg)
+    val trainBase = trainFx.flatMap { fx =>
+      fx.lines.zipWithIndex.map { case (l, i) =>
+        (fx.name, i, 0, l.text, l.label.stripPrefix("I-"))
+      }
+    }.toDF("conv_id", "turn_idx", "line_in_turn", "line", "gold")
+    val trainDf = graft.extract.Labeler.zonesContent(trainBase)
+      .withColumnRenamed("zone", "hint").drop("zone_label")
+      .withColumnRenamed("gold", "zone")
+    val model = graft.extract.ZoneModel.train(trainDf)
+
+    val fx = Fixtures.bodyFixtureNames.map(Fixtures.loadBody).maxBy(_.spans.size)
+    val docText = (front :+ fx.sourceText :+ annex.mkString("\n")).mkString("\n")
+    val spans = Pipeline.extractDocumentsModeled(
+      Seq(("doc0", 0, docText)).toDF("conv_id", "turn_idx", "text"), model)
+      .select("label", "text").as[(String, String)].collect()
+    assert(spans.nonEmpty)
+    assert(!spans.exists(_._2.contains("PRIX DES ADJUDICATIONS")))
+    assert(!spans.exists(_._2.contains(front.head)))
+  }
+
   test("role columns absent vs null-valued give identical results") {
     val sparkS = spark
     import sparkS.implicits._
