@@ -221,6 +221,11 @@ object Queries {
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashCandidates(t(s, dir, "documents"), k = 8, rowsPerBand = 4)),
 
+    "dedup_clusters" -> ((s, dir) =>
+      // duplicate-cluster resolution over the LSH candidate pairs
+      Dedup.components(Dedup.minhashCandidates(t(s, dir, "documents"),
+        k = 8, rowsPerBand = 4))),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash16(t(s, dir, "documents"))),
 
@@ -646,6 +651,32 @@ object Queries {
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
          |WHERE l.doc_id < r.doc_id""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $wordsCte, $shinglesCte,
+         |d AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |seeds AS (SELECT CAST(unnest(range(8)) AS INT) AS seed),
+         |sig AS (
+         |  SELECT doc_id, seed,
+         |    min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+         |  FROM d CROSS JOIN seeds GROUP BY doc_id, seed),
+         |bk AS (
+         |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         |    md5(string_agg(CAST(seed AS VARCHAR) || '@' || minhash, '|'
+         |      ORDER BY CAST(seed AS VARCHAR) || '@' || minhash)) AS bucket
+         |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b AS src, a AS dst FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.lbl FROM reach JOIN edges e ON e.src = reach.id)
+         |SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $wordsCte,

@@ -106,6 +106,51 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /**
+   * Connected components over candidate duplicate pairs — resolves pairwise
+   * LSH candidates into duplicate CLUSTERS (cluster id = min doc id in the
+   * component) so one canonical document per group survives. Distributed
+   * min-label propagation: each round is one shuffle (groupBy neighbor);
+   * rounds needed = O(component diameter), which for dedup graphs is tiny
+   * (near-cliques). Lineage is truncated per round (`localCheckpoint`) so
+   * the iterative plan does not grow; convergence is detected with an
+   * aggregate, never a collect. At 10^12-doc scale swap the loop body for
+   * alternating large-star/small-star — same per-round shape.
+   */
+  def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neigh = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("cluster_id").as("nlabel"))
+      val updated = labels.join(neigh, labels("id") === neigh("src"), "left")
+        .select(col("id"), col("cluster_id"),
+          least(col("cluster_id"), coalesce(col("nlabel"), col("cluster_id")))
+            .as("next_label"))
+        .localCheckpoint()
+      converged = updated.where(col("next_label") < col("cluster_id")).isEmpty
+      labels = updated.select(col("id"), col("next_label").as("cluster_id"))
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep one canonical document per duplicate cluster: drop every doc that
+   * is in a cluster but is not its minimum-id representative. */
+  def keepCanonical(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val dupes = components(pairs).where(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(dupes, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity for given (a,b) id pairs. */
   def jaccard(docs: DataFrame, pairs: DataFrame, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Duplicate-cluster resolution: connected components + canonical keep. */
+class ComponentsSpec extends SparkSpec {
+
+  test("components resolve chains and separate clusters") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // a 5-chain (diameter forces multiple propagation rounds), a pair, a triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (7L, 8L), (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert(got(7L) == 7L && got(8L) == 7L)
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+  }
+
+  test("keepCanonical drops every non-representative duplicate") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = (1L to 9L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val kept = Dedup.keepCanonical(docs, pairs).select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L, 7L, 8L, 9L))
+  }
+}
