@@ -226,6 +226,18 @@ object Queries {
       Dedup.components(Dedup.minhashCandidates(t(s, dir, "documents"),
         k = 8, rowsPerBand = 4))),
 
+    "prep_corpus" -> ((s, dir) => {
+      // the composed training-corpus prep pass: near-dup canonicalization
+      // (MinHash LSH -> components -> keep min-id), quality floor, lang tag
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, k = 8, rowsPerBand = 4)
+      Dedup.keepCanonical(docs, pairs)
+        .join(TextStats.quality(docs).select("doc_id", "quality_score"), Seq("doc_id"))
+        .where(col("quality_score") >= 0.5)
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang"),
+          col("quality_score"))
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash16(t(s, dir, "documents"))),
 
@@ -677,6 +689,62 @@ object Queries {
          |  UNION
          |  SELECT e.dst, reach.lbl FROM reach JOIN edges e ON e.src = reach.id)
          |SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    "prep_corpus" -> {
+      def ratio(lang: String): String = {
+        val list = TextStats.stopwords(lang).map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(ws, w -> w IN ($list))) * 1.0 / greatest(len(ws), 1)"
+      }
+      val en = TextStats.stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE $wordsCte, $shinglesCte,
+         |d AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |seeds AS (SELECT CAST(unnest(range(8)) AS INT) AS seed),
+         |sig AS (
+         |  SELECT doc_id, seed,
+         |    min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+         |  FROM d CROSS JOIN seeds GROUP BY doc_id, seed),
+         |bk AS (
+         |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         |    md5(string_agg(CAST(seed AS VARCHAR) || '@' || minhash, '|'
+         |      ORDER BY CAST(seed AS VARCHAR) || '@' || minhash)) AS bucket
+         |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)),
+         |prs AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM prs
+         |  UNION SELECT b AS src, a AS dst FROM prs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.lbl FROM reach JOIN edges e ON e.src = reach.id),
+         |dupes AS (
+         |  SELECT id FROM (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |  WHERE id <> cluster_id),
+         |q AS (
+         |  SELECT doc_id, text, ws,
+         |    ${ratio("de")} AS r_de, ${ratio("en")} AS r_en,
+         |    ${ratio("es")} AS r_es, ${ratio("fr")} AS r_fr,
+         |    round(CASE WHEN len(ws) = 0 THEN 0 ELSE 1.0
+         |      - least(0.4, (length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0
+         |          / greatest(length(text), 1)) * 2)
+         |      - least(0.3, length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
+         |          / greatest(length(text), 1))
+         |      - (CASE WHEN len(ws) < 5 THEN 0.3 ELSE 0 END) END, 4) AS quality_score
+         |  FROM words)
+         |SELECT doc_id,
+         |  CASE WHEN length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) * 2
+         |         > length(text) THEN 'zh'
+         |       WHEN greatest(r_de, r_en, r_es, r_fr) <= 0.05 THEN 'und'
+         |       WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de THEN 'fr'
+         |       WHEN r_es >= r_en AND r_es >= r_de THEN 'es'
+         |       WHEN r_en >= r_de THEN 'en'
+         |       ELSE 'de' END AS lang,
+         |  quality_score
+         |FROM q
+         |WHERE doc_id NOT IN (SELECT id FROM dupes) AND quality_score >= 0.5""".stripMargin
+    },
 
     "dedup_simhash" ->
       s"""WITH $wordsCte,
