@@ -18,6 +18,18 @@ class ComponentsSpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
   }
 
+  test("components: empty pair set yields empty clusters; order-invariant") {
+    val sparkS = spark
+    import sparkS.implicits._
+    assert(Dedup.components(Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 8L))
+    val fwd = Dedup.components(pairs.toDF("a", "b"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val rev = Dedup.components(pairs.reverse.toDF("a", "b"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(fwd == rev)
+  }
+
   test("keepCanonical drops every non-representative duplicate") {
     val sparkS = spark
     import sparkS.implicits._
