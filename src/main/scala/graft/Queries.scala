@@ -347,6 +347,18 @@ object Queries {
         .select(col("query_id"), col("neighbor_id"))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    }),
+
+    "sim_brute_vs_ivf_recall" -> ((s, dir) => {
+      // same recall harness for the IVF-flat scale path
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(e, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
     })
   )
 
