@@ -561,6 +561,7 @@ object Queries {
          |    row_number() OVER wo AS line_no,
          |    (regexp_matches(line, '^[*"«''~]?[0-9]+([-_–−.\\s]|$$)') OR
          |     regexp_matches(line, '^[iIjJ!,][0-9]+')) AS is_mark,
+         |    regexp_matches(line, '^[*"«''~]?[0-9]+\\s*[-_–−.]') AS is_strong,
          |    (length(line) <= 50 AND (
          |       regexp_matches(line, '(?i)prix\\s+d(es|'')?\\s*adjudications?') OR
          |       regexp_matches(line, '(?i)r[ée]sultats?\\s+des?\\s+ench[èe]res') OR
@@ -580,49 +581,69 @@ object Queries {
          |q AS (
          |  SELECT *,
          |    avg(CASE WHEN is_mark THEN 1.0 ELSE 0.0 END) OVER wn AS mark_frac,
-         |    sum(CAST(length(regexp_replace(line, '[^\\p{L}]', '', 'g')) AS DOUBLE))
-         |      OVER wn /
-         |      greatest(sum(CAST(length(line) AS DOUBLE)) OVER wn, 1.0) AS letter_frac
+         |    sum(CASE WHEN is_strong THEN 1 ELSE 0 END) OVER ws AS strong_cnt,
+         |    sum(CASE WHEN is_strong THEN 1 ELSE 0 END) OVER wb AS strong_bwd
          |  FROM p
          |  WINDOW wn AS (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn
-         |                ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING)),
+         |                ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING),
+         |         ws AS (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn
+         |                ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING),
+         |         wb AS (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn
+         |                ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)),
          |r AS (
+         |  SELECT *, (mark_frac >= 0.3 OR (strong_cnt >= 3 AND strong_bwd >= 1))
+         |    AS is_numeric FROM q),
+         |r1 AS (
+         |  SELECT *, lag(is_numeric) OVER (PARTITION BY conv_id
+         |    ORDER BY turn_idx, line_in_turn) AS prev_numeric
+         |  FROM r),
+         |r2 AS (
          |  SELECT *,
-         |    (mark_frac >= 0.3 AND letter_frac < 0.35) AS price_list,
-         |    (mark_frac >= 0.3 AND letter_frac >= 0.35) AS entry_region,
-         |    (is_mark AND NOT (mark_frac >= 0.3 AND letter_frac < 0.35)
-         |     AND mark_frac >= 0.1) AS weak_mark
-         |  FROM q),
+         |    CASE WHEN is_numeric THEN
+         |      sum(CASE WHEN is_numeric AND NOT coalesce(prev_numeric, FALSE)
+         |               THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn
+         |              ROWS UNBOUNDED PRECEDING) END AS region_id
+         |  FROM r1),
+         |regs AS (
+         |  SELECT conv_id, region_id, min(line_no) AS r_start, max(line_no) AS r_end,
+         |    (sum(CAST(length(regexp_replace(line, '[^\\p{L}]', '', 'g')) AS DOUBLE)) /
+         |     greatest(sum(CAST(length(line) AS DOUBLE)), 1.0)) >= 0.26 AS r_is_body
+         |  FROM r2 WHERE is_numeric GROUP BY conv_id, region_id),
+         |j AS (
+         |  SELECT r2.*, regs.r_start, regs.r_end, regs.r_is_body
+         |  FROM r2 LEFT JOIN regs
+         |    ON r2.conv_id = regs.conv_id AND r2.region_id = regs.region_id),
          |a1 AS (
          |  SELECT *,
-         |    min(CASE WHEN entry_region THEN line_no END)
-         |      OVER (PARTITION BY conv_id) AS first_entry
-         |  FROM r),
+         |    min(CASE WHEN r_is_body THEN r_start END)
+         |      OVER (PARTITION BY conv_id) AS first_body,
+         |    max(CASE WHEN r_is_body THEN r_end END)
+         |      OVER (PARTITION BY conv_id) AS last_body
+         |  FROM j),
          |a2 AS (
          |  SELECT *,
-         |    min(CASE WHEN is_trigger AND line_no > first_entry THEN line_no END)
+         |    min(CASE WHEN is_trigger AND line_no > first_body THEN line_no END)
          |      OVER (PARTITION BY conv_id) AS annex_start
          |  FROM a1),
          |a3 AS (
          |  SELECT *,
-         |    max(CASE WHEN weak_mark AND (annex_start IS NULL OR line_no < annex_start)
-         |             THEN line_no END) OVER (PARTITION BY conv_id) AS last_entry,
-         |    (min(CASE WHEN price_list THEN line_no END)
+         |    (min(CASE WHEN is_numeric AND NOT r_is_body THEN line_no END)
          |       OVER (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn
          |             ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)) IS NOT NULL AS near_price
          |  FROM a2),
          |z AS (
          |  SELECT conv_id,
          |    CASE
-         |      WHEN first_entry IS NULL AND price_list THEN '<annex>'
-         |      WHEN first_entry IS NULL THEN '<body>'
-         |      WHEN price_list THEN '<annex>'
+         |      WHEN first_body IS NULL AND is_numeric THEN '<annex>'
+         |      WHEN first_body IS NULL THEN '<body>'
          |      WHEN annex_start IS NOT NULL AND line_no >= annex_start THEN '<annex>'
-         |      WHEN line_no BETWEEN first_entry AND last_entry THEN '<body>'
-         |      WHEN line_no < first_entry AND near_price THEN '<annex>'
+         |      WHEN is_numeric AND NOT r_is_body THEN '<annex>'
+         |      WHEN line_no BETWEEN first_body AND last_body THEN '<body>'
+         |      WHEN line_no < first_body AND near_price THEN '<annex>'
          |      WHEN is_form OR is_trigger THEN '<annex>'
          |      WHEN is_pagenum OR is_garbage THEN '<other>'
-         |      WHEN line_no < first_entry THEN '<front>'
+         |      WHEN line_no < first_body THEN '<front>'
          |      ELSE '<back>' END AS zone
          |  FROM a3)
          |SELECT conv_id, zone, count(*) AS n_lines FROM z GROUP BY 1, 2""".stripMargin,

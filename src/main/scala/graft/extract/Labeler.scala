@@ -53,15 +53,20 @@ object Labeler {
    * Content-based zone labeler (segmenter analog for document-shaped input,
    * where the role/tool columns of [[zones]] carry no signal — e.g. the
    * reference's catalogue corpus itself). Entirely declarative Catalyst:
-   * per-line predicates + two window aggregates per conversation, no custom
-   * code — the optimizer owns it (§4: this is one Exchange on conv_id).
+   * per-line predicates, windowed density statistics, one per-region
+   * aggregate joined back, and conv-level window aggregates — no custom
+   * code; every exchange is keyed on conv_id (the region-stats side is a
+   * tiny aggregate of the same partitioning).
    *
    * Document shape learned from the 418 segmenter gold docs
-   * (`resources/dataset/datacat-segmenter/corpus/tei/`): front matter up to
-   * the first lot-entry line, `<body>` through the last lot-entry line, back
-   * matter after; order-form pages (runs of dotted fill-in lines) → `<annex>`
-   * (`12148-bpt6k97773279`: COMMANDE/PRIX/..... lines), OCR garbage and bare
-   * page numbers outside the body → `<other>`.
+   * (`resources/dataset/datacat-segmenter/corpus/tei/`): contiguous numbered
+   * REGIONS (dense lot markers, or sparse strong "N -" markers for prose
+   * catalogues) are classified whole — letter-rich regions are `<body>`,
+   * letter-poor ones (auction price lists) `<annex>`; front matter before
+   * the first body region, back matter after the last; order-form pages
+   * (dotted fill-in lines, COMMANDE/PRIX headers) → `<annex>`
+   * (`12148-bpt6k97773279`), OCR garbage and bare page numbers outside the
+   * body → `<other>`. 92.7% line accuracy vs gold (ZoneEvalSpec).
    *
    * Input needs (conv_id, turn_idx, line_in_turn, line). Adds `zone` and
    * BIO-encoded `zone_label`.
@@ -108,46 +113,76 @@ object Labeler {
       // year in the back) never qualify
       .withColumn("_mark_frac",
         avg(col("_is_mark").cast("double")).over(wNear))
-      // letter richness of the neighborhood splits the two kinds of numbered
-      // region: catalogue entries are prose ("246. Diane chasseresse tenant
-      // une flèche."), auction price lists are number pairs ("151 1 / 82")
-      .withColumn("_letter_frac",
-        sum(length(regexp_replace(text, "[^\\p{L}]", "")).cast("double")).over(wNear) /
-          greatest(sum(length(text).cast("double")).over(wNear), lit(1.0)))
-      .withColumn("_price_list", col("_mark_frac") >= 0.3 && col("_letter_frac") < 0.35)
-      .withColumn("_entry_region", col("_mark_frac") >= 0.3 && col("_letter_frac") >= 0.35)
-      // prose-heavy catalogues (multi-line art descriptions) fall under the
-      // 0.3 density inside the body — a weak marker still extends the range
-      .withColumn("_weak_mark", col("_is_mark") && !col("_price_list") &&
-        col("_mark_frac") >= 0.1)
-    val firstEntry = min(when(col("_entry_region"), col("_line_no"))).over(wConv)
+      // prose catalogues (long multi-line descriptions) have lot markers
+      // only every ~10-15 lines — too sparse for the 0.3 density, but their
+      // markers are the STRONG dash/dot form ("5 __ Amphore", "246."), which
+      // front matter almost never strings together: count those over a wide
+      // ±30 window
+      .withColumn("_strong",
+        text.rlike("^[\\*\"«'~]?\\p{Nd}+\\s*[-_–−.]"))
+      // a line belongs to a sparse region only if a strong marker sits AT or
+      // ABOVE it within 20 lines — otherwise the ±30 window would absorb up
+      // to 30 lines of front matter above the first lot
+      .withColumn("_sparse",
+        sum(col("_strong").cast("int")).over(wOrd.rowsBetween(-30, 30)) >= 3 &&
+          sum(col("_strong").cast("int")).over(wOrd.rowsBetween(-20, 0)) >= 1)
+      // contiguous numbered regions: a catalogue body that drifts letter-poor
+      // mid-way ("0200 Écu. ... / AR5 F.D.C.") is ONE region and must be
+      // classified as a whole, not line-by-line — region identity via
+      // change detection, region class via region-level letter richness
+      .withColumn("_numeric", col("_mark_frac") >= 0.3 || col("_sparse"))
+      .withColumn("_region_id",
+        when(col("_numeric"),
+          sum(when(col("_numeric") &&
+            !coalesce(lag(col("_numeric"), 1).over(wOrd), lit(false)), 1)
+            .otherwise(0)).over(wOrd.rowsBetween(Window.unboundedPreceding, 0))))
+    val regionStats = withPreds.where(col("_numeric"))
+      .groupBy("conv_id", "_region_id")
+      .agg(
+        min("_line_no").as("_r_start"), max("_line_no").as("_r_end"),
+        (sum(length(regexp_replace(trim(col(lineCol)), "[^\\p{L}]", ""))
+          .cast("double")) /
+          greatest(sum(length(trim(col(lineCol))).cast("double")), lit(1.0)))
+          .as("_r_letter_frac"),
+        count(lit(1)).as("_r_size"))
+      // a region is a BODY of entries if it is letter-rich as a whole;
+      // pure price lists sit well below the threshold
+      .withColumn("_r_is_body", col("_r_letter_frac") >= 0.26)
+    val joined = withPreds.join(regionStats, Seq("conv_id", "_region_id"), "left")
+    val wConv2 = Window.partitionBy("conv_id")
+    val withBodySpan = joined
+      .withColumn("_first_body",
+        min(when(col("_r_is_body"), col("_r_start"))).over(wConv2))
+      .withColumn("_last_body",
+        max(when(col("_r_is_body"), col("_r_end"))).over(wConv2))
+    val firstEntry = col("_first_body")
+    val lastEntry = col("_last_body")
     // first annex header after the body has started caps the body range:
     // everything from it to the end of the document is the annex
     val annexStart = min(when(col("_is_trigger") && col("_line_no") > firstEntry,
-      col("_line_no"))).over(wConv)
-    val lastEntry = max(when(col("_weak_mark") &&
-      (annexStart.isNull || col("_line_no") < annexStart), col("_line_no"))).over(wConv)
+      col("_line_no"))).over(wConv2)
     // the expert-letterhead block right above a leading price list ("Émile
     // BOURGEY / Expert National / 7, rue Drouot") is part of the annex
-    val nearPrice = min(when(col("_price_list"), col("_line_no")))
-      .over(wOrd.rowsBetween(0, 15)).isNotNull
+    val nearPrice = min(when(col("_numeric") && !col("_r_is_body"), col("_line_no")))
+      .over(Window.partitionBy("conv_id")
+        .orderBy(col("turn_idx"), col("line_in_turn")).rowsBetween(0, 15)).isNotNull
     val zone =
-      when(firstEntry.isNull && col("_price_list"), "<annex>")
+      when(firstEntry.isNull && col("_numeric"), "<annex>")
         .when(firstEntry.isNull, "<body>")
-        .when(col("_price_list"), "<annex>")
         .when(annexStart.isNotNull && col("_line_no") >= annexStart, "<annex>")
+        .when(col("_numeric") && !col("_r_is_body"), "<annex>")
         .when(col("_line_no").between(firstEntry, lastEntry), "<body>")
         .when(col("_line_no") < firstEntry && nearPrice, "<annex>")
         .when(isForm || isTrigger, "<annex>")
         .when(isPageNum || isGarbage, "<other>")
         .when(col("_line_no") < firstEntry, "<front>")
         .otherwise("<back>")
-    withPreds
+    withBodySpan
       .withColumn("zone", zone)
       .withColumn("zone_label",
         when(coalesce(lag(col("zone"), 1).over(wOrd) =!= col("zone"), lit(true)),
           concat(lit("I-"), col("zone"))).otherwise(col("zone")))
-      .drop("_line_no", "_is_mark", "_is_trigger", "_mark_frac", "_letter_frac", "_price_list", "_entry_region", "_weak_mark")
+      .drop("_line_no", "_is_mark", "_is_trigger", "_mark_frac", "_numeric", "_strong", "_sparse", "_region_id", "_r_start", "_r_end", "_r_letter_frac", "_r_size", "_r_is_body", "_first_body", "_last_body")
   }
 
   // one buffered line of the body FSM

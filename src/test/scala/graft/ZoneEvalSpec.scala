@@ -55,7 +55,7 @@ class ZoneEvalSpec extends SparkSpec {
       f"macro-F1 ${sumF1 / nLab * 100}%.2f")
     report.foreach(info(_))
 
-    assert(acc >= 0.80, f"zone labeler accuracy regressed: ${acc * 100}%.1f%%")
+    assert(acc >= 0.88, f"zone labeler accuracy regressed: ${acc * 100}%.1f%%")
   }
 
   test("zonesContent is invariant to input row order") {
