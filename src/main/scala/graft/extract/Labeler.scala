@@ -53,10 +53,10 @@ object Labeler {
    * Content-based zone labeler (segmenter analog for document-shaped input,
    * where the role/tool columns of [[zones]] carry no signal — e.g. the
    * reference's catalogue corpus itself). Entirely declarative Catalyst:
-   * per-line predicates, windowed density statistics, one per-region
-   * aggregate joined back, and conv-level window aggregates — no custom
-   * code; every exchange is keyed on conv_id (the region-stats side is a
-   * tiny aggregate of the same partitioning).
+   * per-line predicates, windowed density statistics, per-region window
+   * aggregates and conv-level window aggregates — no custom code and ONE
+   * exchange: hash(conv_id) clusters every window's keys, including the
+   * (conv_id, region_id) region-stats windows.
    *
    * Document shape learned from the 418 segmenter gold docs
    * (`resources/dataset/datacat-segmenter/corpus/tei/`): contiguous numbered
@@ -136,21 +136,25 @@ object Labeler {
           sum(when(col("_numeric") &&
             !coalesce(lag(col("_numeric"), 1).over(wOrd), lit(false)), 1)
             .otherwise(0)).over(wOrd.rowsBetween(Window.unboundedPreceding, 0))))
-    val regionStats = withPreds.where(col("_numeric"))
-      .groupBy("conv_id", "_region_id")
-      .agg(
-        min("_line_no").as("_r_start"), max("_line_no").as("_r_end"),
-        (sum(length(regexp_replace(trim(col(lineCol)), "[^\\p{L}]", ""))
-          .cast("double")) /
-          greatest(sum(length(trim(col(lineCol))).cast("double")), lit(1.0)))
-          .as("_r_letter_frac"),
-        count(lit(1)).as("_r_size"))
+    // region statistics as WINDOW aggregates over (conv_id, region_id) — a
+    // groupBy+join would re-shuffle the full line set on the two-column key;
+    // hash(conv_id) already clusters (conv_id, region_id), so these windows
+    // reuse the pipeline's one exchange (non-numeric lines share the null
+    // region per conv; their stats are guarded off)
+    val wRegion = Window.partitionBy("conv_id", "_region_id")
+    val tTrim = trim(col(lineCol))
+    val withRegion = withPreds
+      .withColumn("_r_start", when(col("_numeric"), min("_line_no").over(wRegion)))
+      .withColumn("_r_end", when(col("_numeric"), max("_line_no").over(wRegion)))
       // a region is a BODY of entries if it is letter-rich as a whole;
       // pure price lists sit well below the threshold
-      .withColumn("_r_is_body", col("_r_letter_frac") >= 0.26)
-    val joined = withPreds.join(regionStats, Seq("conv_id", "_region_id"), "left")
+      .withColumn("_r_is_body", when(col("_numeric"),
+        sum(length(regexp_replace(tTrim, "[^\\p{L}]", "")).cast("double"))
+          .over(wRegion) /
+          greatest(sum(length(tTrim).cast("double")).over(wRegion), lit(1.0))
+          >= 0.26))
     val wConv2 = Window.partitionBy("conv_id")
-    val withBodySpan = joined
+    val withBodySpan = withRegion
       .withColumn("_first_body",
         min(when(col("_r_is_body"), col("_r_start"))).over(wConv2))
       .withColumn("_last_body",
@@ -182,7 +186,7 @@ object Labeler {
       .withColumn("zone_label",
         when(coalesce(lag(col("zone"), 1).over(wOrd) =!= col("zone"), lit(true)),
           concat(lit("I-"), col("zone"))).otherwise(col("zone")))
-      .drop("_line_no", "_is_mark", "_is_trigger", "_mark_frac", "_numeric", "_strong", "_sparse", "_region_id", "_r_start", "_r_end", "_r_letter_frac", "_r_size", "_r_is_body", "_first_body", "_last_body")
+      .drop("_line_no", "_is_mark", "_is_trigger", "_mark_frac", "_numeric", "_strong", "_sparse", "_region_id", "_r_start", "_r_end", "_r_is_body", "_first_body", "_last_body")
   }
 
   // one buffered line of the body FSM
