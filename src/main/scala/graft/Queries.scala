@@ -575,15 +575,20 @@ object Queries {
          |      AND length(line) <= 8)) AS is_pagenum,
          |    (length(line) >= 10 AND
          |     5 * length(regexp_replace(line, '[^\\p{L}]', '', 'g')) <
-         |       2 * length(line)) AS is_garbage
+         |       2 * length(line)) AS is_garbage,
+         |    lower(regexp_replace(line, '[^\\p{L}]', '', 'g')) AS pattern
          |  FROM kl
          |  WINDOW wo AS (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn)),
+         |pp AS (
+         |  SELECT *, (length(pattern) > 2 AND length(line) <= 30 AND
+         |    count(*) OVER (PARTITION BY conv_id, pattern) >= 3) AS is_repetitive
+         |  FROM p),
          |q AS (
          |  SELECT *,
          |    avg(CASE WHEN is_mark THEN 1.0 ELSE 0.0 END) OVER wn AS mark_frac,
          |    sum(CASE WHEN is_strong THEN 1 ELSE 0 END) OVER ws AS strong_cnt,
          |    sum(CASE WHEN is_strong THEN 1 ELSE 0 END) OVER wb AS strong_bwd
-         |  FROM p
+         |  FROM pp
          |  WINDOW wn AS (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn
          |                ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING),
          |         ws AS (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn
@@ -642,7 +647,7 @@ object Queries {
          |      WHEN line_no BETWEEN first_body AND last_body THEN '<body>'
          |      WHEN line_no < first_body AND near_price THEN '<annex>'
          |      WHEN is_form OR is_trigger THEN '<annex>'
-         |      WHEN is_pagenum OR is_garbage THEN '<other>'
+         |      WHEN is_pagenum OR is_garbage OR is_repetitive THEN '<other>'
          |      WHEN line_no < first_body THEN '<front>'
          |      ELSE '<back>' END AS zone
          |  FROM a3)

@@ -66,7 +66,7 @@ object Labeler {
    * the first body region, back matter after the last; order-form pages
    * (dotted fill-in lines, COMMANDE/PRIX headers) → `<annex>`
    * (`12148-bpt6k97773279`), OCR garbage and bare page numbers outside the
-   * body → `<other>`. 92.7% line accuracy vs gold (ZoneEvalSpec).
+   * body → `<other>`. 92.6% line accuracy vs gold (ZoneEvalSpec).
    *
    * Input needs (conv_id, turn_idx, line_in_turn, line). Adds `zone` and
    * BIO-encoded `zone_label`.
@@ -103,6 +103,10 @@ object Labeler {
     // OCR garbage: less than 40% letters on a long-enough line
     val letters = length(regexp_replace(text, "[^\\p{L}]", ""))
     val isGarbage = length(text) >= 10 && letters * 5 < length(text) * 2
+    // repetitive page headers/stamps (A2, `DatacatSegmenterParser.java:
+    // 268-299`): the same short letter pattern recurring through a document
+    // is a page marker, not content — applied outside the body span only
+    val pattern = lower(regexp_replace(text, "[^\\p{L}]", ""))
     val wNear = wOrd.rowsBetween(-10, 10)
     val withPreds = lines
       .withColumn("_line_no", row_number().over(wOrd))
@@ -130,6 +134,9 @@ object Labeler {
       // mid-way ("0200 Écu. ... / AR5 F.D.C.") is ONE region and must be
       // classified as a whole, not line-by-line — region identity via
       // change detection, region class via region-level letter richness
+      .withColumn("_repetitive",
+        length(pattern) > 2 && length(text) <= 30 &&
+          count(lit(1)).over(Window.partitionBy(col("conv_id"), pattern)) >= 3)
       .withColumn("_numeric", col("_mark_frac") >= 0.3 || col("_sparse"))
       .withColumn("_region_id",
         when(col("_numeric"),
@@ -178,7 +185,7 @@ object Labeler {
         .when(col("_line_no").between(firstEntry, lastEntry), "<body>")
         .when(col("_line_no") < firstEntry && nearPrice, "<annex>")
         .when(isForm || isTrigger, "<annex>")
-        .when(isPageNum || isGarbage, "<other>")
+        .when(isPageNum || isGarbage || col("_repetitive"), "<other>")
         .when(col("_line_no") < firstEntry, "<front>")
         .otherwise("<back>")
     withBodySpan
@@ -186,7 +193,7 @@ object Labeler {
       .withColumn("zone_label",
         when(coalesce(lag(col("zone"), 1).over(wOrd) =!= col("zone"), lit(true)),
           concat(lit("I-"), col("zone"))).otherwise(col("zone")))
-      .drop("_line_no", "_is_mark", "_is_trigger", "_mark_frac", "_numeric", "_strong", "_sparse", "_region_id", "_r_start", "_r_end", "_r_is_body", "_first_body", "_last_body")
+      .drop("_line_no", "_is_mark", "_is_trigger", "_mark_frac", "_numeric", "_strong", "_sparse", "_repetitive", "_region_id", "_r_start", "_r_end", "_r_is_body", "_first_body", "_last_body")
   }
 
   // one buffered line of the body FSM
