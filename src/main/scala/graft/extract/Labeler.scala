@@ -203,8 +203,10 @@ object Labeler {
   private[extract] val dashSet = Set("-", "_", "–", "−", ".")
 
   /** The body FSM's line-classification state machine, shared by the
-   * label-emitting and span-emitting (fused) passes so they cannot drift. */
-  private final class LineClassifier {
+   * label-emitting and span-emitting (fused) passes — and by the custom
+   * physical operator ([[graft.plans.BodySpansExec]]) — so they cannot
+   * drift. */
+  private[graft] final class LineClassifier {
     private var curConv: String = null
     private var openLabel: String = null
     private var lastWasTitle = false
@@ -217,7 +219,7 @@ object Labeler {
      * scan over the tokens, no intermediate collections. Heading-rule
      * semantics are pinned by LabelerEvalSpec (98.8% vs gold) and the
      * fused≡declarative differential. */
-    def classify(conv: String, toks: Seq[String], caps: Seq[String]): (String, Boolean) = {
+    def classify(conv: String, toks: collection.Seq[String], caps: collection.Seq[String]): (String, Boolean) = {
       if (conv != curConv) {
         openLabel = null; lastWasTitle = false; lastWasGrade = false; curConv = conv
       }
@@ -404,7 +406,7 @@ object Labeler {
 
   /** Scala mirror of [[graft.text.TextCols.htmlEncode]] (same replacement
    * order) for the fused span emitter. */
-  private def htmlEncode(s: String): String =
+  private[graft] def htmlEncode(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;").replace("'", "&apos;")
 

@@ -38,12 +38,17 @@ object Pipeline {
    *
    * Single-pass, single-exchange: the kept lines are hash-partitioned by
    * conv_id ONCE up front; every downstream window (keys ⊇ {conv_id}), the
-   * zone filter, the token explode (partition-preserving), the labeler FSM
-   * (repartition skipped) and the span groupBy are all satisfied by that
-   * one exchange — `.explain` shows exactly one hashpartitioning(conv_id).
+   * zone filter, the token explode (partition-preserving) and the span FSM
+   * are all satisfied by that one exchange — `.explain` shows exactly one
+   * hashpartitioning(conv_id). The FSM runs as the custom Catalyst operator
+   * ([[graft.plans.BodySpans]]): its DECLARED ClusteredDistribution +
+   * sort-order requirements let EnsureRequirements reuse the exchange; it
+   * consumes InternalRow directly (no Row-encoder round trip). The
+   * mapPartitions twin ([[Labeler.bodySpansFused]]) is kept for the
+   * failure-counted resumable path and is differential-tested identical.
    */
   def extract(turns: DataFrame): DataFrame =
-    Labeler.bodySpansFused(bodyTokenFeats(turns), repartitionByConv = false)
+    graft.plans.BodySpans.spans(bodyTokenFeats(turns))
 
   /**
    * Document-mode extraction — the reference's E1 cascade
@@ -66,7 +71,7 @@ object Pipeline {
     val feats = Features.body(toks)
       .select("conv_id", "turn_idx", "line_in_turn", "tok_idx",
         "tok", "sep_before", "line_trailing", "f_capitalisation")
-    Labeler.bodySpansFused(feats, repartitionByConv = false)
+    graft.plans.BodySpans.spans(feats)
   }
 
   /**
@@ -89,7 +94,7 @@ object Pipeline {
     val feats = Features.body(toks)
       .select("conv_id", "turn_idx", "line_in_turn", "tok_idx",
         "tok", "sep_before", "line_trailing", "f_capitalisation")
-    Labeler.bodySpansFused(feats, repartitionByConv = false)
+    graft.plans.BodySpans.spans(feats)
   }
 
   /** Declarative span assembly (windows + groupBy) over the labeled tokens —
