@@ -42,6 +42,11 @@ class PlanOperatorSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("operator handles empty input (zero rows, zero partitions' worth)") {
+    val f = feats(5).where(col("conv_id") === "no-such-conv")
+    assert(BodySpans.spans(f).isEmpty)
+  }
+
   test("gold-fixture spans via the operator match the fixture expectation") {
     assume(Fixtures.available)
     val sparkS = spark
