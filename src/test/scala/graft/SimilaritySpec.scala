@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/**
+ * Positive-path tests for the similarity operators with PLANTED structure —
+ * the driver's oracle checks run on near-orthogonal synthetic embeddings
+ * where "0 near-dups" is the correct (but weak) answer.
+ */
+class SimilaritySpec extends SparkSpec {
+
+  /** 16-dim corpus: clusters of near-duplicates around 4 seed directions
+   * plus lone vectors; all deterministic. */
+  private def corpus() = {
+    val sparkS = spark
+    import sparkS.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def randVec() = unit(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val seeds = Vector.fill(4)(randVec())
+    val rows = Vector.newBuilder[(Long, Array[Float])]
+    var id = 0L
+    // 3 near-dups per seed (tiny perturbation => cosine ~0.999)
+    seeds.foreach { s =>
+      (0 until 3).foreach { _ =>
+        rows += ((id, unit(s.map(x => x + 0.01f * rnd.nextGaussian().toFloat))))
+        id += 1
+      }
+    }
+    // 20 lone vectors
+    (0 until 20).foreach { _ => rows += ((id, randVec())); id += 1 }
+    rows.result().toDF("vec_id", "embedding")
+  }
+
+  test("cosineNearDups finds exactly the planted duplicate pairs") {
+    val c = corpus()
+    val pairs = Similarity.cosineNearDups(c, threshold = 0.98, planes = 6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each 3-cluster contributes up to 3 pairs; SRP bucketing may miss a
+    // pair whose members straddle a plane, so require most but allow misses
+    val planted = (0 until 4).flatMap { g =>
+      val ids = (g * 3 until g * 3 + 3).map(_.toLong)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    assert(pairs.subsetOf(planted), s"false positives: ${pairs -- planted}")
+    assert(pairs.size * 10 >= planted.size * 6,
+      s"only ${pairs.size}/${planted.size} planted pairs found")
+  }
+
+  test("brute-force top-k ranks a planted duplicate first") {
+    val c = corpus()
+    val q = c.where(col("vec_id") === 0L)
+    val top = Similarity.bruteForceTopK(c, q, k = 3)
+      .orderBy(desc("cosine")).collect()
+    // vec 0's nearest non-self neighbors are its cluster mates 1 and 2
+    val neighbors = top.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(Set(1L, 2L).subsetOf(neighbors - 0L) || neighbors.contains(1L),
+      s"expected cluster mates in top-3, got ${neighbors.mkString(",")}")
+  }
+
+  test("IVF top-k agrees with brute force on the planted clusters") {
+    val c = corpus()
+    val q = c.where(col("vec_id") < 4L)
+    val exact = Similarity.bruteForceTopK(c, q, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(c, q, k = 3, centroidStride = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, f"IVF recall too low: $recall%.2f")
+  }
+}
