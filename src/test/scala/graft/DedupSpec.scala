@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/**
+ * Positive-path dedup tests with PLANTED duplicate texts (the driver
+ * oracles run on a corpus whose near-dup count may be trivially small).
+ */
+class DedupSpec extends SparkSpec {
+
+  // base docs + near-duplicates (one word changed) + one exact duplicate
+  private def docs() = {
+    val sparkS = spark
+    import sparkS.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank " +
+      "while the miller grinds his grain and the baker bakes his bread every morning"
+    val variant = base.replace("every morning", "each evening")
+    val other = "completely different text about spark catalyst optimizer rules " +
+      "and distributed shuffle exchanges across executor boundaries in large clusters"
+    Seq(
+      (0L, base), (1L, base), (2L, variant),
+      (3L, other),
+      (4L, "short unrelated note"),
+      (5L, other + " with an extra trailing sentence appended here")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup marks byte-identical docs as duplicates of the keeper") {
+    val rows = Dedup.exact(docs()).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("keeper_id"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(rows(0L) == (0L, false))
+    assert(rows(1L) == (0L, true), s"doc 1 must be a dup of 0: ${rows(1L)}")
+    assert(!rows(2L)._2 && !rows(3L)._2)
+  }
+
+  test("minhash LSH surfaces the planted near-dup pair; jaccard confirms") {
+    val d = docs()
+    val pairs = Dedup.minhashCandidates(d, k = 16, rowsPerBand = 4)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)), s"exact pair missed: $got")
+    assert(got.contains((0L, 2L)) || got.contains((1L, 2L)),
+      s"near-dup pair missed: $got")
+    val j = Dedup.jaccard(d, pairs).collect()
+      .map(r => ((r.getAs[Long]("a"), r.getAs[Long]("b")), r.getAs[Double]("jaccard"))).toMap
+    assert(j((0L, 1L)) == 1.0)
+    j.get((0L, 2L)).foreach(v => assert(v > 0.6 && v < 1.0))
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    val sh = Dedup.simhash16(docs()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("simhash")).toMap
+    assert(sh(0L) == sh(1L))
+    val hamming = Integer.bitCount(sh(0L) ^ sh(2L))
+    assert(hamming <= 4, s"near-dup simhash hamming distance too large: $hamming")
+  }
+
+  test("keepCanonical keeps one doc per planted duplicate cluster") {
+    val d = docs()
+    val kept = Dedup.keepCanonical(d, Dedup.minhashCandidates(d, k = 16, rowsPerBand = 4))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L) && !kept.contains(1L),
+      s"canonical selection wrong: $kept")
+    assert(kept.contains(3L) && kept.contains(4L))
+  }
+}
