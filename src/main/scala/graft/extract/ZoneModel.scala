@@ -135,8 +135,14 @@ object ZoneModel {
    * Apply: explode features → broadcast-join the weight table → sum per line
    * → argmax(label score + prior). Lines whose features are all OOV fall
    * back to the prior argmax. Adds `zone_pred`.
+   *
+   * `smooth` > 0 averages each label's per-line log-score over ±smooth
+   * neighboring lines before the argmax — a cheap declarative stand-in for
+   * the CRF's sequential coupling (zones are long runs, so a line's
+   * neighbors carry evidence about it).
    */
-  def apply(lines: DataFrame, model: Model, lineCol: String = "line"): DataFrame = {
+  def apply(lines: DataFrame, model: Model, lineCol: String = "line",
+      smooth: Int = 0): DataFrame = {
     // join scores back on the natural line key — NOT monotonically_increasing_id,
     // which is re-evaluated per plan branch and would scramble the join
     val key = Seq("conv_id", "turn_idx", "line_in_turn")
@@ -148,11 +154,19 @@ object ZoneModel {
       .groupBy(key.map(col): _*)
       .agg(scoreCols.head, scoreCols.tail: _*)
     val withScores = keyed.join(scores, key, "left")
+    def total(i: Int): Column =
+      coalesce(col(s"s_$i"), lit(0.0)) + lit(model.priors(model.labels(i)))
+    val smoothed =
+      if (smooth <= 0) model.labels.indices.map(total)
+      else {
+        val w = Window.partitionBy("conv_id")
+          .orderBy("turn_idx", "line_in_turn").rowsBetween(-smooth, smooth)
+        model.labels.indices.map(i => avg(total(i)).over(w))
+      }
     // argmax over (score + prior) via a greatest() of structs trick:
     // max of struct(total, label) orders by total then label
     val packed = array(model.labels.zipWithIndex.map { case (l, i) =>
-      struct((coalesce(col(s"s_$i"), lit(0.0)) + lit(model.priors(l))).as("v"),
-        lit(l).as("l"))
+      struct(smoothed(i).as("v"), lit(l).as("l"))
     }: _*)
     withScores
       .withColumn("zone_pred", array_max(packed).getField("l"))

@@ -47,7 +47,9 @@ class ZoneModelSpec extends SparkSpec {
       toDf(evalFx).count()
     info(f"heuristic hint accuracy on eval split: ${hintAcc * 100}%.2f%%")
 
-    val pred = ZoneModel.apply(toDf(evalFx), model)
+    // smoothing the per-line scores over +/-2 lines stands in for the
+    // CRF's sequential coupling
+    val pred = ZoneModel.apply(toDf(evalFx), model, smooth = 2)
       .select("zone", "zone_pred").as[(String, String)].collect()
     val n = pred.length
     val acc = pred.count(p => p._1 == p._2).toDouble / n
@@ -63,8 +65,8 @@ class ZoneModelSpec extends SparkSpec {
       info(f"$l%-10s P=${prec * 100}%5.1f R=${rec * 100}%5.1f F1=${f1 * 100}%5.1f  n=${(tp + fn).toInt}")
     }
     info(f"held-out line accuracy: ${acc * 100}%.2f%% over $n lines, ${evalFx.size} docs")
-    // measured round-1: 95.57% held-out (heuristic hint alone: 93.86%;
+    // measured round-1: 96.81% held-out with smoothing (hint alone: 93.79%;
     // reference CRF on its own split: 89.58)
-    assert(acc >= 0.90, f"trained zone model regressed: ${acc * 100}%.1f%%")
+    assert(acc >= 0.93, f"trained zone model regressed: ${acc * 100}%.1f%%")
   }
 }
