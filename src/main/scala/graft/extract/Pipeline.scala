@@ -86,7 +86,7 @@ object Pipeline {
     val lines = Structure.keptLines(turns.repartition(col("conv_id")))
     val hinted = Labeler.zonesContent(lines)
       .withColumnRenamed("zone", "hint").drop("zone_label")
-    val bodyLines = ZoneModel.apply(hinted, model)
+    val bodyLines = ZoneModel.apply(hinted, model, smooth = 2)
       .where(col("zone_pred") === "<body>")
       .select("conv_id", "turn_idx", "role", "tool", "block_idx",
         "line_in_turn", "line_idx", "line")
