@@ -86,7 +86,11 @@ object Pipeline {
     val lines = Structure.keptLines(turns.repartition(col("conv_id")))
     val hinted = Labeler.zonesContent(lines)
       .withColumnRenamed("zone", "hint").drop("zone_label")
-    val bodyLines = ZoneModel.apply(hinted, model, smooth = 2)
+    // NO score smoothing here: smoothing raises bulk line accuracy (+1.2%,
+    // ZoneModelSpec) but blurs single-line zone BOUNDARIES — a smoothed
+    // annex header gets outvoted by its body neighbors and leaks into the
+    // extracted spans (DocumentPipelineSpec pins this)
+    val bodyLines = ZoneModel.apply(hinted, model)
       .where(col("zone_pred") === "<body>")
       .select("conv_id", "turn_idx", "role", "tool", "block_idx",
         "line_in_turn", "line_idx", "line")
