@@ -73,10 +73,16 @@ object Bench {
     val qs = (qTimes :+ ("e2e_extract" -> e2eSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = qTimes.map(_._2).sum + e2eSec
-    println(
+    val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","turns":$nTurns,"turns_per_sec":${f"$tps%.1f"},""" +
-        s""""e2e_reps_sec":$repsJson,"cpus":"$cpus"}""")
+        s""""e2e_reps_sec":$repsJson,"cpus":"$cpus"}"""
+    // bare stdout (run/outputStrategy strips the sbt prefix) + a file copy,
+    // so the metrics survive any log-capture the driver applies
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -75,11 +75,28 @@ object Queries {
   private def planeSql(p: Int): String =
     s"(('0x' || substr(md5('$p#' || CAST(i AS VARCHAR)), 1, 6))::INT / 16777216.0 * 2 - 1)"
 
-  private def bucketSql(vecExpr: String, planes: Int): String =
+  private def bucketSql(vecExpr: String, planes: Int, table: Int = 0): String =
     (0 until planes).map { p =>
       s"(CASE WHEN list_sum(list_transform(range(len($vecExpr)), " +
-        s"i -> $vecExpr[i+1]::DOUBLE * ${planeSql(p)})) >= 0 THEN ${1 << p} ELSE 0 END)"
+        s"i -> $vecExpr[i+1]::DOUBLE * ${planeSql(table * 100 + p)})) >= 0 " +
+        s"THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** recall@5 of an ANN method vs the exact brute-force baseline, one row
+   * per query vector (vec_id < 10), zero-recall queries included. */
+  private def recallAt5(e: DataFrame,
+      ann: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val q = e.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ann(e, q).select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("hits"), lit(0L)) / 5.0, 2).as("recall_at_5"))
+  }
 
   // ------------------------------------------------------------- queries —
 
@@ -221,16 +238,22 @@ object Queries {
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashCandidates(t(s, dir, "documents"), k = 8, rowsPerBand = 4)),
 
+    "dedup_star_edges" -> ((s, dir) =>
+      // linear-per-cluster candidate edges (the components feed at scale)
+      Dedup.minhashStarEdges(t(s, dir, "documents"), k = 8, rowsPerBand = 4)),
+
     "dedup_clusters" -> ((s, dir) =>
-      // duplicate-cluster resolution over the LSH candidate pairs
-      Dedup.components(Dedup.minhashCandidates(t(s, dir, "documents"),
+      // duplicate-cluster resolution over star-form LSH edges: O(d) edges
+      // per d-duplicate bucket, identical components to the all-pairs form
+      Dedup.components(Dedup.minhashStarEdges(t(s, dir, "documents"),
         k = 8, rowsPerBand = 4))),
 
     "prep_corpus" -> ((s, dir) => {
       // the composed training-corpus prep pass: near-dup canonicalization
-      // (MinHash LSH -> components -> keep min-id), quality floor, lang tag
+      // (MinHash LSH -> star edges -> components -> keep min-id), quality
+      // floor, lang tag
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashCandidates(docs, k = 8, rowsPerBand = 4)
+      val pairs = Dedup.minhashStarEdges(docs, k = 8, rowsPerBand = 4)
       Dedup.keepCanonical(docs, pairs)
         .join(TextStats.quality(docs).select("doc_id", "quality_score"), Seq("doc_id"))
         .where(col("quality_score") >= 0.5)
@@ -267,7 +290,7 @@ object Queries {
     "sim_topk_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 10),
-        k = 5, centroidStride = 50, nProbe = 2)
+        k = 5, nCentroids = 16, nProbe = 2)
     }),
 
     "sim_near_dups" -> ((s, dir) =>
@@ -337,29 +360,17 @@ object Queries {
         .select("conv_id", "turn_idx", "tok_idx", "vector")
     }),
 
-    "sim_brute_vs_lsh_recall" -> ((s, dir) => {
-      // ANN quality harness: LSH top-k recall against the exact baseline
-      val e = t(s, dir, "embeddings")
-      val q = e.where(col("vec_id") < 10)
-      val exact = Similarity.bruteForceTopK(e, q, k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val approx = Similarity.lshTopK(e, q, k = 5, planes = 8)
-        .select(col("query_id"), col("neighbor_id"))
-      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
-    }),
+    "sim_brute_vs_lsh_recall" -> ((s, dir) =>
+      // ANN quality harness: OR-amplified multi-table SRP, recall@5 as a
+      // NUMBER per query (zero-hit queries included, not dropped)
+      recallAt5(t(s, dir, "embeddings"), (e, q) =>
+        Similarity.lshTopK(e, q, k = 5, planes = 4, tables = 16))),
 
-    "sim_brute_vs_ivf_recall" -> ((s, dir) => {
-      // same recall harness for the IVF-flat scale path
-      val e = t(s, dir, "embeddings")
-      val q = e.where(col("vec_id") < 10)
-      val exact = Similarity.bruteForceTopK(e, q, k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val approx = Similarity.ivfTopK(e, q, k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
-    })
+    "sim_brute_vs_ivf_recall" -> ((s, dir) =>
+      // same recall harness for the IVF-flat scale path (probes widened for
+      // the quality measurement; search defaults stay nProbe=2)
+      recallAt5(t(s, dir, "embeddings"), (e, q) =>
+        Similarity.ivfTopK(e, q, k = 5, nCentroids = 16, nProbe = 6)))
   )
 
   // ------------------------------------------------------------- oracles —
@@ -702,6 +713,24 @@ object Queries {
          |FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
          |WHERE l.doc_id < r.doc_id""".stripMargin,
 
+    "dedup_star_edges" ->
+      s"""WITH $wordsCte, $shinglesCte,
+         |d AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |seeds AS (SELECT CAST(unnest(range(8)) AS INT) AS seed),
+         |sig AS (
+         |  SELECT doc_id, seed,
+         |    min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+         |  FROM d CROSS JOIN seeds GROUP BY doc_id, seed),
+         |b AS (
+         |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         |    md5(string_agg(CAST(seed AS VARCHAR) || '@' || minhash, '|'
+         |      ORDER BY CAST(seed AS VARCHAR) || '@' || minhash)) AS bucket
+         |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)),
+         |m AS (SELECT band, bucket, min(doc_id) AS mn FROM b GROUP BY 1, 2)
+         |SELECT DISTINCT m.mn AS a, b.doc_id AS b
+         |FROM b JOIN m ON b.band = m.band AND b.bucket = m.bucket
+         |WHERE b.doc_id <> m.mn""".stripMargin,
+
     "dedup_clusters" ->
       s"""WITH RECURSIVE $wordsCte, $shinglesCte,
          |d AS (SELECT DISTINCT doc_id, shingle FROM shingles),
@@ -874,7 +903,7 @@ object Queries {
     "sim_topk_ivf" ->
       """WITH cents AS (
         |  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
-        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
         |assign AS (
         |  SELECT vec_id AS neighbor_id, embedding, cell FROM (
         |    SELECT c.vec_id, c.embedding, ct.cell,
@@ -912,6 +941,86 @@ object Queries {
          |WHERE round(list_cosine_similarity(l.embedding::DOUBLE[],
          |                                   r.embedding::DOUBLE[]), 4) >= 0.9""".stripMargin
     },
+
+    "sim_brute_vs_lsh_recall" -> {
+      val bk = (0 until 16).map(t =>
+        s"SELECT e.vec_id, e.embedding, $t AS tbl, " +
+          s"${bucketSql("e.embedding", 4, t)} AS bucket FROM embeddings e")
+        .mkString("\nUNION ALL ")
+      s"""WITH bk AS (
+         |$bk),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+         |  FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |    AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10),
+         |sc AS (
+         |  SELECT qid, nid,
+         |    round(list_cosine_similarity(qe.embedding::DOUBLE[],
+         |                                 ce.embedding::DOUBLE[]), 4) AS cos
+         |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.qid
+         |            JOIN embeddings ce ON ce.vec_id = cand.nid),
+         |ar AS (SELECT qid, nid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM sc),
+         |approx AS (SELECT qid, nid FROM ar WHERE rnk <= 5),
+         |bs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+         |                                 c.embedding::DOUBLE[]), 4) AS cosine
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10),
+         |br AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM bs),
+         |brute AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 5)
+         |SELECT b.query_id, round(count(a.nid) / 5.0, 2) AS recall_at_5
+         |FROM brute b LEFT JOIN approx a
+         |  ON a.qid = b.query_id AND a.nid = b.neighbor_id
+         |GROUP BY b.query_id""".stripMargin
+    },
+
+    "sim_brute_vs_ivf_recall" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT vec_id AS nid, embedding, cell FROM (
+        |    SELECT c.vec_id, c.embedding, ct.cell,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        round(list_cosine_similarity(c.embedding::DOUBLE[], ct.cv), 4) DESC,
+        |        ct.cell DESC) AS rn
+        |    FROM embeddings c CROSS JOIN cents ct)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, embedding AS qemb, cell FROM (
+        |    SELECT q.vec_id, q.embedding, ct.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_cosine_similarity(q.embedding::DOUBLE[], ct.cv), 4) DESC,
+        |        ct.cell DESC) AS rn
+        |    FROM embeddings q CROSS JOIN cents ct WHERE q.vec_id < 10)
+        |  WHERE rn <= 6),
+        |sc AS (
+        |  SELECT p.qid, a.nid,
+        |    round(list_cosine_similarity(p.qemb::DOUBLE[],
+        |                                 a.embedding::DOUBLE[]), 4) AS cos
+        |  FROM probes p JOIN assign a ON p.cell = a.cell AND a.nid <> p.qid),
+        |ar AS (SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM sc),
+        |approx AS (SELECT qid, nid FROM ar WHERE rnk <= 5),
+        |bs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |                                 c.embedding::DOUBLE[]), 4) AS cosine
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10),
+        |br AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM bs),
+        |brute AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 5)
+        |SELECT b.query_id, round(count(a.nid) / 5.0, 2) AS recall_at_5
+        |FROM brute b LEFT JOIN approx a
+        |  ON a.qid = b.query_id AND a.nid = b.neighbor_id
+        |GROUP BY b.query_id""".stripMargin,
 
     "text_lang_id" -> {
       def ratio(lang: String): String = {

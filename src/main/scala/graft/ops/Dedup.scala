@@ -96,15 +96,48 @@ object Dedup {
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Candidate near-dup pairs from LSH buckets (a < b). */
+  /** Candidate near-dup pairs from LSH buckets (a < b), via the bucket
+   * all-pairs self-join. This emits d(d-1)/2 rows for a d-duplicate bucket,
+   * which is QUADRATIC in cluster size — use it only where the pairs
+   * themselves are needed (Jaccard verification), never to feed
+   * [[components]] (use [[minhashStarEdges]] there: same connectivity,
+   * O(d) edges). `maxBucket` caps the blowup: buckets larger than it are
+   * dropped from verification — at that size the docs are near-certain
+   * duplicates and cluster resolution handles them via star edges. */
   def minhashCandidates(docs: DataFrame, k: Int = 16, n: Int = 5, rowsPerBand: Int = 4,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = 1000): DataFrame = {
     val b = lshBucketsFromWide(minhashWide(docs, k, n, idCol, textCol), k, rowsPerBand, idCol)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .where(col("bsz") <= maxBucket)
     val l = b.select(col(idCol).as("a"), col("band"), col("bucket"))
     val r = b.select(col(idCol).as("b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
       .select("a", "b").distinct()
   }
+
+  /** Star edges per LSH bucket: (a = min id in bucket, b = every other id).
+   * A d-duplicate bucket emits d-1 edges instead of the all-pairs d(d-1)/2,
+   * and connected components over star edges equal components over all
+   * pairs (every bucket member is linked to the bucket minimum, so the
+   * bucket stays one component). This is THE candidate generator for
+   * cluster resolution at scale: a boilerplate document duplicated 10^6
+   * times costs 10^6 edges, not 5·10^11. */
+  def starEdges(buckets: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("band", "bucket")
+    buckets.withColumn("a", min(col(idCol)).over(w))
+      .where(col(idCol) =!= col("a"))
+      .select(col("a"), col(idCol).as("b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH candidate edges in star form — the scale path feeding
+   * [[components]]/[[keepCanonical]]: linear in duplicate-cluster size. */
+  def minhashStarEdges(docs: DataFrame, k: Int = 16, n: Int = 5, rowsPerBand: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    starEdges(
+      lshBucketsFromWide(minhashWide(docs, k, n, idCol, textCol), k, rowsPerBand, idCol),
+      idCol)
 
   /**
    * Connected components over candidate duplicate pairs — resolves pairwise
@@ -139,6 +172,15 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // Min-label propagation advances one hop per round; exiting via maxIter
+    // would silently return partially-merged clusters (splitting a duplicate
+    // group). Dedup graphs are near-cliques — and star edges have diameter 2
+    // — so non-convergence here means the edge set is not what this loop is
+    // for; fail loudly rather than emit wrong clusters.
+    require(converged,
+      s"components() did not converge after $maxIter rounds - component " +
+        "diameter exceeds maxIter; raise maxIter or use star-form edges " +
+        "(minhashStarEdges), whose components have diameter <= 2 per bucket")
     labels
   }
 

@@ -62,22 +62,28 @@ object Similarity {
     (java.lang.Long.parseLong(hex.substring(0, 6), 16).toDouble / (1 << 24)) * 2.0 - 1.0
   }
 
+  /** Plane id for (table t, plane p): table 0 keeps ids 0..planes-1 so the
+   * single-table form is unchanged; further tables draw fresh hyperplanes. */
+  private def planeId(table: Int, p: Int): Int = table * 100 + p
+
   /** P-bit sign-random-projection bucket id for an embedding column.
    * `dim > 0` precomputes the P plane vectors as literals (the md5s depend
    * only on (plane, dim) — without this every row re-derives planes·dim
-   * hashes); `dim = 0` falls back to the in-plan derivation. */
-  def srpBucket(vec: Column, planes: Int = 8, dim: Int = 0): Column = {
+   * hashes); `dim = 0` falls back to the in-plan derivation. `table` selects
+   * an independent hyperplane set (OR-amplification across tables). */
+  def srpBucket(vec: Column, planes: Int = 8, dim: Int = 0, table: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
+      val pid = planeId(table, p)
       val dotp =
         if (dim > 0)
           aggregate(
-            zip_with(vec, array((0 until dim).map(d => lit(planeValue(p, d))): _*),
+            zip_with(vec, array((0 until dim).map(d => lit(planeValue(pid, d))): _*),
               (v, w) => v.cast("double") * w),
             lit(0.0), (acc, v) => acc + v)
         else
           aggregate(
             zip_with(vec, sequence(lit(0), size(vec) - 1),
-              (v, i) => v.cast("double") * planeComponent(p, i)),
+              (v, i) => v.cast("double") * planeComponent(pid, i)),
             lit(0.0), (acc, v) => acc + v)
       when(dotp >= 0, 1 << p).otherwise(0)
     }
@@ -94,25 +100,45 @@ object Similarity {
    * cosine re-rank per query, top-k. The bucket join replaces the cross
    * join — at 10^9 vectors with 8 planes the expected candidate set shrinks
    * ~256×; increase `planes` with corpus size.
+   *
+   * Recall amplification, both OR-style:
+   *  - `tables` > 1: L independent hyperplane sets (the minhash banding
+   *    trick applied to SRP) — a neighbor is a candidate if it collides in
+   *    ANY table. Corpus-side cost is L bucket rows per vector (explode),
+   *    NOT L copies of the vector payload through the shuffle: candidates
+   *    are deduped on (query, neighbor) before re-ranking.
+   *  - `multiProbe`: each query additionally probes every hamming-1 bucket
+   *    per table; corpus side is untouched.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, planes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      multiProbe: Boolean = false): DataFrame = {
+      multiProbe: Boolean = false, tables: Int = 1): DataFrame = {
     val dim = dimOf(corpus, vecCol)
-    val c = Par.spread(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      srpBucket(col(vecCol), planes, dim).as("bucket"))
-    // multi-probe: a query also searches every hamming-1 neighbor bucket
-    // (one flipped plane bit) — planes+1 probes, recall up at the cost of
-    // ~planes× more candidate pairs; corpus side is untouched
-    val qBucket = srpBucket(col(vecCol), planes, dim)
-    val probeBuckets =
-      if (!multiProbe) array(qBucket)
-      else array((qBucket +: (0 until planes).map(p =>
-        qBucket.bitwiseXOR(lit(1 << p)))): _*)
+    val cBuckets = array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"), srpBucket(col(vecCol), planes, dim, t).as("bucket"))): _*)
+    val c = Par.spread(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        explode(cBuckets).as("tb"))
+      .select(col("neighbor_id"), col("cv"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val qProbes = array((0 until tables).flatMap { t =>
+      val qBucket = srpBucket(col(vecCol), planes, dim, t)
+      val probes =
+        if (!multiProbe) Seq(qBucket)
+        else qBucket +: (0 until planes).map(p => qBucket.bitwiseXOR(lit(1 << p)))
+      probes.map(b => struct(lit(t).as("tbl"), b.as("bucket")))
+    }: _*)
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(probeBuckets).as("bucket")))
-    val scored = c.join(q, Seq("bucket"))
+      explode(qProbes).as("tb"))
+      .select(col("query_id"), col("qv"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
+    val joined = c.join(q, Seq("tbl", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
+    // dedup across tables BEFORE the cosine: one re-rank per candidate pair
+    // (within one table a pair collides at most once — skip the shuffle)
+    val cands = if (tables > 1) joined.dropDuplicates("query_id", "neighbor_id")
+                else joined
+    val scored = cands
       .withColumn("cosine", round(cosine(col("qv"), col("cv")), 4))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -123,42 +149,46 @@ object Similarity {
 
   /**
    * IVF-flat ANN (the second scale path besides SRP-LSH): centroids are a
-   * deterministic sample of the corpus (`vec_id % centroidStride == 0` —
-   * an oracle-expressible stand-in for k-means training), every vector is
+   * deterministic FIXED-BUDGET sample of the corpus (hash-ordered LIMIT —
+   * an oracle-expressible stand-in for k-means‖ training), every vector is
    * assigned to its best cell, and each query probes its `nProbe` best
    * cells with exact re-ranking inside.
    *
-   * Scale shape: the centroid table is tiny (≤ a few thousand rows at any
-   * corpus size — it is collected once and embedded as literals), so cell
-   * assignment is a pure per-row expression: NO shuffle to build the
-   * inverted file, one (cell)-keyed join corpus-side to search. Assignment
-   * cosines are rounded to 4dp with cell-id tie-breaks so the partitioning
-   * is deterministic and engine-independent (DuckDB-checkable).
+   * Scale shape: the centroid set is bounded by `nCentroids` REGARDLESS of
+   * corpus size and is never collected to the driver — it is aggregated
+   * into a single array-of-structs row and broadcast (one tiny
+   * BroadcastNestedLoopJoin), so cell assignment stays a pure per-row
+   * expression: NO corpus-side shuffle to build the inverted file, one
+   * (cell)-keyed broadcast join to search, executor memory bounded by
+   * nCentroids·dim doubles. Assignment cosines are rounded to 4dp with
+   * cell-id tie-breaks so the partitioning is deterministic and
+   * engine-independent (DuckDB-checkable). An empty corpus yields an empty
+   * centroid array and an empty (not erroring) result.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      centroidStride: Long = 100, nProbe: Int = 2,
+      nCentroids: Int = 16, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // centroid cells: (cell_id = centroid vec_id, centroid vector literal)
-    val cents: Array[(Long, Array[Double])] = corpus
-      .where(pmod(col(idCol), lit(centroidStride)) === 0)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    // bounded deterministic sample: order by md5(id) = uniform-ish draw
+    val cents = corpus
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nCentroids)
+      .select(col(idCol).cast("long").as("cell"),
+        col(vecCol).cast("array<double>").as("cv"))
+    // one broadcast row carrying all centroids; downstream sorts by
+    // (cosine, cell) so collect_list's order never matters
+    val centsRow = broadcast(
+      cents.agg(collect_list(struct(col("cell"), col("cv"))).as("cents")))
 
     // best = max over struct(cosine4, cell_id): highest cosine, tie → higher id
-    def bestCells(vec: Column, n: Int): Column = {
-      val scored = cents.map { case (cid, cv) =>
-        val cvCol = array(cv.map(lit): _*)
-        struct(round(cosine(vec, cvCol), 4).as("c"), lit(cid).as("cell"))
-      }
-      slice(reverse(array_sort(array(scored: _*))), 1, n)
-    }
+    def bestCells(vec: Column, n: Int): Column =
+      slice(reverse(array_sort(transform(col("cents"), c =>
+        struct(round(cosine(vec, c.getField("cv")), 4).as("c"),
+          c.getField("cell").as("cell"))))), 1, n)
 
-    val assigned = Par.spread(corpus).select(
+    val assigned = Par.spread(corpus).crossJoin(centsRow).select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      element_at(bestCells(col(vecCol), 1), 1).getField("cell").as("cell"))
-    val probes = broadcast(queries.select(
+      get(bestCells(col(vecCol), 1), lit(0)).getField("cell").as("cell"))
+    val probes = broadcast(queries.crossJoin(centsRow).select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(transform(bestCells(col(vecCol), nProbe), s => s.getField("cell")))
         .as("cell")))

@@ -58,10 +58,37 @@ class DedupSpec extends SparkSpec {
 
   test("keepCanonical keeps one doc per planted duplicate cluster") {
     val d = docs()
-    val kept = Dedup.keepCanonical(d, Dedup.minhashCandidates(d, k = 16, rowsPerBand = 4))
+    val kept = Dedup.keepCanonical(d, Dedup.minhashStarEdges(d, k = 16, rowsPerBand = 4))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept.contains(0L) && !kept.contains(1L),
       s"canonical selection wrong: $kept")
     assert(kept.contains(3L) && kept.contains(4L))
+  }
+
+  test("star edges are identical in connectivity to all-pairs candidates") {
+    val d = docs()
+    val viaStar = Dedup.components(Dedup.minhashStarEdges(d, k = 16, rowsPerBand = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaPairs = Dedup.components(Dedup.minhashCandidates(d, k = 16, rowsPerBand = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStar == viaPairs, s"star=$viaStar pairs=$viaPairs")
+  }
+
+  test("a 10^4-duplicate cluster emits O(d) star edges, not O(d^2) pairs") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dup = "identical boilerplate footer text repeated across the whole " +
+      "crawl with the same words in the same order every single time"
+    val dN = 10000
+    val big = spark.range(dN).select(col("id").as("doc_id"), lit(dup).as("text"))
+      .union(Seq((dN.toLong, "one unrelated document to keep the corpus honest"))
+        .toDF("doc_id", "text"))
+    val edges = Dedup.minhashStarEdges(big, k = 8, rowsPerBand = 4)
+    // d-1 edges per bucket-cluster, all anchored at the minimum id — linear,
+    // where the all-pairs self-join would emit ~5*10^7 rows
+    assert(edges.count() == dN - 1)
+    assert(edges.agg(min("a"), max("a")).collect().head.toSeq == Seq(0L, 0L))
+    val clusters = Dedup.components(edges).where(col("cluster_id") === 0).count()
+    assert(clusters == dN)
   }
 }

