@@ -350,7 +350,16 @@ object Queries {
         .select(concat(lit("doc"), col("doc_id")).as("conv_id"),
           lit(0).as("turn_idx"), col("text")))),
 
-    "tei_documents" -> ((s, dir) =>
+    "tei_documents" -> ((s, dir) => {
+      // A10 TEI wrapper + A5 lang-ID over the segmenter's zone spans —
+      // fully SQL-expressible (the FSM-labeled body TEI is the rows-only
+      // sibling tei_body_documents, byte-covered by AssemblyFixtureSpec)
+      val zoned = Labeler.zones(
+        Features.segmenter(Structure.keptLines(transcripts(s, dir))))
+      Assemble.teiDocuments(Assemble.zoneSpans(zoned))
+    }),
+
+    "tei_body_documents" -> ((s, dir) =>
       Pipeline.extractTei(transcripts(s, dir))),
 
     "k1_feature_vectors" -> ((s, dir) => {
@@ -677,6 +686,175 @@ object Queries {
       s"""WITH $transcriptsCte
          |SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS rawtext
          |FROM transcripts GROUP BY conv_id""".stripMargin,
+
+    "tei_documents" -> {
+      def ratio(lang: String): String = {
+        val list = TextStats.stopwords(lang).map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(ws, w -> w IN ($list))) * 1.0 / greatest(len(ws), 1)"
+      }
+      s"""WITH $zoneCte,
+         |spans AS (
+         |  SELECT conv_id, segment_id, min(zone) AS label,
+         |    string_agg(replace(replace(replace(replace(replace(replace(text,
+         |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'),
+         |      '''', '&apos;'), '@BULLET', '•') || ' <lb/>', e'\\n\\n'
+         |      ORDER BY turn_idx) AS text
+         |  FROM segs GROUP BY conv_id, segment_id),
+         |sx AS (
+         |  SELECT conv_id, segment_id, text,
+         |    CASE WHEN label = '<other>'
+         |      THEN '<note type="other">' || text || '</note>'
+         |      ELSE label || text || '</' ||
+         |        replace(replace(label, '<', ''), '>', '') || '>' END AS span_xml
+         |  FROM spans),
+         |dx AS (
+         |  SELECT conv_id,
+         |    string_agg(span_xml, e'\\n\\n' ORDER BY segment_id) AS spans_xml,
+         |    substr(string_agg(substr(text, 1, 500), ' ' ORDER BY segment_id),
+         |           1, 500) AS sample
+         |  FROM sx GROUP BY conv_id),
+         |lw AS (
+         |  SELECT *, list_filter(string_split_regex(lower(trim(sample)), '\\s+'),
+         |                        w -> w <> '') AS ws
+         |  FROM dx),
+         |lr AS (
+         |  SELECT conv_id, spans_xml, sample,
+         |    ${ratio("de")} AS r_de, ${ratio("en")} AS r_en,
+         |    ${ratio("es")} AS r_es, ${ratio("fr")} AS r_fr
+         |  FROM lw),
+         |lg AS (
+         |  SELECT conv_id, spans_xml,
+         |    CASE WHEN length(regexp_replace(sample, '[^\\p{Han}]', '', 'g')) * 2
+         |           > length(sample) THEN 'zh'
+         |         WHEN greatest(r_de, r_en, r_es, r_fr) <= 0.05 THEN 'fr'
+         |         WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de THEN 'fr'
+         |         WHEN r_es >= r_en AND r_es >= r_de THEN 'es'
+         |         WHEN r_en >= r_de THEN 'en'
+         |         ELSE 'de' END AS lang
+         |  FROM lr)
+         |SELECT conv_id,
+         |  e'<?xml version="1.0" ?>\\n<tei xml:space="preserve">\\n\\t<teiHeader>' ||
+         |  e'\\n\\t\\t<fileDesc xml:id="' || conv_id ||
+         |  e'"/>\\n\\t</teiHeader>\\n\\t<text xml:lang="' || lang || e'">\\n' ||
+         |  spans_xml || e'\\n\\n\\t</text>\\n</tei>\\n' AS tei
+         |FROM lg""".stripMargin
+    },
+
+    "k1_feature_vectors" -> {
+      // the delimiter tokenizer WITH exact separators, as a recursive CTE:
+      // each step peels ^(whitespace*)(delimiter | non-delimiter-run)(rest)
+      val d = """(\[•*,:;?.!/)\-–−‐«»„”“‘’''`$\]""""
+      val step = s"'^([ \\n\\r\\t\\f ]*)([$d]|[^ \\n\\r\\t\\f $d]+)(.*)$$'"
+      val linScale12 = (v: String, mx: String) =>
+        s"CASE WHEN $mx <= 0 THEN 0 WHEN $v >= $mx THEN 12 WHEN $v <= 0 THEN 0 " +
+          s"ELSE CAST(floor($v * 12.0 / $mx) AS INT) END"
+      s"""WITH RECURSIVE $transcriptsCte,
+         |kl AS (
+         |  SELECT conv_id, turn_idx, role, text AS line,
+         |    regexp_extract(text, '[ \\t\\f ]*$$') AS line_trailing
+         |  FROM transcripts
+         |  WHERE text IS NOT NULL AND trim(text) <> ''
+         |    AND text NOT LIKE '%@IMAGE%' AND text NOT LIKE '%@PAGE%'
+         |    AND text NOT LIKE '%.pbm%' AND text NOT LIKE '%.svg%'
+         |    AND text NOT LIKE '%.png%' AND text NOT LIKE '%.jpg%'),
+         |kl2 AS (
+         |  SELECT conv_id, turn_idx, role, line,
+         |    coalesce(lag(line_trailing) OVER w, '') AS prev_trailing,
+         |    CASE WHEN lag(turn_idx) OVER w IS NULL THEN 0 ELSE 1 END AS line_gap
+         |  FROM kl WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+         |tk(conv_id, turn_idx, role, prev_trailing, line_gap,
+         |   tok_idx, rest, tok, sep) AS (
+         |  SELECT conv_id, turn_idx, role, prev_trailing, line_gap,
+         |    -1, line, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM kl2
+         |  UNION ALL
+         |  SELECT conv_id, turn_idx, role, prev_trailing, line_gap,
+         |    tok_idx + 1,
+         |    regexp_extract(rest, $step, 3),
+         |    regexp_extract(rest, $step, 2),
+         |    regexp_extract(rest, $step, 1)
+         |  FROM tk WHERE regexp_matches(rest, '[^ \\n\\r\\t\\f ]')),
+         |toks AS (
+         |  SELECT conv_id, turn_idx, role, CAST(tok_idx AS INT) AS tok_idx, tok,
+         |    CASE WHEN tok_idx = 0
+         |      THEN prev_trailing || repeat(chr(10), line_gap) || sep
+         |      ELSE sep END AS sep_before
+         |  FROM tk WHERE tok_idx >= 0),
+         |st AS (
+         |  SELECT *,
+         |    tok_idx = 0 AS first_b,
+         |    tok_idx = max(tok_idx) OVER (PARTITION BY conv_id, turn_idx) AS last_b,
+         |    (turn_idx, tok_idx) = (max((turn_idx, tok_idx))
+         |       OVER (PARTITION BY conv_id)) AS conv_last,
+         |    lag(role) OVER wt AS prev_role,
+         |    lag(CASE role WHEN 'system' THEN 3 WHEN 'tool' THEN 1 ELSE 2 END)
+         |      OVER wt AS prev_fsz,
+         |    CASE role WHEN 'system' THEN 3 WHEN 'tool' THEN 1 ELSE 2 END AS fsz,
+         |    coalesce(sum(length(tok) + length(sep_before)) OVER (
+         |      PARTITION BY conv_id ORDER BY turn_idx, tok_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn,
+         |    sum(length(tok) + length(sep_before))
+         |      OVER (PARTITION BY conv_id) AS doc_len,
+         |    length(regexp_extract(
+         |      first_value(sep_before) OVER (PARTITION BY conv_id, turn_idx
+         |        ORDER BY tok_idx), '[ \\t]*$$')) AS lsp
+         |  FROM toks
+         |  WINDOW wt AS (PARTITION BY conv_id ORDER BY turn_idx, tok_idx)),
+         |al AS (
+         |  SELECT conv_id, turn_idx, lsp,
+         |    lag(lsp) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_lsp
+         |  FROM (SELECT DISTINCT conv_id, turn_idx, lsp FROM st)),
+         |al2 AS (
+         |  SELECT conv_id, turn_idx,
+         |    coalesce(last_value(
+         |      CASE WHEN lsp - prev_lsp > 1 THEN 'LINEINDENT'
+         |           WHEN lsp - prev_lsp < -1 THEN 'ALIGNEDLEFT' END
+         |      IGNORE NULLS) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |        ROWS UNBOUNDED PRECEDING), 'ALIGNEDLEFT') AS align
+         |  FROM al)
+         |SELECT st.conv_id, st.turn_idx, st.tok_idx, concat_ws(' ',
+         |  tok, lower(tok),
+         |  CASE WHEN length(tok) <= 1 THEN tok ELSE substr(tok, 1, 1) END,
+         |  CASE WHEN length(tok) <= 2 THEN tok ELSE substr(tok, 1, 2) END,
+         |  CASE WHEN length(tok) <= 3 THEN tok ELSE substr(tok, 1, 3) END,
+         |  CASE WHEN length(tok) <= 4 THEN tok ELSE substr(tok, 1, 4) END,
+         |  CASE WHEN length(tok) <= 1 THEN tok ELSE right(tok, 1) END,
+         |  CASE WHEN length(tok) <= 2 THEN tok ELSE right(tok, 2) END,
+         |  CASE WHEN length(tok) <= 3 THEN tok ELSE right(tok, 3) END,
+         |  CASE WHEN length(tok) <= 4 THEN tok ELSE right(tok, 4) END,
+         |  CASE WHEN first_b THEN 'BLOCKSTART'
+         |       WHEN last_b AND NOT conv_last THEN 'BLOCKEND'
+         |       ELSE 'BLOCKIN' END,
+         |  CASE WHEN first_b THEN 'LINESTART'
+         |       WHEN last_b AND NOT conv_last THEN 'LINEEND'
+         |       ELSE 'LINEIN' END,
+         |  al2.align,
+         |  CASE WHEN prev_role IS NULL OR prev_role <> role
+         |       THEN 'NEWFONT' ELSE 'SAMEFONT' END,
+         |  CASE WHEN prev_fsz IS NULL THEN 'HIGHERFONT'
+         |       WHEN fsz = prev_fsz THEN 'SAMEFONTSIZE'
+         |       WHEN fsz > prev_fsz THEN 'HIGHERFONT'
+         |       ELSE 'LOWERFONT' END,
+         |  '0', '0',
+         |  CASE WHEN regexp_matches(tok, '^[0-9]+$$') THEN 'NOCAPS'
+         |       WHEN NOT regexp_matches(tok, '\\p{Ll}') THEN 'ALLCAP'
+         |       WHEN regexp_matches(substr(tok, 1, 1), '^\\p{Lu}') THEN 'INITCAP'
+         |       ELSE 'NOCAPS' END,
+         |  CASE WHEN regexp_matches(tok, '^[0-9]+$$') THEN 'ALLDIGIT'
+         |       WHEN regexp_matches(tok, '[0-9]') THEN 'CONTAINSDIGITS'
+         |       ELSE 'NODIGIT' END,
+         |  CASE WHEN length(tok) = 1 THEN '1' ELSE '0' END,
+         |  CASE WHEN tok IN ('(', '[') THEN 'OPENBRACKET'
+         |       WHEN tok IN (')', ']') THEN 'ENDBRACKET'
+         |       WHEN tok = '.' THEN 'DOT' WHEN tok = ',' THEN 'COMMA'
+         |       WHEN tok = '-' THEN 'HYPHEN'
+         |       WHEN tok IN ('"', '''', '`') THEN 'QUOTE'
+         |       WHEN regexp_matches(tok, '^[,:;?.]+$$') THEN 'PUNCT'
+         |       ELSE 'NOPUNCT' END,
+         |  ${linScale12("nn", "doc_len")},
+         |  '0',
+         |  '0') AS vector
+         |FROM st JOIN al2 ON st.conv_id = al2.conv_id AND st.turn_idx = al2.turn_idx""".stripMargin
+    },
 
     "dedup_exact" ->
       """WITH f AS (
