@@ -21,6 +21,14 @@ object Explain {
     dump("extractDocuments (document mode)",
       graft.extract.Pipeline.extractDocuments(
         turns.select("conv_id", "turn_idx", "text")))
+    // modeled stage-1: train a tiny model (labels don't matter for plan
+    // shape) and show the window-assembled score path adds no exchange
+    val zoned = graft.extract.Labeler.zonesContent(
+      graft.extract.Structure.keptLines(turns))
+    val model = graft.extract.ZoneModel.train(zoned)
+    dump("extractDocumentsModeled (trained stage-1)",
+      graft.extract.Pipeline.extractDocumentsModeled(
+        turns.select("conv_id", "turn_idx", "text"), model))
     spark.stop()
   }
 }

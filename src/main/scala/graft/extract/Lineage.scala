@@ -18,43 +18,74 @@ import scala.collection.concurrent.TrieMap
  */
 object Lineage {
 
-  final class PartitionStats extends AccumulatorV2[(Int, Long, Long), Map[Int, (Long, Long)]] {
+  /**
+   * Per-partition (rows, bytes) accumulator with two merge modes:
+   *
+   *  - `dedupe = true` (row/byte totals): each task attempt reports its
+   *    partition's FINAL totals once; duplicate successful attempts (stage
+   *    resubmission, speculative execution) report identical values —
+   *    max-merge makes the result exactly-once for deterministic input.
+   *  - `dedupe = false` (failure events): plain summation. Spark applies
+   *    user-accumulator updates only from successful tasks, but a stage
+   *    retry can replay a whole successful task, so these counts are
+   *    AT-LEAST-ONCE — fine for a best-effort failure signal, never use
+   *    this mode for row/byte accounting.
+   */
+  final class PartitionStats(dedupe: Boolean = false)
+      extends AccumulatorV2[(Int, Long, Long), Map[Int, (Long, Long)]] {
     private val m = TrieMap.empty[Int, (Long, Long)]
     def isZero: Boolean = m.isEmpty
-    def copy(): PartitionStats = { val c = new PartitionStats; m.foreach(kv => c.m += kv); c }
+    def copy(): PartitionStats = { val c = new PartitionStats(dedupe); m.foreach(kv => c.m += kv); c }
     def reset(): Unit = m.clear()
     def add(v: (Int, Long, Long)): Unit = {
       val (p, r, b) = v
       val (r0, b0) = m.getOrElse(p, (0L, 0L))
-      m.update(p, (r0 + r, b0 + b))
+      if (dedupe) m.update(p, (math.max(r0, r), math.max(b0, b)))
+      else m.update(p, (r0 + r, b0 + b))
     }
     def merge(other: AccumulatorV2[(Int, Long, Long), Map[Int, (Long, Long)]]): Unit =
-      other.value.foreach { case (p, (r, b)) =>
-        val (r0, b0) = m.getOrElse(p, (0L, 0L))
-        m.update(p, (r0 + r, b0 + b))
-      }
+      other.value.foreach { case (p, (r, b)) => add((p, r, b)) }
     def value: Map[Int, (Long, Long)] = m.toMap
   }
 
-  /** Register a fresh accumulator for a stage. */
+  /** Register a fresh summing (at-least-once) accumulator — failure events. */
   def newStats(spark: SparkSession, name: String): PartitionStats = {
     val acc = new PartitionStats
     spark.sparkContext.register(acc, s"lineage_$name")
     acc
   }
 
+  /** Register a fresh deduping (exactly-once totals) accumulator. */
+  def newTotals(spark: SparkSession, name: String): PartitionStats = {
+    val acc = new PartitionStats(dedupe = true)
+    spark.sparkContext.register(acc, s"lineage_$name")
+    acc
+  }
+
   /** Pass-through that counts rows and serialized text bytes per partition.
-   * `textCols` contribute to the byte counter. */
+   * `textCols` contribute to the byte counter. Totals are accumulated
+   * task-locally and reported once at partition exhaustion, so `acc` MUST
+   * be a dedupe accumulator ([[newTotals]]) — retries then re-report the
+   * same totals instead of inflating them. */
   def withPartitionLineage(df: DataFrame, acc: PartitionStats, textCols: Seq[String]): DataFrame = {
     val schema = df.schema
     val idxs = textCols.map(schema.fieldIndex)
     df.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      it.map { r =>
-        var bytes = 0L
-        idxs.foreach { i => if (!r.isNullAt(i)) bytes += r.getString(i).length.toLong }
-        acc.add((pid, 1L, bytes))
-        r
+      new Iterator[Row] {
+        private var rows = 0L
+        private var bytes = 0L
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h) acc.add((pid, rows, bytes)) // idempotent under max-merge
+          h
+        }
+        def next(): Row = {
+          val r = it.next()
+          rows += 1
+          idxs.foreach { i => if (!r.isNullAt(i)) bytes += r.getString(i).length.toLong }
+          r
+        }
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }

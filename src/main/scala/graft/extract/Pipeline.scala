@@ -157,7 +157,7 @@ object Pipeline {
     val labeled = io.committedSnapshot("labeled") match {
       case Some(_) => io.read(spark, "labeled")
       case None =>
-        val acc = Lineage.newStats(spark, "labeled")
+        val acc = Lineage.newTotals(spark, "labeled")
         val fails = Lineage.newStats(spark, "labeled_failures")
         val out = Lineage.withPartitionLineage(
           labeledBodyTokens(turns, Some(fails)), acc, Seq("tok", "sep_before"))
@@ -170,7 +170,7 @@ object Pipeline {
     io.committedSnapshot("spans") match {
       case Some(_) => io.read(spark, "spans")
       case None =>
-        val acc = Lineage.newStats(spark, "spans")
+        val acc = Lineage.newTotals(spark, "spans")
         val spans = Lineage.withPartitionLineage(
           Assemble.bodySpans(labeled), acc, Seq("text"))
         io.commit(spans, "spans", runId)

@@ -143,19 +143,28 @@ object ZoneModel {
    */
   def apply(lines: DataFrame, model: Model, lineCol: String = "line",
       smooth: Int = 0): DataFrame = {
-    // join scores back on the natural line key — NOT monotonically_increasing_id,
-    // which is re-evaluated per plan branch and would scramble the join
-    val key = Seq("conv_id", "turn_idx", "line_in_turn")
+    // Score assembly is a WINDOW over the exploded features, not a groupBy
+    // + join-back on the line key: explode → broadcast-join weights (left,
+    // so OOV features contribute 0) → per-line window sum → keep the first
+    // feature row of each line. The line-keyed window's ClusteredDistribution
+    // is satisfied by the pipeline's existing hash(conv_id) exchange
+    // (partitioning expressions ⊆ clustering keys), so the modeled path
+    // adds NO exchange — the old join added two conv-prefixed shuffles and
+    // recomputed the feature branch twice.
     val keyed = withFeatures(lines, lineCol)
-    val scoreCols = model.labels.indices.map(i => sum(col(s"w_$i")).as(s"s_$i"))
-    val scores = keyed
-      .select(key.map(col) :+ explode(col("_feats")).as("f"): _*)
-      .join(broadcast(model.weights), Seq("f"))
-      .groupBy(key.map(col): _*)
-      .agg(scoreCols.head, scoreCols.tail: _*)
-    val withScores = keyed.join(scores, key, "left")
+    val wLine = Window.partitionBy("conv_id", "turn_idx", "line_in_turn")
+    val summed = model.labels.indices.foldLeft(
+      keyed
+        .select(col("*"), posexplode(col("_feats")).as(Seq("_fi", "f")))
+        .join(broadcast(model.weights), Seq("f"), "left")) { (df, i) =>
+        df.withColumn(s"s_$i", sum(coalesce(col(s"w_$i"), lit(0.0))).over(wLine))
+      }
+      .where(col("_fi") === 0)
+      .drop("f", "_fi")
+      .drop(model.labels.indices.map(i => s"w_$i"): _*)
+    val withScores = summed
     def total(i: Int): Column =
-      coalesce(col(s"s_$i"), lit(0.0)) + lit(model.priors(model.labels(i)))
+      col(s"s_$i") + lit(model.priors(model.labels(i)))
     val smoothed =
       if (smooth <= 0) model.labels.indices.map(total)
       else {

@@ -19,14 +19,21 @@ import org.apache.spark.sql.functions._
  */
 object Training {
 
-  /** S5: raw featured files → (doc_id, row_idx, line, token) rows. */
+  /** S5: raw featured files → (doc_id, row_idx, line, token) rows.
+   * Files are read whole (`wholetext`) so per-file line order is derived
+   * from an explicit position index — `monotonically_increasing_id()` over
+   * split files would scramble row_idx whenever one file spans input
+   * splits (split packing order is size-based, not offset-based). Trainer
+   * files are small (test harness); one row per file is bounded. */
   def rawFeatureRows(spark: SparkSession, pathGlob: String): DataFrame =
-    spark.read.text(pathGlob)
-      .select(input_file_name().as("doc_id"), col("value").as("line"))
+    spark.read.option("wholetext", "true").text(pathGlob)
+      .select(input_file_name().as("doc_id"),
+        posexplode(split(col("value"), "\n")).as(Seq("pos", "line")))
       .where(trim(col("line")) =!= "")
       .withColumn("row_idx",
-        row_number().over(Window.partitionBy("doc_id").orderBy(monotonically_increasing_id())) - 1)
-      .withColumn("token", split(col("line"), " ").getItem(0))
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")) - 1)
+      .select(col("doc_id"), col("row_idx"), col("line"),
+        split(col("line"), " ").getItem(0).as("token"))
 
   /** Unicode normalization used by the trainer before token comparison
    * (`UnicodeUtil.normaliseTextAndRemoveSpaces`, called at
