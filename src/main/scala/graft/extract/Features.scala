@@ -203,7 +203,17 @@ object Features {
           .orderBy(col("turn_idx"), col("line_in_turn"))))
       .withColumn("f_firstRepetitive", col("f_repetitive") && col("rep_rank") === 1)
 
-    withRep
+    // lexicon flags (cols 16-18 of the 33-col row): broadcast left join
+    // against the in-jar wordlists — BroadcastHashJoin, no added exchange
+    val lex = broadcast(graft.text.Lexicon.table(lines.sparkSession))
+    val withLex = withRep
+      .withColumn("lex_word", lower(col("f_string")))
+      .join(lex, Seq("lex_word"), "left")
+      .withColumn("f_properName", coalesce(col("lex_proper"), lit(false)))
+      .withColumn("f_commonName", coalesce(col("lex_common"), lit(false)))
+      .drop("lex_word", "lex_proper", "lex_common")
+
+    withLex
       .withColumn("f_digit", digitClass(col("f_string")))
       .withColumn("f_capitalisation", capitalisation(col("f_string"), col("f_digit")))
       .withColumn("f_singleChar", length(col("f_string")) === 1)
@@ -228,9 +238,10 @@ object Features {
   }
 
   /** 33-column serialized row (`FeaturesVectorDatacatSegmenter.printVector()`
-   * order; dictionary flags properName/commonName/firstName are constant 0 —
-   * transcripts carry no lexicon, reference prints them from lexicon lookups
-   * we do not reproduce). */
+   * order; properName/commonName come from the derived broadcast lexicon
+   * ([[graft.text.Lexicon]]); firstName never fires in the reference corpus
+   * and stays a constant 0 — all three fixture-verified in
+   * SegFeatureFixtureSpec). */
   def segmenterVector(df: DataFrame): Column = concat_ws(" ",
     col("f_string"),
     col("f_second"),
@@ -242,7 +253,8 @@ object Features {
     lit("0"), lit("0"), // bold, italic
     col("f_capitalisation"), col("f_digit"),
     bool01(col("f_singleChar")),
-    lit("0"), lit("0"), lit("0"), // properName, commonName, firstName
+    bool01(col("f_properName")), bool01(col("f_commonName")),
+    lit("0"), // firstName: never set anywhere in the reference corpus
     bool01(col("f_year")), bool01(col("f_month")),
     bool01(col("f_email")), bool01(col("f_http")),
     col("f_relDocPos"), col("f_relPagePos"),

@@ -7,15 +7,17 @@ import graft.extract.Features
  * Segmenter (line-level, 33-col) feature pipeline vs the 416-document gold
  * corpus: every text-derivable column must match the fixture bytes through
  * the Spark window pipeline — token, secondToken, lowercase, prefixes,
- * blockStatus, capitalisation, digit, singleChar, year/month/email/http
- * flags, punctuationProfile + count (16 of 33 columns; the rest encode PDF
- * geometry/fonts/pages or lexicon lookups the transcripts graft redefines).
+ * blockStatus, capitalisation, digit, singleChar, properName/commonName/
+ * firstName lexicon flags, year/month/email/http flags, punctuationProfile
+ * + count (20 of 33 columns; the rest encode PDF geometry/fonts/pages the
+ * transcripts graft redefines).
  */
 class SegFeatureFixtureSpec extends SparkSpec {
 
   assume(Fixtures.available)
 
-  private val checkedCols = Seq(0, 1, 2, 3, 4, 5, 6, 7, 13, 14, 15, 19, 20, 21, 22, 25, 26)
+  private val checkedCols =
+    Seq(0, 1, 2, 3, 4, 5, 6, 7, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 25, 26)
 
   test("segmenter feature columns match fixtures (Spark pipeline, full corpus)") {
     val sparkS = spark
