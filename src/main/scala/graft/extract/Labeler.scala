@@ -202,6 +202,20 @@ object Labeler {
   private[extract] val entryStartRe = "^(\\p{Nd}+|[iIjJ!,]\\p{Nd}*|[iIjJ]{1,3})$".r
   private[extract] val dashSet = Set("-", "_", "–", "−", ".")
 
+  /** Pure line-shape test for "starts a lot entry" — shared between the
+   * classifier and the drivers' ONE-LINE LOOKAHEAD (the CRF's window
+   * templates see following lines; the FSM approximates that with exactly
+   * one line of lookahead, which is what separates a section heading from
+   * an entry continuation right above the next lot marker). */
+  private[graft] def isEntryLine(toks: collection.Seq[String]): Boolean =
+    toks.nonEmpty && toks.head != null && {
+      // null-tolerant: runs in the drivers' lookahead OUTSIDE the per-line
+      // error isolation (a malformed NEXT line must not kill the current)
+      val head = toks.head
+      entryStartRe.findFirstIn(head).isDefined &&
+        ((toks.size > 1 && dashSet(toks(1))) || head.forall(_.isDigit))
+    }
+
   /** The body FSM's line-classification state machine, shared by the
    * label-emitting and span-emitting (fused) passes — and by the custom
    * physical operator ([[graft.plans.BodySpansExec]]) — so they cannot
@@ -211,17 +225,23 @@ object Labeler {
     private var openLabel: String = null
     private var lastWasTitle = false
     private var lastWasGrade = false
+    private var lastGradeAlpha = false
 
     /** Returns (base label, starts-new-span) and advances the state.
+     * `nextIsEntry` = the FOLLOWING line of the same conversation starts a
+     * lot entry ([[isEntryLine]]) — supplied by the drivers' one-line
+     * lookahead; false at conversation/input end.
      *
      * Hot path of the whole pipeline (runs once per line inside the FSM
      * mapPartitions): every line-shape statistic is gathered in ONE manual
      * scan over the tokens, no intermediate collections. Heading-rule
-     * semantics are pinned by LabelerEvalSpec (98.8% vs gold) and the
+     * semantics are pinned by LabelerEvalSpec (99.5 vs gold) and the
      * fused≡declarative differential. */
-    def classify(conv: String, toks: collection.Seq[String], caps: collection.Seq[String]): (String, Boolean) = {
+    def classify(conv: String, toks: collection.Seq[String], caps: collection.Seq[String],
+        nextIsEntry: Boolean): (String, Boolean) = {
       if (conv != curConv) {
-        openLabel = null; lastWasTitle = false; lastWasGrade = false; curConv = conv
+        openLabel = null; lastWasTitle = false; lastWasGrade = false
+        lastGradeAlpha = false; curConv = conv
       }
       val n = toks.size
       // one pass: alpha-token stats, digit/roman/paren/dash shape flags
@@ -230,7 +250,7 @@ object Labeler {
       var hasInitcap = false; var hasTrueDashInner = false
       var parenIdx = -1; var hasClose = false
       var yearToks = 0; var hasDigit3 = false; var hasDigit2 = false
-      var hasRoman5 = false
+      var hasRoman5 = false; var hasAnyDigit = false; var dotThenWord = false
       var i = 0
       while (i < n) {
         val t = toks(i)
@@ -243,6 +263,12 @@ object Labeler {
           if ("IVXLCDM".indexOf(c) < 0) roman = false
           j += 1
         }
+        if (digits > 0) hasAnyDigit = true
+        // a sentence-internal dot followed by a real word ("Peinture . Deux
+        // pièces .") marks entry prose, not a heading (headings' internal
+        // dots only abbreviate initials: "Monogramme P . M . E .")
+        if (t == "." && i > 0 && i < n - 1 && toks(i + 1).count(Character.isLetter) >= 2)
+          dotThenWord = true
         if (letters > 0) {
           nAlpha += 1
           if (letters > maxAlphaLen) maxAlphaLen = letters
@@ -300,15 +326,54 @@ object Labeler {
         firstAlphaCap == "INITCAP" && yearToks >= 2
       // runs of headings: a short init-cap dotted line right after a title
       // ("Syracuse .", "Pyrrhus , roi .") continues the heading run; the same
-      // shape right after a coin-grade line ("AR .") starts a new section
+      // shape right after a coin-grade line ("AR .") starts a new section.
+      // firstAlphaLetters >= 4 keeps "Id ." idem-entries out; the inner-dash
+      // guard keeps OCR grade lines ("EcuAR . - T . B .") out
       val shortNameLine = n <= 8 && firstAlphaCap == "INITCAP" &&
+        firstAlphaLetters >= 4 && !hasTrueDashInner &&
         n > 0 && toks(n - 1) == "." && !hasDigit2
       val runHeading = (lastWasTitle || lastWasGrade) && shortNameLine
+      // one-line lookahead (the window-template context the 2-line state
+      // misses): a short digit-free init-cap line sitting DIRECTLY above the
+      // next lot marker is a section heading ("Syracuse .", "Jérôme
+      // Napoléon , roi de Westphalie") — but ONLY when the previous entry
+      // already CLOSED (a grade/junk line, or a title run): drawings
+      // catalogues end every entry with exactly this shape ("Aquarelle .",
+      // "Dessin à la plume .") as the medium line, and there the previous
+      // line is still open prose
+      val preEntryHeading = nextIsEntry && (lastWasTitle || lastWasGrade) &&
+        n <= 10 && firstAlphaCap == "INITCAP" && firstAlphaLetters >= 4 &&
+        head != "(" && // fully parenthesized subtitles are <titledesc>
+        !hasAnyDigit && !hasTrueDashInner && !dotThenWord &&
+        // a bare separator line ("-") closes entries too, but in OCR'd
+        // jewelry lists it also splits a lot number from its text — trust
+        // it only for the very short heading shapes
+        (lastWasTitle || lastGradeAlpha || n <= 3)
+      // letter-spaced OCR headings: "W IL L E T T E ( A . )", "D O U C E T
+      // ( L u c ie n )" — a run of >=4 one/two-letter alphabetic tokens up
+      // to a parenthesized qualifier (grade codes like "F . D . C ." carry
+      // dots between letters, so the alpha-only run test excludes them)
+      val spacedParenHeading = hasClose && parenIdx >= 4 && parenIdx <= 10 && {
+        var shorts = 0; var ok = true; var k = 0
+        while (k < parenIdx) {
+          val t = toks(k); val letters = t.count(_.isLetter)
+          if (letters == 0 || letters != t.length) ok = false
+          else if (letters <= 2) shorts += 1
+          k += 1
+        }
+        ok && shorts >= 4
+      }
+      // same OCR shape without the qualifier: "DE FE U R E"
+      val spacedHeading = n >= 4 && nAlpha == n && maxAlphaLen <= 2
       val isTitle = !isEntry &&
-        (capsHeading || geoHeading || capsParenHeading || yearHeading || runHeading)
-      // grade-code line: short, all-caps, only abbreviation-length words —
-      // the typical last line of a coin entry ("AR .", "OR * F . D . C .")
-      val isGrade = allCaps && n <= 8 && maxAlphaLen <= 3
+        (capsHeading || geoHeading || capsParenHeading || yearHeading ||
+          runHeading || preEntryHeading || spacedParenHeading || spacedHeading)
+      // grade-code line: short, only abbreviation-length words — the typical
+      // last line of a coin entry ("AR .", "OR * F . D . C .", and the OCR
+      // forms "~Jî5 T . B .", "yR7 T . B ." whose junk tokens break an
+      // all-caps test); also matches bare separator lines ("-") — anything
+      // that visibly CLOSES an entry
+      val isGrade = n <= 8 && maxAlphaLen <= 4
       // the one titledesc shape in the gold corpus: a fully parenthesized
       // subtitle right under a title — "(PIÈCES FRAPPÉES EN TOSCANE)"
       val parenDesc = lastWasTitle && n > 0 && head == "(" &&
@@ -323,7 +388,11 @@ object Labeler {
       val isStart = base != openLabel
       openLabel = base
       lastWasTitle = base == "<title>"
-      lastWasGrade = base == "<entry>" && isGrade
+      // a grade line CLOSES an entry — an entry-START line (a bare OCR'd
+      // lot number like "74 -") must not count, or the entry text following
+      // it reads as a post-entry heading
+      lastWasGrade = base == "<entry>" && isGrade && !isEntry
+      if (lastWasGrade) lastGradeAlpha = nAlpha > 0
       (base, isStart)
     }
   }
@@ -362,14 +431,17 @@ object Labeler {
         private var out: Iterator[Row] = Iterator.empty
         private val cls = new LineClassifier
         private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        // one-line lookahead: the last COMPLETED line waits here until the
+        // following line is known (or input/conversation ends)
+        private var pend: Vector[Row] = null
 
-        private def emitLine(rows: Seq[Row]): Iterator[Row] =
+        private def emitLine(rows: Vector[Row], nextIsEntry: Boolean): Iterator[Row] =
           // S3-style per-line error isolation: a malformed line is dropped
           // and counted per partition instead of failing the task (the
           // reference isolates per FILE, EngineDatacat.java:114-150)
           try {
             val (base, isStart) = cls.classify(rows.head.getString(iConv),
-              rows.map(_.getString(iTok)), rows.map(_.getString(iCap)))
+              rows.map(_.getString(iTok)), rows.map(_.getString(iCap)), nextIsEntry)
             rows.iterator.zipWithIndex.map { case (r, i) =>
               val lab = if (i == 0 && isStart) "I-" + base else base
               Row.fromSeq(r.toSeq :+ lab)
@@ -380,6 +452,19 @@ object Labeler {
             Iterator.empty
           }
 
+        /** A line just completed: classify the PREVIOUS one with lookahead. */
+        private def feed(rows: Vector[Row]): Iterator[Row] = {
+          val res =
+            if (pend == null) Iterator.empty
+            else {
+              val sameConv =
+                pend.head.getString(iConv) == rows.head.getString(iConv)
+              emitLine(pend, sameConv && isEntryLine(rows.map(_.getString(iTok))))
+            }
+          pend = rows
+          res
+        }
+
         private def lineKey(r: Row) = (r.getString(iConv), r.getInt(iTurn), r.getInt(iLine))
 
         private def advance(): Unit = {
@@ -387,12 +472,18 @@ object Labeler {
             val r = it.next()
             if (buf.nonEmpty && lineKey(buf.head) != lineKey(r)) {
               val rows = buf.toVector; buf.clear(); buf += r
-              out = emitLine(rows)
+              out = feed(rows)
             } else buf += r
           }
-          if (!out.hasNext && buf.nonEmpty && !it.hasNext) {
-            val rows = buf.toVector; buf.clear()
-            out = emitLine(rows)
+          if (!out.hasNext && !it.hasNext) {
+            if (buf.nonEmpty) {
+              val rows = buf.toVector; buf.clear()
+              out = feed(rows)
+            }
+            if (!out.hasNext && pend != null) {
+              val p = pend; pend = null
+              out = emitLine(p, nextIsEntry = false)
+            }
           }
         }
 
@@ -477,7 +568,10 @@ object Labeler {
             pendTok = null
           }
 
-        private def emitLine(rows: Seq[Row]): Unit = try {
+        // one-line lookahead (same mechanism as [[bodyLabels]])
+        private var pendLine: Vector[Row] = null
+
+        private def emitLine(rows: Seq[Row], nextIsEntry: Boolean): Unit = try {
           val conv = rows.head.getString(iConv)
           if (conv != spanConv && spanConv != null) {
             // conversation ended: conv-last token's sep_after = line_trailing
@@ -486,7 +580,7 @@ object Labeler {
             spanSeg = 0L
           }
           val (base, isStart) = cls.classify(conv,
-            rows.map(_.getString(iTok)), rows.map(_.getString(iCap)))
+            rows.map(_.getString(iTok)), rows.map(_.getString(iCap)), nextIsEntry)
           // the held-back token's sep_after = this line's first sep_before
           resolvePend(rows.head.getString(iSep), spanLast = isStart)
           if (isStart) {
@@ -512,6 +606,15 @@ object Labeler {
             (org.apache.spark.TaskContext.getPartitionId(), 1L, 0L)))
         }
 
+        private def feed(rows: Vector[Row]): Unit = {
+          if (pendLine != null) {
+            val sameConv =
+              pendLine.head.getString(iConv) == rows.head.getString(iConv)
+            emitLine(pendLine, sameConv && isEntryLine(rows.map(_.getString(iTok))))
+          }
+          pendLine = rows
+        }
+
         private def lineKey(r: Row) = (r.getString(iConv), r.getInt(iTurn), r.getInt(iLine))
 
         private def advance(): Unit = {
@@ -519,11 +622,15 @@ object Labeler {
             val r = it.next()
             if (buf.nonEmpty && lineKey(buf.head) != lineKey(r)) {
               val rows = buf.toVector; buf.clear(); buf += r
-              emitLine(rows)
+              feed(rows)
             } else buf += r
           }
           if (outQ.isEmpty && !it.hasNext) {
-            if (buf.nonEmpty) { val rows = buf.toVector; buf.clear(); emitLine(rows) }
+            if (buf.nonEmpty) { val rows = buf.toVector; buf.clear(); feed(rows) }
+            if (pendLine != null) {
+              val p = pendLine; pendLine = null
+              emitLine(p, nextIsEntry = false)
+            }
             if (pendTok != null || spanLabel != null) {
               resolvePend(if (pendTrail == null) "" else pendTrail, spanLast = true)
               closeSpan()

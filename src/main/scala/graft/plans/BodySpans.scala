@@ -151,30 +151,52 @@ case class BodySpansExec(child: SparkPlan, output: Seq[Attribute])
             pendTok = null
           }
 
-        private def emitLine(): Unit = {
-          val conv = bufConv
+        // one-line lookahead: the last completed line (owned copies — the
+        // child reuses its row instance) waits until the next line is known
+        private var pToks: Array[String] = null
+        private var pCaps: Array[String] = null
+        private var pSeps: Array[String] = null
+        private var pConv: String = null
+        private var pTurn: Int = 0
+        private var pTrail: String = ""
+
+        private def emitLine(lToks: Array[String], lCaps: Array[String],
+            lSeps: Array[String], conv: String, turn: Int, trail: String,
+            nextIsEntry: Boolean): Unit = {
           if (conv != spanConv && spanConv != null) {
             resolvePend(if (pendTrail == null) "" else pendTrail, spanLast = true)
             closeSpan()
             spanSeg = 0L
           }
-          val (base, isStart) = cls.classify(conv, toks, caps)
-          resolvePend(seps.head, spanLast = isStart)
+          val (base, isStart) = cls.classify(conv, lToks, lCaps, nextIsEntry)
+          resolvePend(lSeps.head, spanLast = isStart)
           if (isStart) {
             closeSpan()
             spanSeg += 1
             spanConv = conv
             spanLabel = base
-            spanTurn = bufTurn
+            spanTurn = turn
           }
           spanConv = conv
           var i = 0
-          while (i < toks.size - 1) {
-            spanText.append(Labeler.htmlEncode(toks(i))).append(seps(i + 1))
+          while (i < lToks.length - 1) {
+            spanText.append(Labeler.htmlEncode(lToks(i))).append(lSeps(i + 1))
             i += 1
           }
-          pendTok = toks.last
-          pendTrail = bufTrail
+          pendTok = lToks(lToks.length - 1)
+          pendTrail = trail
+        }
+
+        /** Current buffered line completed: classify the pending one. */
+        private def feed(): Unit = {
+          val cToks = toks.toArray
+          val cCaps = caps.toArray
+          val cSeps = seps.toArray
+          if (pToks != null)
+            emitLine(pToks, pCaps, pSeps, pConv, pTurn, pTrail,
+              pConv == bufConv && Labeler.isEntryLine(cToks))
+          pToks = cToks; pCaps = cCaps; pSeps = cSeps
+          pConv = bufConv; pTurn = bufTurn; pTrail = bufTrail
         }
 
         private def str(r: InternalRow, i: Int): String = {
@@ -188,7 +210,7 @@ case class BodySpansExec(child: SparkPlan, output: Seq[Attribute])
             val turn = r.getInt(iTurn)
             val line = r.getInt(iLine)
             if (hasBuf && (bufConv != conv || bufTurn != turn || bufLine != line)) {
-              emitLine()
+              feed() // buf* still holds the just-completed line
               toks.clear(); caps.clear(); seps.clear()
             }
             bufConv = conv; bufTurn = turn; bufLine = line
@@ -200,7 +222,14 @@ case class BodySpansExec(child: SparkPlan, output: Seq[Attribute])
             hasBuf = true
           }
           if (outQ.isEmpty && !it.hasNext) {
-            if (hasBuf && toks.nonEmpty) { emitLine(); toks.clear(); caps.clear(); seps.clear(); hasBuf = false }
+            if (hasBuf && toks.nonEmpty) {
+              feed()
+              toks.clear(); caps.clear(); seps.clear(); hasBuf = false
+            }
+            if (pToks != null) {
+              emitLine(pToks, pCaps, pSeps, pConv, pTurn, pTrail, nextIsEntry = false)
+              pToks = null
+            }
             if (pendTok != null || spanLabel != null) {
               resolvePend(if (pendTrail == null) "" else pendTrail, spanLast = true)
               closeSpan()

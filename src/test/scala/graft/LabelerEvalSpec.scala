@@ -43,20 +43,33 @@ class LabelerEvalSpec extends SparkSpec {
     val acc = pairs.count(p => p._1 == p._2).toDouble / n
 
     val labels = pairs.map(_._1).distinct.sorted
+    def f1Of(l: String): Double = {
+      val tp = pairs.count(p => p._1 == l && p._2 == l).toDouble
+      val fp = pairs.count(p => p._1 != l && p._2 == l).toDouble
+      val fn = pairs.count(p => p._1 == l && p._2 != l).toDouble
+      val p = if (tp + fp > 0) tp / (tp + fp) else 0.0
+      val r = if (tp + fn > 0) tp / (tp + fn) else 0.0
+      if (p + r > 0) 2 * p * r / (p + r) else 0.0
+    }
     val report = labels.map { l =>
       val tp = pairs.count(p => p._1 == l && p._2 == l).toDouble
       val fp = pairs.count(p => p._1 != l && p._2 == l).toDouble
       val fn = pairs.count(p => p._1 == l && p._2 != l).toDouble
       val p = if (tp + fp > 0) tp / (tp + fp) else 0.0
       val r = if (tp + fn > 0) tp / (tp + fn) else 0.0
-      val f1 = if (p + r > 0) 2 * p * r / (p + r) else 0.0
-      f"$l%-12s P=${p * 100}%5.1f R=${r * 100}%5.1f F1=${f1 * 100}%5.1f  n=${(tp + fn).toInt}"
+      f"$l%-12s P=${p * 100}%5.1f R=${r * 100}%5.1f F1=${f1Of(l) * 100}%5.1f  n=${(tp + fn).toInt}"
     }
     info(f"token accuracy: ${acc * 100}%.2f%% over $n tokens, ${fxs.size} docs")
     report.foreach(info(_))
 
-    // floor = measured round-1 level (98.8%) minus slack; the reference's own
-    // CRF scores 85.8 micro-F1 on held-out docs (different split, upper bound)
-    assert(acc >= 0.95, f"labeler accuracy regressed: ${acc * 100}%.1f%%")
+    // floors = measured round-2 levels (acc 99.37, title F1 95.2 via the
+    // one-line-lookahead heading rules, entry F1 99.7) minus slack; the
+    // reference's own CRF scores 85.8 micro-F1 on held-out docs (different
+    // split, upper bound)
+    assert(acc >= 0.98, f"labeler accuracy regressed: ${acc * 100}%.1f%%")
+    assert(f1Of("<title>") >= 0.93,
+      f"title F1 regressed: ${f1Of("<title>") * 100}%.1f")
+    assert(f1Of("<entry>") >= 0.99,
+      f"entry F1 regressed: ${f1Of("<entry>") * 100}%.1f")
   }
 }
