@@ -203,17 +203,7 @@ object Features {
           .orderBy(col("turn_idx"), col("line_in_turn"))))
       .withColumn("f_firstRepetitive", col("f_repetitive") && col("rep_rank") === 1)
 
-    // lexicon flags (cols 16-18 of the 33-col row): broadcast left join
-    // against the in-jar wordlists — BroadcastHashJoin, no added exchange
-    val lex = broadcast(graft.text.Lexicon.table(lines.sparkSession))
-    val withLex = withRep
-      .withColumn("lex_word", lower(col("f_string")))
-      .join(lex, Seq("lex_word"), "left")
-      .withColumn("f_properName", coalesce(col("lex_proper"), lit(false)))
-      .withColumn("f_commonName", coalesce(col("lex_common"), lit(false)))
-      .drop("lex_word", "lex_proper", "lex_common")
-
-    withLex
+    withRep
       .withColumn("f_digit", digitClass(col("f_string")))
       .withColumn("f_capitalisation", capitalisation(col("f_string"), col("f_digit")))
       .withColumn("f_singleChar", length(col("f_string")) === 1)
@@ -237,10 +227,25 @@ object Features {
         "doc_len", "n_lines_turn")
   }
 
+  /** Lexicon dictionary flags (cols 16-18 of the 33-col row): broadcast
+   * left join against the in-jar wordlists — BroadcastHashJoin, no added
+   * exchange. Kept OUT of [[segmenter]] so the zone-labeling pipeline
+   * (which never reads these columns) does not pay the join: Catalyst
+   * cannot prune an unused join away. Apply before [[segmenterVector]]. */
+  def withLexicon(segFeatures: DataFrame): DataFrame = {
+    val lex = broadcast(graft.text.Lexicon.table(segFeatures.sparkSession))
+    segFeatures
+      .withColumn("lex_word", lower(col("f_string")))
+      .join(lex, Seq("lex_word"), "left")
+      .withColumn("f_properName", coalesce(col("lex_proper"), lit(false)))
+      .withColumn("f_commonName", coalesce(col("lex_common"), lit(false)))
+      .drop("lex_word", "lex_proper", "lex_common")
+  }
+
   /** 33-column serialized row (`FeaturesVectorDatacatSegmenter.printVector()`
-   * order; properName/commonName come from the derived broadcast lexicon
-   * ([[graft.text.Lexicon]]); firstName never fires in the reference corpus
-   * and stays a constant 0 — all three fixture-verified in
+   * order; properName/commonName come from the derived broadcast lexicon —
+   * apply [[withLexicon]] first; firstName never fires in the reference
+   * corpus and stays a constant 0 — all three fixture-verified in
    * SegFeatureFixtureSpec). */
   def segmenterVector(df: DataFrame): Column = concat_ws(" ",
     col("f_string"),

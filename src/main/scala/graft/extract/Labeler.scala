@@ -432,16 +432,19 @@ object Labeler {
         private val cls = new LineClassifier
         private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
         // one-line lookahead: the last COMPLETED line waits here until the
-        // following line is known (or input/conversation ends)
+        // following line is known (or input/conversation ends); its token
+        // vector is cached so each line's tokens are extracted exactly once
         private var pend: Vector[Row] = null
+        private var pendToks: Vector[String] = null
 
-        private def emitLine(rows: Vector[Row], nextIsEntry: Boolean): Iterator[Row] =
+        private def emitLine(rows: Vector[Row], rowToks: Vector[String],
+            nextIsEntry: Boolean): Iterator[Row] =
           // S3-style per-line error isolation: a malformed line is dropped
           // and counted per partition instead of failing the task (the
           // reference isolates per FILE, EngineDatacat.java:114-150)
           try {
             val (base, isStart) = cls.classify(rows.head.getString(iConv),
-              rows.map(_.getString(iTok)), rows.map(_.getString(iCap)), nextIsEntry)
+              rowToks, rows.map(_.getString(iCap)), nextIsEntry)
             rows.iterator.zipWithIndex.map { case (r, i) =>
               val lab = if (i == 0 && isStart) "I-" + base else base
               Row.fromSeq(r.toSeq :+ lab)
@@ -454,14 +457,15 @@ object Labeler {
 
         /** A line just completed: classify the PREVIOUS one with lookahead. */
         private def feed(rows: Vector[Row]): Iterator[Row] = {
+          val rowToks = rows.map(_.getString(iTok))
           val res =
             if (pend == null) Iterator.empty
             else {
               val sameConv =
                 pend.head.getString(iConv) == rows.head.getString(iConv)
-              emitLine(pend, sameConv && isEntryLine(rows.map(_.getString(iTok))))
+              emitLine(pend, pendToks, sameConv && isEntryLine(rowToks))
             }
-          pend = rows
+          pend = rows; pendToks = rowToks
           res
         }
 
@@ -481,8 +485,8 @@ object Labeler {
               out = feed(rows)
             }
             if (!out.hasNext && pend != null) {
-              val p = pend; pend = null
-              out = emitLine(p, nextIsEntry = false)
+              val p = pend; val pt = pendToks; pend = null
+              out = emitLine(p, pt, nextIsEntry = false)
             }
           }
         }
@@ -570,8 +574,10 @@ object Labeler {
 
         // one-line lookahead (same mechanism as [[bodyLabels]])
         private var pendLine: Vector[Row] = null
+        private var pendLineToks: Vector[String] = null
 
-        private def emitLine(rows: Seq[Row], nextIsEntry: Boolean): Unit = try {
+        private def emitLine(rows: Seq[Row], rowToks: Vector[String],
+            nextIsEntry: Boolean): Unit = try {
           val conv = rows.head.getString(iConv)
           if (conv != spanConv && spanConv != null) {
             // conversation ended: conv-last token's sep_after = line_trailing
@@ -580,7 +586,7 @@ object Labeler {
             spanSeg = 0L
           }
           val (base, isStart) = cls.classify(conv,
-            rows.map(_.getString(iTok)), rows.map(_.getString(iCap)), nextIsEntry)
+            rowToks, rows.map(_.getString(iCap)), nextIsEntry)
           // the held-back token's sep_after = this line's first sep_before
           resolvePend(rows.head.getString(iSep), spanLast = isStart)
           if (isStart) {
@@ -607,12 +613,13 @@ object Labeler {
         }
 
         private def feed(rows: Vector[Row]): Unit = {
+          val rowToks = rows.map(_.getString(iTok))
           if (pendLine != null) {
             val sameConv =
               pendLine.head.getString(iConv) == rows.head.getString(iConv)
-            emitLine(pendLine, sameConv && isEntryLine(rows.map(_.getString(iTok))))
+            emitLine(pendLine, pendLineToks, sameConv && isEntryLine(rowToks))
           }
-          pendLine = rows
+          pendLine = rows; pendLineToks = rowToks
         }
 
         private def lineKey(r: Row) = (r.getString(iConv), r.getInt(iTurn), r.getInt(iLine))
@@ -628,8 +635,8 @@ object Labeler {
           if (outQ.isEmpty && !it.hasNext) {
             if (buf.nonEmpty) { val rows = buf.toVector; buf.clear(); feed(rows) }
             if (pendLine != null) {
-              val p = pendLine; pendLine = null
-              emitLine(p, nextIsEntry = false)
+              val p = pendLine; val pt = pendLineToks; pendLine = null
+              emitLine(p, pt, nextIsEntry = false)
             }
             if (pendTok != null || spanLabel != null) {
               resolvePend(if (pendTrail == null) "" else pendTrail, spanLast = true)

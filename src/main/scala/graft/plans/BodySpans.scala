@@ -117,10 +117,12 @@ case class BodySpansExec(child: SparkPlan, output: Seq[Attribute])
         private val proj = UnsafeProjection.create(outSchema)
         private val cls = new Labeler.LineClassifier
         private val outQ = scala.collection.mutable.Queue.empty[GenericInternalRow]
-        // buffered current line (copies: the child reuses its row instance)
-        private val toks = scala.collection.mutable.ArrayBuffer.empty[String]
-        private val caps = scala.collection.mutable.ArrayBuffer.empty[String]
-        private val seps = scala.collection.mutable.ArrayBuffer.empty[String]
+        // buffered current line (copies: the child reuses its row instance);
+        // vars, not vals — feed() SWAPS them with the pending-line buffers
+        // so the one-line lookahead costs zero per-line allocation
+        private var toks = scala.collection.mutable.ArrayBuffer.empty[String]
+        private var caps = scala.collection.mutable.ArrayBuffer.empty[String]
+        private var seps = scala.collection.mutable.ArrayBuffer.empty[String]
         private var bufConv: String = null
         private var bufTurn: Int = 0
         private var bufLine: Int = 0
@@ -151,17 +153,18 @@ case class BodySpansExec(child: SparkPlan, output: Seq[Attribute])
             pendTok = null
           }
 
-        // one-line lookahead: the last completed line (owned copies — the
-        // child reuses its row instance) waits until the next line is known
-        private var pToks: Array[String] = null
-        private var pCaps: Array[String] = null
-        private var pSeps: Array[String] = null
+        // one-line lookahead: the last completed line waits here until the
+        // next line is known; buffers recycle via swap with toks/caps/seps
+        private var pToks = scala.collection.mutable.ArrayBuffer.empty[String]
+        private var pCaps = scala.collection.mutable.ArrayBuffer.empty[String]
+        private var pSeps = scala.collection.mutable.ArrayBuffer.empty[String]
         private var pConv: String = null
         private var pTurn: Int = 0
         private var pTrail: String = ""
+        private var pHas = false
 
-        private def emitLine(lToks: Array[String], lCaps: Array[String],
-            lSeps: Array[String], conv: String, turn: Int, trail: String,
+        private def emitLine(lToks: collection.Seq[String], lCaps: collection.Seq[String],
+            lSeps: collection.Seq[String], conv: String, turn: Int, trail: String,
             nextIsEntry: Boolean): Unit = {
           if (conv != spanConv && spanConv != null) {
             resolvePend(if (pendTrail == null) "" else pendTrail, spanLast = true)
@@ -187,16 +190,18 @@ case class BodySpansExec(child: SparkPlan, output: Seq[Attribute])
           pendTrail = trail
         }
 
-        /** Current buffered line completed: classify the pending one. */
+        /** Current buffered line completed: classify the pending one, then
+         * swap the line buffers (no per-line copies). */
         private def feed(): Unit = {
-          val cToks = toks.toArray
-          val cCaps = caps.toArray
-          val cSeps = seps.toArray
-          if (pToks != null)
+          if (pHas)
             emitLine(pToks, pCaps, pSeps, pConv, pTurn, pTrail,
-              pConv == bufConv && Labeler.isEntryLine(cToks))
-          pToks = cToks; pCaps = cCaps; pSeps = cSeps
+              pConv == bufConv && Labeler.isEntryLine(toks))
+          val t = pToks; pToks = toks; toks = t
+          val c = pCaps; pCaps = caps; caps = c
+          val s = pSeps; pSeps = seps; seps = s
+          toks.clear(); caps.clear(); seps.clear()
           pConv = bufConv; pTurn = bufTurn; pTrail = bufTrail
+          pHas = true
         }
 
         private def str(r: InternalRow, i: Int): String = {
@@ -209,10 +214,8 @@ case class BodySpansExec(child: SparkPlan, output: Seq[Attribute])
             val conv = str(r, iConv)
             val turn = r.getInt(iTurn)
             val line = r.getInt(iLine)
-            if (hasBuf && (bufConv != conv || bufTurn != turn || bufLine != line)) {
-              feed() // buf* still holds the just-completed line
-              toks.clear(); caps.clear(); seps.clear()
-            }
+            if (hasBuf && (bufConv != conv || bufTurn != turn || bufLine != line))
+              feed() // buf* still holds the just-completed line; buffers swap
             bufConv = conv; bufTurn = turn; bufLine = line
             toks += str(r, iTok)
             caps += str(r, iCap)
@@ -224,11 +227,11 @@ case class BodySpansExec(child: SparkPlan, output: Seq[Attribute])
           if (outQ.isEmpty && !it.hasNext) {
             if (hasBuf && toks.nonEmpty) {
               feed()
-              toks.clear(); caps.clear(); seps.clear(); hasBuf = false
+              hasBuf = false
             }
-            if (pToks != null) {
+            if (pHas) {
               emitLine(pToks, pCaps, pSeps, pConv, pTurn, pTrail, nextIsEntry = false)
-              pToks = null
+              pHas = false
             }
             if (pendTok != null || spanLabel != null) {
               resolvePend(if (pendTrail == null) "" else pendTrail, spanLast = true)

@@ -50,7 +50,7 @@ class SegFeatureFixtureSpec extends SparkSpec {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("conv_id", "block_idx").orderBy("line_in_turn")) - 1)
 
-    val got = Features.segmenter(linesDf)
+    val got = Features.withLexicon(Features.segmenter(linesDf))
       .withColumn("vec", Features.segmenterVector(null))
       .select($"conv_id", $"line_in_turn", $"vec")
       .collect()
