@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.extract.{Features, Labeler, Structure, Synthetic}
+
+/**
+ * Single-conversation skew benchmark: the sequential FSM
+ * ([[Labeler.bodyLabels]]) labels one giant conversation on ONE task; the
+ * chunk-parallel FSM ([[Labeler.bodyLabelsChunked]]) spreads it over
+ * nTurns/chunkTurns tasks (exact, ChunkedLabelerSpec). This main measures
+ * both on the same one-conversation corpus and prints one JSON line.
+ *
+ *   SPARK_GRAFT_CHUNK_TURNS=1000000 sbt "runMain graft.ChunkBench"
+ */
+object ChunkBench {
+
+  private def feats(turns: DataFrame): DataFrame =
+    Features.body(Structure.tokensFromLines(
+      Structure.keptLines(turns)
+        .select("conv_id", "turn_idx", "role", "tool", "block_idx",
+          "line_in_turn", "line_idx", "line")))
+      .select("conv_id", "turn_idx", "line_in_turn", "tok_idx",
+        "tok", "sep_before", "line_trailing", "f_capitalisation")
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val nTurns = sys.env.getOrElse("SPARK_GRAFT_CHUNK_TURNS", "1000000").toLong
+    val chunk = sys.env.getOrElse("SPARK_GRAFT_CHUNK_SIZE", "16384").toInt
+    val spark = Bench.mkSpark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // the labeling stage reads a MATERIALIZED token-feature table (the
+    // committed-stage shape of Pipeline.runResumable) so the measurement
+    // isolates the FSM stage — the upstream's own conversation-grain lags
+    // are a separate (turn-keyed, window-stitchable) concern
+    val dir = "/tmp/graft-chunk-bench/feats"
+    feats(Synthetic.giantConv(spark, nTurns)).write.mode("overwrite").parquet(dir)
+    val f = spark.read.parquet(dir)
+
+    // JIT/codegen warmup on a small slice of the same plans
+    val warm = f.where(org.apache.spark.sql.functions.col("turn_idx") < 20000)
+    (1 to 2).foreach { _ =>
+      noop(Labeler.bodyLabels(warm))
+      noop(Labeler.bodyLabelsChunked(warm, chunk, materialize = false))
+    }
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_CHUNK_REPS", "2").toInt
+    val seqSec = (1 to reps).map { _ =>
+      Bench.time(noop(Labeler.bodyLabels(f)))._2
+    }.min
+    val chkSec = (1 to reps).map { _ =>
+      Bench.time(noop(Labeler.bodyLabelsChunked(f, chunk, materialize = false)))._2
+    }.min
+    val json =
+      f"""{"metric":"single_conv_fsm","turns":$nTurns,"chunk_turns":$chunk,""" +
+        f""""cpus":"$cpus","sequential_sec":$seqSec%.2f,""" +
+        f""""chunked_sec":$chkSec%.2f,"speedup":${seqSec / chkSec}%.2f}"""
+    println(json)
+    spark.stop()
+  }
+}

@@ -227,6 +227,40 @@ object Labeler {
     private var lastWasGrade = false
     private var lastGradeAlpha = false
 
+    /** Canonical id of the current state — the key to the chunk-parallel
+     * labeler ([[bodyLabelsChunked]]): only 7 states are reachable, because
+     * `lastWasTitle` is always `openLabel == "<title>"` and `lastWasGrade`
+     * only holds under an open `<entry>` (both reassigned on every line).
+     * A stale `lastGradeAlpha` under `lastWasGrade == false` is
+     * canonicalized to `false`: the flag is read only inside
+     * `preEntryHeading`, whose `(lastWasTitle || lastWasGrade)` gate plus
+     * the `(lastWasTitle || lastGradeAlpha || n <= 3)` disjunction make it
+     * decisive only when `lastWasGrade` holds — so states differing only
+     * in a stale flag are semantically identical. */
+    private[graft] def stateId: Int = openLabel match {
+      case null          => 0
+      case "<other>"     => 1
+      case "<title>"     => 2
+      case "<titledesc>" => 3
+      case _ /* entry */ => if (!lastWasGrade) 4 else if (lastGradeAlpha) 5 else 6
+    }
+
+    /** Restore a canonical state (inverse of [[stateId]]) for conversation
+     * `conv` — entry point of a chunk in the chunk-parallel labeler. */
+    private[graft] def setState(id: Int, conv: String): Unit = {
+      curConv = conv
+      openLabel = id match {
+        case 0 => null
+        case 1 => "<other>"
+        case 2 => "<title>"
+        case 3 => "<titledesc>"
+        case _ => "<entry>"
+      }
+      lastWasTitle = id == 2
+      lastWasGrade = id >= 5
+      lastGradeAlpha = id == 5
+    }
+
     /** Returns (base label, starts-new-span) and advances the state.
      * `nextIsEntry` = the FOLLOWING line of the same conversation starts a
      * lot entry ([[isEntryLine]]) — supplied by the drivers' one-line
@@ -651,5 +685,308 @@ object Labeler {
     }(org.apache.spark.sql.Encoders.row(outSchema))
 
     spans
+  }
+
+  /** Reachable [[LineClassifier]] state count (see `stateId`). */
+  private[graft] val NStates = 7
+
+  /**
+   * Chunk-parallel body labeler — output-identical to [[bodyLabels]]
+   * (ChunkedLabelerSpec differential), but a single giant conversation is
+   * labeled by MANY tasks instead of one. This closes the last skew
+   * surface of the pipeline (SURVEY §4: "chunked-window + stitch"): with
+   * [[bodyLabels]], one 10⁹-turn conversation is one task; here it is
+   * 10⁹/`chunkTurns` parallel tasks.
+   *
+   * Classic parallel-FSM prefix composition — exact, no convergence
+   * assumption, because the classifier has a FINITE state space (7
+   * canonical states, [[LineClassifier.stateId]]):
+   *
+   *  1. cut each conversation into chunks of `chunkTurns` turns
+   *     (`chunk = turn_idx div chunkTurns` — no global line numbering, so
+   *     no whole-conversation window anywhere);
+   *  2. pass 1 (parallel per chunk, multi-chunk conversations only):
+   *     compute the chunk's transition FUNCTION — exit state for each of
+   *     the 7 possible entry states. The 7 tracked states are deduplicated
+   *     per line, and they MERGE at the first state-independent anchor
+   *     line (a lot-entry or free-standing heading), so the per-line cost
+   *     collapses to ~1 classify almost immediately on real text;
+   *  3. compose the functions per conversation in chunk order (a fold
+   *     over the tiny chunk-level frame) → each chunk's true entry state;
+   *  4. pass 2 (parallel per chunk): label each chunk from its entry
+   *     state.
+   *
+   * The FSM's one-line lookahead crosses chunk boundaries via PEEK rows:
+   * the first line of every chunk is replicated into its PREDECESSOR
+   * chunk (the previous chunk that actually has rows — turn ranges that
+   * are entirely absent are skipped, matching the sequential walk across
+   * the gap) as lookahead-only input, never emitted.
+   *
+   * Plan shape: two (conv_id, chunk) shuffles — a NARROW one for pass 1
+   * (6 columns, so column pruning reaches the scan) and a full-width one
+   * for pass 2; every join in the operator (peek selection, multi-chunk
+   * pruning, entry states) is a broadcast. Cost vs [[bodyLabels]]: the
+   * extra narrow shuffle and FSM walk, against which the
+   * conversation-serial sort AND FSM both become parallel. Use when
+   * single conversations are large enough that one-task-per-conversation
+   * is the bottleneck; [[bodyLabels]] stays the default. Span assembly
+   * over the result is [[Assemble.bodySpans]] (declarative, unchanged).
+   */
+  def bodyLabelsChunked(tokens: DataFrame, chunkTurns: Int = 4096,
+      failures: Option[Lineage.PartitionStats] = None,
+      materialize: Boolean = true): DataFrame = {
+    require(chunkTurns > 0, "chunkTurns must be positive")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val inSchema = tokens.schema
+    val nIn = inSchema.size
+    val inCols = inSchema.fieldNames.toSeq
+    val outSchema = StructType(inSchema.fields :+ StructField("label", StringType, false))
+    val iConv = inSchema.fieldIndex("conv_id")
+    val iTurn = inSchema.fieldIndex("turn_idx")
+    val iLine = inSchema.fieldIndex("line_in_turn")
+    val iTok = inSchema.fieldIndex("tok")
+    val iCap = inSchema.fieldIndex("f_capitalisation")
+    val iChunk = nIn       // appended below, in this order
+    val iPeek = nIn + 1
+    val iEntry = nIn + 2
+
+    // ---- chunk ids + peek rows -------------------------------------------
+    // `materialize` = localCheckpoint the chunk-marked frame before the
+    // peek-selection scans (Dedup.components pattern): an expensive COMPUTED
+    // upstream (tokenize + feature windows) is then evaluated once instead
+    // of once per scan. Turn it OFF when `tokens` is already a table scan
+    // (e.g. a committed [[TableIO]] stage) — re-scanning parquet with column
+    // pruning is far cheaper than a checkpoint write. Checkpoint blocks are
+    // released by the ContextCleaner when the frame becomes unreachable.
+    val base0 = tokens.withColumn("_chunk", expr(s"int(turn_idx div $chunkTurns)"))
+    val base = if (materialize) base0.localCheckpoint() else base0
+    // chunk-level frame (one row per chunk of turns — tiny even for a
+    // 10^9-turn conversation): first line of each chunk PLUS the two tokens
+    // isEntryLine reads from it, via map-side partial aggregation —
+    // deliberately NOT a whole-partition window (which would buffer/spill
+    // every chunk's rows) and NOT a second big-frame scan (the tokens ride
+    // in the aggregate). localCheckpoint: this tiny frame feeds four
+    // downstream subtrees (peeks, predecessor map, multi-chunk list, and
+    // through them both passes) — materialized once, the big-frame
+    // aggregate scan is not repeated per consumer.
+    val firstLines = base.groupBy("conv_id", "_chunk")
+      .agg(
+        min(struct(col("turn_idx"), col("line_in_turn"))).as("_f"),
+        min(when(col("tok_idx") === 0,
+          struct(col("turn_idx"), col("line_in_turn"), col("tok")))).as("_t0"),
+        min(when(col("tok_idx") === 1,
+          struct(col("turn_idx"), col("line_in_turn"), col("tok")))).as("_t1"))
+      .select(col("conv_id"), col("_chunk"),
+        col("_f.turn_idx").as("_ft"), col("_f.line_in_turn").as("_fl"),
+        col("_t0.tok").as("_tok0"),
+        // the line may have a single token; _t1 then comes from a later line
+        when(col("_t1.turn_idx") === col("_f.turn_idx") &&
+          col("_t1.line_in_turn") === col("_f.line_in_turn"), col("_t1.tok"))
+          .as("_tok1"))
+      .localCheckpoint()
+    // predecessor EXISTING chunk (wholly absent turn ranges are skipped)
+    val prevChunk = firstLines.select("conv_id", "_chunk")
+      .withColumn("_prev", lag("_chunk", 1).over(
+        Window.partitionBy("conv_id").orderBy("_chunk")))
+      .where(col("_prev").isNotNull)
+    // materialize each chunk's first line into its predecessor as
+    // lookahead-only PEEK rows, synthesized ENTIRELY from the chunk-level
+    // frame (no big-frame scan): the FSM reads only (turn, line, tok_idx,
+    // tok, _peek) off a peek row, the payload columns ride as nulls
+    val tokArr = when(col("_tok1").isNotNull,
+      array(struct(lit(0).as("i"), col("_tok0").as("t")),
+        struct(lit(1).as("i"), col("_tok1").as("t"))))
+      .otherwise(array(struct(lit(0).as("i"), col("_tok0").as("t"))))
+    val peeks = firstLines.join(prevChunk, Seq("conv_id", "_chunk"))
+      .select(col("conv_id"), col("_prev"), col("_ft"), col("_fl"),
+        explode(tokArr).as("_e"))
+      .select(inCols.map {
+        case "conv_id" => col("conv_id")
+        case "turn_idx" => col("_ft").as("turn_idx")
+        case "line_in_turn" => col("_fl").as("line_in_turn")
+        case "tok_idx" => col("_e.i").as("tok_idx")
+        case "tok" => col("_e.t").as("tok")
+        case c => lit(null).cast(inSchema(c).dataType).as(c)
+      } :+ col("_prev").cast("int").as("_chunk"): _*)
+      .withColumn("_peek", lit(true))
+    val aug = base.withColumn("_peek", lit(false)).unionByName(peeks)
+      .select((inCols :+ "_chunk" :+ "_peek").map(col): _*)
+
+    def parted(df: DataFrame) =
+      df.repartition(col("conv_id"), col("_chunk"))
+        .sortWithinPartitions("conv_id", "_chunk", "turn_idx", "line_in_turn", "tok_idx")
+
+    // ---- pass 1: per-chunk transition functions (multi-chunk convs only) --
+    // Independent narrow shuffle: mapPartitions pins every column it is fed,
+    // so hand this pass ONLY what the transition needs — column pruning then
+    // reaches the scan and the shuffle moves a fraction of the bytes. (A
+    // shared sorted localCheckpoint for both passes was measured SLOWER: the
+    // block write + row churn of the full-width frame cost more than this
+    // second narrow shuffle.) Single-chunk conversations are pruned by a
+    // broadcast left-semi join, not a driver-collected list.
+    val multiChunkConvs = firstLines.where(col("_chunk") >= 1)
+      .select("conv_id").distinct()
+    val p1Cols = Seq("conv_id", "turn_idx", "line_in_turn", "tok_idx",
+      "tok", "f_capitalisation", "_chunk", "_peek")
+    val (jConv, jTurn, jLine, jTok, jCap, jChunk, jPeek) = (0, 1, 2, 4, 5, 6, 7)
+    val fnSchema = StructType(Seq(
+      StructField("conv_id", StringType, nullable = true),
+      StructField("_chunk", IntegerType, nullable = false),
+      StructField("_exit", ArrayType(IntegerType, containsNull = false), nullable = false)))
+    val fns = parted(aug
+        .join(broadcast(multiChunkConvs), Seq("conv_id"), "left_semi")
+        .select(p1Cols.map(col): _*))
+      .mapPartitions { it =>
+        val res = scala.collection.mutable.ArrayBuffer.empty[Row]
+        val cls = new LineClassifier
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var group: (String, Int) = null
+        var cur: Array[Int] = null
+        var pendToks: Vector[String] = null
+        var pendCaps: Vector[String] = null
+
+        def transit(nextIsEntry: Boolean): Unit = if (pendToks != null) {
+          val distinct = cur.distinct
+          val m = new java.util.HashMap[Int, Int](NStates)
+          var k = 0
+          while (k < distinct.length) {
+            val s = distinct(k)
+            val ns = try {
+              cls.setState(s, group._1)
+              cls.classify(group._1, pendToks, pendCaps, nextIsEntry)
+              cls.stateId
+            } catch { // dropped line = identity (mirrors pass 2's drop)
+              case scala.util.control.NonFatal(_) => s
+            }
+            m.put(s, ns); k += 1
+          }
+          var i = 0
+          while (i < NStates) { cur(i) = m.get(cur(i)); i += 1 }
+        }
+        def completeLine(rows: Seq[Row]): Unit = {
+          val toks = rows.map(_.getString(jTok)).toVector
+          transit(isEntryLine(toks))
+          if (rows.head.getBoolean(jPeek)) pendToks = null
+          else { pendToks = toks; pendCaps = rows.map(_.getString(jCap)).toVector }
+        }
+        def finishGroup(): Unit = if (group != null) {
+          if (buf.nonEmpty) { completeLine(buf.toSeq); buf.clear() }
+          transit(nextIsEntry = false) // conv-last chunk only (else consumed by peek)
+          res += Row(group._1, group._2, cur.toSeq)
+        }
+        def startGroup(r: Row): Unit = {
+          group = (r.getString(jConv), r.getInt(jChunk))
+          cur = Array.tabulate(NStates)(identity)
+          pendToks = null; pendCaps = null
+        }
+        def lineKey(r: Row) = (r.getInt(jTurn), r.getInt(jLine))
+        it.foreach { r =>
+          if (group == null) startGroup(r)
+          else if ((r.getString(jConv), r.getInt(jChunk)) != group) {
+            finishGroup(); startGroup(r)
+          } else if (buf.nonEmpty && lineKey(buf.head) != lineKey(r)) {
+            completeLine(buf.toSeq); buf.clear()
+          }
+          buf += r
+        }
+        finishGroup()
+        res.iterator
+      }(org.apache.spark.sql.Encoders.row(fnSchema))
+
+    // ---- compose per conversation (chunk-level fold, tiny frame) ----------
+    val entries = fns.groupByKey(_.getString(0)).flatMapGroups { (conv, rows) =>
+      val sorted = rows.map(r => (r.getInt(1), r.getSeq[Int](2))).toSeq.sortBy(_._1)
+      var s = 0
+      sorted.map { case (chunk, exit) =>
+        val e = s; s = exit(e); (conv, chunk, e)
+      }
+    }.toDF("conv_id", "_chunk", "_entry")
+
+    // ---- pass 2: label each chunk from its true entry state ---------------
+    val withEntry = parted(aug
+      .join(broadcast(entries), Seq("conv_id", "_chunk"), "left")
+      .select((inCols :+ "_chunk" :+ "_peek" :+ "_entry").map(col): _*))
+
+    withEntry.mapPartitions { it =>
+      new Iterator[Row] {
+        private var out: Iterator[Row] = Iterator.empty
+        private val cls = new LineClassifier
+        private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        private var group: (String, Int) = null
+        private var pend: Vector[Row] = null
+        private var pendToks: Vector[String] = null
+
+        private def emitLine(rows: Vector[Row], rowToks: Vector[String],
+            nextIsEntry: Boolean): Iterator[Row] =
+          try {
+            val (lbl, isStart) = cls.classify(rows.head.getString(iConv),
+              rowToks, rows.map(_.getString(iCap)), nextIsEntry)
+            rows.iterator.zipWithIndex.map { case (r, i) =>
+              val lab = if (i == 0 && isStart) "I-" + lbl else lbl
+              Row.fromSeq(r.toSeq.take(nIn) :+ lab)
+            }
+          } catch { case scala.util.control.NonFatal(_) =>
+            failures.foreach(_.add(
+              (org.apache.spark.TaskContext.getPartitionId(), 1L, 0L)))
+            Iterator.empty
+          }
+
+        private def feed(rows: Vector[Row]): Iterator[Row] = {
+          val rowToks = rows.map(_.getString(iTok))
+          val res =
+            if (pend == null) Iterator.empty
+            else emitLine(pend, pendToks, isEntryLine(rowToks))
+          if (rows.head.getBoolean(iPeek)) { pend = null; pendToks = null }
+          else { pend = rows; pendToks = rowToks }
+          res
+        }
+
+        private def finishGroup(): Iterator[Row] = {
+          var res: Iterator[Row] = Iterator.empty
+          if (buf.nonEmpty) { val rows = buf.toVector; buf.clear(); res = feed(rows) }
+          if (pend != null) {
+            val p = pend; val pt = pendToks; pend = null; pendToks = null
+            // Iterator#++ takes its operand BY NAME: emitLine must run NOW,
+            // while the classifier still holds THIS group's state — deferred,
+            // it would classify under the next group's entry state
+            val tail = emitLine(p, pt, nextIsEntry = false)
+            res = res ++ tail
+          }
+          res
+        }
+
+        private def startGroup(r: Row): Unit = {
+          group = (r.getString(iConv), r.getInt(iChunk))
+          val entry = if (r.isNullAt(iEntry)) 0 else r.getInt(iEntry)
+          cls.setState(entry, r.getString(iConv))
+          pend = null; pendToks = null
+        }
+
+        private def lineKey(r: Row) = (r.getInt(iTurn), r.getInt(iLine))
+
+        private def advance(): Unit = {
+          while (!out.hasNext && it.hasNext) {
+            val r = it.next()
+            if (group == null) { startGroup(r); buf += r }
+            else if ((r.getString(iConv), r.getInt(iChunk)) != group) {
+              val fin = finishGroup()
+              startGroup(r); buf += r
+              out = fin
+            } else if (buf.nonEmpty && lineKey(buf.head) != lineKey(r)) {
+              val rows = buf.toVector; buf.clear(); buf += r
+              out = feed(rows)
+            } else buf += r
+          }
+          if (!out.hasNext && !it.hasNext && group != null) {
+            out = finishGroup()
+            group = null
+          }
+        }
+
+        def hasNext: Boolean = { advance(); out.hasNext }
+        def next(): Row = { advance(); out.next() }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

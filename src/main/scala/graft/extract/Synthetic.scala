@@ -27,6 +27,32 @@ object Synthetic {
   def turnsPerConv(convId: Long): Int =
     if (convId % 97 == 0) 120 else 4 + (convId % 13).toInt // heavy tail
 
+  /** ONE conversation with `nTurns` catalogue-shaped turns — the
+   * single-conversation skew benchmark input ([[graft.ChunkBench]]).
+   * Same splittable per-turn RNG derivation, so generation itself is
+   * parallel even though the conversation is one group. */
+  def giantConv(spark: SparkSession, nTurns: Long, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    spark.range(nTurns).map { turnIdx =>
+      val rng = new java.util.Random(seed * 1000003L ^ turnIdx * 2654435761L)
+      def word() = vocab(rng.nextInt(vocab.length))
+      def sentence(n: Int) = (1 to n).map(_ => word()).mkString(" ")
+      val sb = new StringBuilder
+      if (rng.nextInt(8) == 0) sb ++= titles(rng.nextInt(titles.length))
+      else {
+        var lot = 1 + rng.nextInt(20)
+        (1 to 2 + rng.nextInt(3)).foreach { _ =>
+          if (sb.nonEmpty) sb += '\n'
+          sb ++= s"$lot - ${sentence(3 + rng.nextInt(7)).capitalize}."
+          lot += 1 + rng.nextInt(3)
+        }
+      }
+      Turn("giant", turnIdx.toInt, "user", sb.toString, null,
+        new Timestamp(base + turnIdx * 1000L))
+    }.toDF()
+  }
+
   /** Generate `nConvs` conversations as a Turn dataset. */
   def transcripts(spark: SparkSession, nConvs: Long, seed: Long = 42L): DataFrame = {
     import spark.implicits._
