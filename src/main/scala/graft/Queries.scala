@@ -596,6 +596,9 @@ object Queries {
          |    (length(line) >= 10 AND
          |     5 * length(regexp_replace(line, '[^\\p{L}]', '', 'g')) <
          |       2 * length(line)) AS is_garbage,
+         |    (regexp_matches(line, '^[*"«''~]?[0-9]+\\s*[-_–−.]') OR
+         |     length(regexp_replace(regexp_replace(line, '^[^\\p{L}]+', ''),
+         |       '[^\\p{L}]', '', 'g')) >= 2) AS is_contentful,
          |    lower(regexp_replace(line, '[^\\p{L}]', '', 'g')) AS pattern
          |  FROM kl
          |  WINDOW wo AS (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn)),
@@ -633,17 +636,23 @@ object Queries {
          |regs AS (
          |  SELECT conv_id, region_id, min(line_no) AS r_start, max(line_no) AS r_end,
          |    (sum(CAST(length(regexp_replace(line, '[^\\p{L}]', '', 'g')) AS DOUBLE)) /
-         |     greatest(sum(CAST(length(line) AS DOUBLE)), 1.0)) >= 0.26 AS r_is_body
+         |     greatest(sum(CAST(length(line) AS DOUBLE)), 1.0)) >= 0.26 AS r_is_body,
+         |    ((sum(CAST(length(regexp_replace(line, '[^\\p{L}]', '', 'g')) AS DOUBLE)) /
+         |      greatest(sum(CAST(length(line) AS DOUBLE)), 1.0)) >= 0.26 AND
+         |     (sum(CASE WHEN is_mark AND is_contentful THEN 1.0 ELSE 0.0 END) /
+         |      greatest(sum(CASE WHEN is_mark THEN 1.0 ELSE 0.0 END), 1.0)) < 0.15)
+         |      AS r_index
          |  FROM r2 WHERE is_numeric GROUP BY conv_id, region_id),
          |j AS (
-         |  SELECT r2.*, regs.r_start, regs.r_end, regs.r_is_body
+         |  SELECT r2.*, regs.r_start, regs.r_end, regs.r_is_body,
+         |    coalesce(regs.r_index, FALSE) AS r_index
          |  FROM r2 LEFT JOIN regs
          |    ON r2.conv_id = regs.conv_id AND r2.region_id = regs.region_id),
          |a1 AS (
          |  SELECT *,
-         |    min(CASE WHEN r_is_body THEN r_start END)
+         |    min(CASE WHEN r_is_body AND NOT r_index THEN r_start END)
          |      OVER (PARTITION BY conv_id) AS first_body,
-         |    max(CASE WHEN r_is_body THEN r_end END)
+         |    max(CASE WHEN r_is_body AND NOT r_index THEN r_end END)
          |      OVER (PARTITION BY conv_id) AS last_body
          |  FROM j),
          |a2 AS (
@@ -653,22 +662,27 @@ object Queries {
          |  FROM a1),
          |a3 AS (
          |  SELECT *,
-         |    (min(CASE WHEN is_numeric AND NOT r_is_body THEN line_no END)
+         |    (min(CASE WHEN is_numeric AND NOT r_is_body AND NOT r_index
+         |              THEN line_no END)
          |       OVER (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn
          |             ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)) IS NOT NULL AS near_price
          |  FROM a2),
          |z AS (
          |  SELECT conv_id,
          |    CASE
+         |      WHEN first_body IS NULL AND r_index THEN '<front>'
          |      WHEN first_body IS NULL AND is_numeric THEN '<annex>'
          |      WHEN first_body IS NULL THEN '<body>'
          |      WHEN annex_start IS NOT NULL AND line_no >= annex_start THEN '<annex>'
+         |      WHEN r_index AND (line_no < first_body OR line_no > last_body)
+         |        THEN '<front>'
          |      WHEN is_numeric AND NOT r_is_body THEN '<annex>'
          |      WHEN line_no BETWEEN first_body AND last_body THEN '<body>'
          |      WHEN line_no < first_body AND near_price THEN '<annex>'
          |      WHEN is_form OR is_trigger THEN '<annex>'
-         |      WHEN is_pagenum OR is_garbage OR is_repetitive THEN '<other>'
+         |      WHEN is_repetitive THEN '<other>'
          |      WHEN line_no < first_body THEN '<front>'
+         |      WHEN is_pagenum OR is_garbage THEN '<other>'
          |      ELSE '<back>' END AS zone
          |  FROM a3)
          |SELECT conv_id, zone, count(*) AS n_lines FROM z GROUP BY 1, 2""".stripMargin,

@@ -150,22 +150,47 @@ object Labeler {
     // region per conv; their stats are guarded off)
     val wRegion = Window.partitionBy("conv_id", "_region_id")
     val tTrim = trim(col(lineCol))
+    // a CONTENTFUL marker line is a real lot entry: number + dash/dot, or
+    // number followed by words on the same line. Index tables ("Abbeville," /
+    // "117") and session schedules ("Bronzes antiques" / "743 à 820") form
+    // numbered regions whose markers are BARE numbers or ranges — gold
+    // labels those <front> wherever they sit, even trailing the body
+    val markContentful = col("_is_mark") && (
+      tTrim.rlike("^[\\*\"«'~]?\\p{Nd}+\\s*[-_–−.]") ||
+        length(regexp_replace(regexp_replace(tTrim, "^[^\\p{L}]+", ""),
+          "[^\\p{L}]", "")) >= 2)
     val withRegion = withPreds
       .withColumn("_r_start", when(col("_numeric"), min("_line_no").over(wRegion)))
       .withColumn("_r_end", when(col("_numeric"), max("_line_no").over(wRegion)))
-      // a region is a BODY of entries if it is letter-rich as a whole;
-      // pure price lists sit well below the threshold
-      .withColumn("_r_is_body", when(col("_numeric"),
+      // letter richness of the region as a whole: pure price lists sit
+      // well below the threshold
+      .withColumn("_r_letters",
         sum(length(regexp_replace(tTrim, "[^\\p{L}]", "")).cast("double"))
           .over(wRegion) /
-          greatest(sum(length(tTrim).cast("double")).over(wRegion), lit(1.0))
-          >= 0.26))
+          greatest(sum(length(tTrim).cast("double")).over(wRegion), lit(1.0)))
+      // fraction of the region's marker lines that are contentful entries
+      .withColumn("_r_marks",
+        sum(when(col("_is_mark"), 1.0).otherwise(0.0)).over(wRegion))
+      .withColumn("_r_content",
+        sum(when(col("_is_mark") && markContentful, 1.0).otherwise(0.0)).over(wRegion) /
+          greatest(col("_r_marks"), lit(1.0)))
+      // a region is a BODY of entries if it is letter-rich as a whole;
+      // pure price lists sit well below the threshold
+      .withColumn("_r_is_body", when(col("_numeric"), col("_r_letters") >= 0.26))
+      // the index/schedule shape is the strict sub-case: letter-rich but
+      // with essentially NO real entry markers (page-number and lot-range
+      // lines only) — bare prices inside genuine catalogue bodies keep
+      // those regions far above the floor
+      .withColumn("_r_index", when(col("_numeric"),
+        col("_r_letters") >= 0.26 && col("_r_content") < 0.15).otherwise(false))
     val wConv2 = Window.partitionBy("conv_id")
     val withBodySpan = withRegion
+      // index/schedule regions must not anchor the body span — a session
+      // schedule in the front matter would otherwise start the body early
       .withColumn("_first_body",
-        min(when(col("_r_is_body"), col("_r_start"))).over(wConv2))
+        min(when(col("_r_is_body") && !col("_r_index"), col("_r_start"))).over(wConv2))
       .withColumn("_last_body",
-        max(when(col("_r_is_body"), col("_r_end"))).over(wConv2))
+        max(when(col("_r_is_body") && !col("_r_index"), col("_r_end"))).over(wConv2))
     val firstEntry = col("_first_body")
     val lastEntry = col("_last_body")
     // first annex header after the body has started caps the body range:
@@ -173,27 +198,40 @@ object Labeler {
     val annexStart = min(when(col("_is_trigger") && col("_line_no") > firstEntry,
       col("_line_no"))).over(wConv2)
     // the expert-letterhead block right above a leading price list ("Émile
-    // BOURGEY / Expert National / 7, rue Drouot") is part of the annex
-    val nearPrice = min(when(col("_numeric") && !col("_r_is_body"), col("_line_no")))
+    // BOURGEY / Expert National / 7, rue Drouot") is part of the annex —
+    // index/schedule regions do not count as price lists
+    val nearPrice = min(when(col("_numeric") && !col("_r_is_body") && !col("_r_index"),
+      col("_line_no")))
       .over(Window.partitionBy("conv_id")
         .orderBy(col("turn_idx"), col("line_in_turn")).rowsBetween(0, 15)).isNotNull
     val zone =
-      when(firstEntry.isNull && col("_numeric"), "<annex>")
+      when(firstEntry.isNull && col("_r_index"), "<front>")
+        .when(firstEntry.isNull && col("_numeric"), "<annex>")
         .when(firstEntry.isNull, "<body>")
         .when(annexStart.isNotNull && col("_line_no") >= annexStart, "<annex>")
+        // index/schedule regions are front matter only OUTSIDE the genuine
+        // body span — a bare-number-rich stretch in the middle of the
+        // catalogue (price columns, year lists) stays body
+        .when(col("_r_index") &&
+          (col("_line_no") < firstEntry || col("_line_no") > lastEntry), "<front>")
         .when(col("_numeric") && !col("_r_is_body"), "<annex>")
         .when(col("_line_no").between(firstEntry, lastEntry), "<body>")
         .when(col("_line_no") < firstEntry && nearPrice, "<annex>")
         .when(isForm || isTrigger, "<annex>")
-        .when(isPageNum || isGarbage || col("_repetitive"), "<other>")
+        // repeated page stamps (A2) are <other> wherever they sit, but
+        // ORDINARY junk (bare page numbers, OCR noise, "-"/"," fragments)
+        // inside the front matter belongs to <front> in the gold convention
+        // — the junk rule fires only after the front span is assigned
+        .when(col("_repetitive"), "<other>")
         .when(col("_line_no") < firstEntry, "<front>")
+        .when(isPageNum || isGarbage, "<other>")
         .otherwise("<back>")
     withBodySpan
       .withColumn("zone", zone)
       .withColumn("zone_label",
         when(coalesce(lag(col("zone"), 1).over(wOrd) =!= col("zone"), lit(true)),
           concat(lit("I-"), col("zone"))).otherwise(col("zone")))
-      .drop("_line_no", "_is_mark", "_is_trigger", "_mark_frac", "_numeric", "_strong", "_sparse", "_repetitive", "_region_id", "_r_start", "_r_end", "_r_is_body", "_first_body", "_last_body")
+      .drop("_line_no", "_is_mark", "_is_trigger", "_mark_frac", "_numeric", "_strong", "_sparse", "_repetitive", "_region_id", "_r_start", "_r_end", "_r_letters", "_r_marks", "_r_content", "_r_is_body", "_r_index", "_first_body", "_last_body")
   }
 
   // one buffered line of the body FSM

@@ -55,7 +55,8 @@ class ZoneEvalSpec extends SparkSpec {
       f"macro-F1 ${sumF1 / nLab * 100}%.2f")
     report.foreach(info(_))
 
-    assert(acc >= 0.88, f"zone labeler accuracy regressed: ${acc * 100}%.1f%%")
+    // round-2 measured level: 93.26% (round 1: 92.62)
+    assert(acc >= 0.91, f"zone labeler accuracy regressed: ${acc * 100}%.1f%%")
   }
 
   test("zonesContent is invariant to input row order") {
