@@ -597,8 +597,8 @@ object Queries {
          |     5 * length(regexp_replace(line, '[^\\p{L}]', '', 'g')) <
          |       2 * length(line)) AS is_garbage,
          |    (regexp_matches(line, '^[*"«''~]?[0-9]+\\s*[-_–−.]') OR
-         |     length(regexp_replace(regexp_replace(line, '^[^\\p{L}]+', ''),
-         |       '[^\\p{L}]', '', 'g')) >= 2) AS is_contentful,
+         |     length(regexp_replace(line, '[^\\p{L}]', '', 'g')) >= 2)
+         |      AS is_contentful,
          |    lower(regexp_replace(line, '[^\\p{L}]', '', 'g')) AS pattern
          |  FROM kl
          |  WINDOW wo AS (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn)),

@@ -110,6 +110,10 @@ object Labeler {
     val wNear = wOrd.rowsBetween(-10, 10)
     val withPreds = lines
       .withColumn("_line_no", row_number().over(wOrd))
+      // letter count of the line, shared by the garbage test, the region
+      // letter-richness sum and the contentful-marker test (one regex
+      // evaluation per line instead of three)
+      .withColumn("_nletters", letters)
       .withColumn("_is_mark", isMark)
       .withColumn("_is_trigger", isTrigger)
       // numbered region: >=30% of the surrounding 21 lines start with a lot
@@ -150,23 +154,22 @@ object Labeler {
     // region per conv; their stats are guarded off)
     val wRegion = Window.partitionBy("conv_id", "_region_id")
     val tTrim = trim(col(lineCol))
-    // a CONTENTFUL marker line is a real lot entry: number + dash/dot, or
-    // number followed by words on the same line. Index tables ("Abbeville," /
-    // "117") and session schedules ("Bronzes antiques" / "743 à 820") form
-    // numbered regions whose markers are BARE numbers or ranges — gold
-    // labels those <front> wherever they sit, even trailing the body
-    val markContentful = col("_is_mark") && (
-      tTrim.rlike("^[\\*\"«'~]?\\p{Nd}+\\s*[-_–−.]") ||
-        length(regexp_replace(regexp_replace(tTrim, "^[^\\p{L}]+", ""),
-          "[^\\p{L}]", "")) >= 2)
+    // a CONTENTFUL marker line is a real lot entry: number + dash/dot (the
+    // _strong shape), or number followed by words on the same line (letter
+    // count >= 2; all letters sit after the numeric prefix by the mark
+    // shape). Index tables ("Abbeville," / "117") and session schedules
+    // ("Bronzes antiques" / "743 à 820") form numbered regions whose
+    // markers are BARE numbers or ranges — gold labels those <front>
+    // wherever they sit, even trailing the body
+    val markContentful = col("_is_mark") &&
+      (col("_strong") || col("_nletters") >= 2)
     val withRegion = withPreds
       .withColumn("_r_start", when(col("_numeric"), min("_line_no").over(wRegion)))
       .withColumn("_r_end", when(col("_numeric"), max("_line_no").over(wRegion)))
       // letter richness of the region as a whole: pure price lists sit
       // well below the threshold
       .withColumn("_r_letters",
-        sum(length(regexp_replace(tTrim, "[^\\p{L}]", "")).cast("double"))
-          .over(wRegion) /
+        sum(col("_nletters").cast("double")).over(wRegion) /
           greatest(sum(length(tTrim).cast("double")).over(wRegion), lit(1.0)))
       // fraction of the region's marker lines that are contentful entries
       .withColumn("_r_marks",
@@ -231,7 +234,7 @@ object Labeler {
       .withColumn("zone_label",
         when(coalesce(lag(col("zone"), 1).over(wOrd) =!= col("zone"), lit(true)),
           concat(lit("I-"), col("zone"))).otherwise(col("zone")))
-      .drop("_line_no", "_is_mark", "_is_trigger", "_mark_frac", "_numeric", "_strong", "_sparse", "_repetitive", "_region_id", "_r_start", "_r_end", "_r_letters", "_r_marks", "_r_content", "_r_is_body", "_r_index", "_first_body", "_last_body")
+      .drop("_line_no", "_is_mark", "_is_trigger", "_mark_frac", "_numeric", "_strong", "_sparse", "_repetitive", "_region_id", "_nletters", "_r_start", "_r_end", "_r_letters", "_r_marks", "_r_content", "_r_is_body", "_r_index", "_first_body", "_last_body")
   }
 
   // one buffered line of the body FSM
