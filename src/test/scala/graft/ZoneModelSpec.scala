@@ -67,6 +67,7 @@ class ZoneModelSpec extends SparkSpec {
     info(f"held-out line accuracy: ${acc * 100}%.2f%% over $n lines, ${evalFx.size} docs")
     // measured round-1: 96.81% held-out with smoothing (hint alone: 93.79%;
     // reference CRF on its own split: 89.58)
-    assert(acc >= 0.93, f"trained zone model regressed: ${acc * 100}%.1f%%")
+    // round-2 measured level: 96.90% held-out (round 1: 96.81)
+    assert(acc >= 0.95, f"trained zone model regressed: ${acc * 100}%.1f%%")
   }
 }
