@@ -100,6 +100,34 @@ class ChunkedLabelerSpec extends SparkSpec {
     Seq(2, 6).foreach(c => assertIdentical(turnsDf(rows), chunkTurns = c))
   }
 
+  test("property: random corpora agree at random chunk sizes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("vase", "bronze", "gravure", "Monnaie", "ancien",
+      "grand", "doré", "pièce", "médaille", "rare")
+    val line: Gen[String] = Gen.frequency(
+      (5, for { n <- Gen.choose(1, 999); ws <- Gen.listOfN(3, word) }
+        yield s"$n - ${ws.mkString(" ")} ."),
+      (2, Gen.listOfN(4, word).map(_.mkString(" ") + " .")), // prose
+      (1, Gen.oneOf("MONNAIES GRECQUES", "OBJETS D'ART", "BIJOUX ANCIENS")),
+      (1, Gen.oneOf("Syracuse .", "Croton .", "Pyrrhus , roi .")),
+      (1, Gen.oneOf("AR .", "OR * F . D . C .", "-", "T . B .")),
+      (1, for { a <- Gen.choose(1, 500); b <- Gen.choose(501, 999) }
+        yield s"$a à $b"),
+      (1, Gen.choose(1, 400).map(_.toString)))
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    (1 to 5).foreach { i =>
+      val nConvs = 1 + sample(Gen.choose(0, 4), 1000L + i)
+      val rows = (0 until nConvs).flatMap { c =>
+        val nTurns = sample(Gen.choose(5, 40), 2000L + i * 31 + c)
+        (0 until nTurns).map(t => (s"conv$c", t, sample(line, i * 100003L + c * 977L + t)))
+      }
+      val chunk = 1 + sample(Gen.choose(0, 8), 3000L + i)
+      assertIdentical(turnsDf(rows), chunk)
+    }
+  }
+
   test("empty input yields empty output without crashing") {
     val f = featsOf(turnsDf(Seq(("x", 0, "1 - Lot .")))).where(col("conv_id") === "none")
     assert(Labeler.bodyLabelsChunked(f, 4).isEmpty)
