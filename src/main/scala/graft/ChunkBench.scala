@@ -1,14 +1,17 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.extract.{Features, Labeler, Structure, Synthetic}
+import graft.extract.{Features, Labeler, Pipeline, Structure, Synthetic}
 
 /**
  * Single-conversation skew benchmark: the sequential FSM
  * ([[Labeler.bodyLabels]]) labels one giant conversation on ONE task; the
  * chunk-parallel FSM ([[Labeler.bodyLabelsChunked]]) spreads it over
  * nTurns/chunkTurns tasks (exact, ChunkedLabelerSpec). This main measures
- * both on the same one-conversation corpus and prints one JSON line.
+ * both on the same one-conversation corpus — the isolated FSM stage from a
+ * materialized feature table, and (ChunkedPipelineSpec differential) the
+ * FULL pipeline [[Pipeline.extract]] vs [[Pipeline.extractChunked]] from
+ * raw turns — and prints one JSON line.
  *
  *   SPARK_GRAFT_CHUNK_TURNS=1000000 sbt "runMain graft.ChunkBench"
  */
@@ -54,10 +57,28 @@ object ChunkBench {
     val chkSec = (1 to reps).map { _ =>
       Bench.time(noop(Labeler.bodyLabelsChunked(f, chunk, materialize = false)))._2
     }.min
+
+    // full pipeline from raw turns (turns table materialized so both paths
+    // pay the same scan)
+    val turnsDir = "/tmp/graft-chunk-bench/turns"
+    Synthetic.giantConv(spark, nTurns).write.mode("overwrite").parquet(turnsDir)
+    val turns = spark.read.parquet(turnsDir)
+    val warmT = turns.where(org.apache.spark.sql.functions.col("turn_idx") < 20000)
+    noop(Pipeline.extract(warmT))
+    noop(Pipeline.extractChunked(warmT, chunk))
+    val e2eSeqSec = (1 to reps).map { _ =>
+      Bench.time(noop(Pipeline.extract(turns)))._2
+    }.min
+    val e2eChkSec = (1 to reps).map { _ =>
+      Bench.time(noop(Pipeline.extractChunked(turns, chunk)))._2
+    }.min
+
     val json =
       f"""{"metric":"single_conv_fsm","turns":$nTurns,"chunk_turns":$chunk,""" +
         f""""cpus":"$cpus","sequential_sec":$seqSec%.2f,""" +
-        f""""chunked_sec":$chkSec%.2f,"speedup":${seqSec / chkSec}%.2f}"""
+        f""""chunked_sec":$chkSec%.2f,"speedup":${seqSec / chkSec}%.2f,""" +
+        f""""e2e_sequential_sec":$e2eSeqSec%.2f,"e2e_chunked_sec":$e2eChkSec%.2f,""" +
+        f""""e2e_speedup":${e2eSeqSec / e2eChkSec}%.2f}"""
     println(json)
     spark.stop()
   }

@@ -18,6 +18,8 @@ object Explain {
         l.contains("HashAggregate")).foreach(println)
     }
     dump("extract (transcript mode)", graft.extract.Pipeline.extract(turns))
+    dump("extractChunked (giant-conversation mode)",
+      graft.extract.Pipeline.extractChunked(turns, chunkTurns = 16))
     dump("extractDocuments (document mode)",
       graft.extract.Pipeline.extractDocuments(
         turns.select("conv_id", "turn_idx", "text")))

@@ -362,6 +362,20 @@ object Queries {
     "tei_body_documents" -> ((s, dir) =>
       Pipeline.extractTei(transcripts(s, dir))),
 
+    "pipeline_chunked_diff" -> ((s, dir) => {
+      // giant-conversation path equivalence as an ORACLE-checkable
+      // invariant: the symmetric difference between the flagship
+      // single-exchange extraction and the chunk-parallel twin
+      // (Pipeline.extractChunked, ChunkedPipelineSpec) must be empty.
+      // chunkTurns=8 so the sf conversations really do split into many
+      // chunks, exercising every boundary stitch on driver data.
+      val trns = transcripts(s, dir)
+      val a = Pipeline.extract(trns)
+      val b = Pipeline.extractChunked(trns, chunkTurns = 8)
+      a.exceptAll(b).union(b.exceptAll(a))
+        .agg(count(lit(1)).as("n_mismatch"))
+    }),
+
     "k1_feature_vectors" -> ((s, dir) => {
       val toks = tokensOf(s, dir)
       Features.body(toks)
@@ -420,6 +434,12 @@ object Queries {
        |  FROM chg)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipeline_chunked_diff" ->
+      // the Spark side computes the symmetric difference between the
+      // sequential and chunk-parallel extraction paths; its contract is
+      // that the difference is EMPTY, which the oracle pins as a constant
+      "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+
     "q1_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,

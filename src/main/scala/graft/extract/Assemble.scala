@@ -55,11 +55,57 @@ object Assemble {
         col("line_trailing"), lit("")))
       .withColumn("span_last",
         coalesce(lead(col("segment_id"), 1).over(wConv) =!= col("segment_id"), lit(true)))
+    collectSpans(seg)
+  }
+
+  /**
+   * Chunk-parallel twin of [[bodySpans]] — row-identical output
+   * (ChunkedPipelineSpec), the last leg of the giant-conversation path
+   * ([[graft.extract.Pipeline.extractChunked]]). The BIO sessionization's
+   * conversation-grain running count becomes a two-level scan: within-chunk
+   * span starts (lag(1) exact at boundaries via [[Chunked]] phantom rows)
+   * plus a per-chunk offset carried on the one-row-per-chunk frame. With
+   * globally-correct segment ids, the span groupBy then merges
+   * boundary-straddling spans by itself — no stitch pass: a span's rows
+   * land in the same (conv_id, segment_id) group whichever chunks they
+   * came from.
+   */
+  def bodySpansChunked(labeled: DataFrame, chunkTurns: Int = 4096): DataFrame = {
+    val w = Window.partitionBy("conv_id", "_chunk").orderBy(Chunked.ordCols.map(col): _*)
+    val wUpToHere = w.rowsBetween(Window.unboundedPreceding, 0)
+    val local = Chunked.augmentBoundaries(labeled, chunkTurns)
+      .withColumn("label_base", base(col("label")))
+      .withColumn("span_start",
+        col("label").startsWith("I-") ||
+          coalesce(base(lag(col("label"), 1).over(w)) =!= col("label_base"), lit(true)))
+      .withColumn("_seg_local",
+        sum(when(col("span_start") && !col("_ph"), 1L).otherwise(0L)).over(wUpToHere))
+      .withColumn("sep_after", coalesce(lead(col("sep_before"), 1).over(w),
+        col("line_trailing"), lit("")))
+      // next row opens a new span ⇔ the segment id changes (the phantom
+      // next-first row's span_start is exact: its lag(1) in THIS chunk is
+      // its true predecessor)
+      .withColumn("span_last", coalesce(lead(col("span_start"), 1).over(w), lit(true)))
+    val offsets = local.where(!col("_ph")).groupBy("conv_id", "_chunk")
+      .agg(sum(when(col("span_start"), 1L).otherwise(0L)).as("_nseg"))
+      .withColumn("_seg_off", coalesce(sum(col("_nseg")).over(
+        Window.partitionBy("conv_id").orderBy("_chunk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("conv_id", "_chunk", "_seg_off")
+    collectSpans(local.where(!col("_ph"))
+      .join(offsets, Seq("conv_id", "_chunk"))
+      .withColumn("segment_id", col("_seg_off") + col("_seg_local")))
+  }
+
+  /** Shared tail of the span paths: escaped piece text per token, then one
+   * row per (conv_id, segment_id) with the span's ordered concatenation. */
+  private def collectSpans(seg: DataFrame): DataFrame =
+    seg
       .withColumn("piece", concat(
         TextCols.htmlEncode(col("tok")),
         when(col("span_last"), regexp_extract(col("sep_after"), "^[^\n]*", 0))
           .otherwise(col("sep_after"))))
-    seg.groupBy("conv_id", "segment_id")
+      .groupBy("conv_id", "segment_id")
       .agg(
         first(col("label_base")).as("label"),
         min(col("turn_idx")).as("turn_idx"),
@@ -67,7 +113,6 @@ object Assemble {
           transform(array_sort(collect_list(struct(
             col("turn_idx"), col("line_in_turn"), col("tok_idx"), col("piece")))),
             x => x.getField("piece")), "").as("text"))
-  }
 
   /**
    * Line-level spans (segmenter model output): lines of a zone joined with

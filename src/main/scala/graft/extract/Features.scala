@@ -49,18 +49,44 @@ object Features {
     val wPrev = wConv.rowsBetween(Window.unboundedPreceding, -1)
     val wTurn = Window.partitionBy("conv_id", "turn_idx")
 
-    val blockKey = concat_ws("#", col("turn_idx"), col("block_idx"))
-    val lineKey = concat_ws("#", col("turn_idx"), col("line_in_turn"))
+    // indentation state: leading spaces of the line vs previous line,
+    // carried until it changes (reference W6). Expressed as token-row
+    // windows (last(...) ignoreNulls carry-forward) — no self-join, so the
+    // single conv_id exchange of the pipeline covers it at any scale.
+    val wPrevRows = wConv.rowsBetween(Window.unboundedPreceding, -1)
+    val wUpToHere = wConv.rowsBetween(Window.unboundedPreceding, 0)
+    val withAlign = adjacent(tokens, wConv)
+      .withColumn("lsp", lspCol)
+      .withColumn("prev_lsp", last(col("lsp"), ignoreNulls = true).over(wPrevRows))
+      .withColumn("indent_change", indentChangeCol(col("prev_lsp")))
+      .withColumn("f_alignmentStatus",
+        coalesce(last(col("indent_change"), ignoreNulls = true).over(wUpToHere),
+          lit("ALIGNEDLEFT")))
+      .drop("lsp", "prev_lsp", "indent_change")
 
-    val withPos = tokens
-      .withColumn("bk", blockKey)
-      .withColumn("lk", lineKey)
-      .withColumn("first_b", coalesce(lag(col("bk"), 1).over(wConv) =!= col("bk"), lit(true)))
-      .withColumn("last_b", coalesce(lead(col("bk"), 1).over(wConv) =!= col("bk"), lit(true)))
-      .withColumn("first_l", coalesce(lag(col("lk"), 1).over(wConv) =!= col("lk"), lit(true)))
-      .withColumn("last_l", coalesce(lead(col("lk"), 1).over(wConv) =!= col("lk"), lit(true)))
-      .withColumn("is_conv_last", lead(col("tok"), 1).over(wConv).isNull)
+    scalars(withAlign)
+      .withColumn("nn", coalesce(sum(tokLen).over(wPrev), lit(0L)))
+      .withColumn("doc_len", sum(tokLen).over(wConvAll))
+      .withColumn("f_relDocPos", linearScaling(col("nn"), col("doc_len"), NbBinsPosition))
+      .withColumn("n_lines_turn", max(col("line_in_turn")).over(wTurn) + 1)
+      .withColumn("f_relPagePos",
+        linearScaling(col("line_in_turn"), col("n_lines_turn"), NbBinsPosition))
+      .drop("bk", "lk", "first_b", "last_b", "first_l", "last_l", "nn", "doc_len", "n_lines_turn")
+  }
 
+  /** Adjacent-row features (block/line statuses + font): everything here
+   * reads only lag/lead(1) over `w`, so [[bodyChunked]] can feed it a
+   * (conv_id, chunk)-keyed window over a phantom-augmented frame and stay
+   * exact at chunk boundaries. */
+  private def adjacent(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+    val withPos = df
+      .withColumn("bk", concat_ws("#", col("turn_idx"), col("block_idx")))
+      .withColumn("lk", concat_ws("#", col("turn_idx"), col("line_in_turn")))
+      .withColumn("first_b", coalesce(lag(col("bk"), 1).over(w) =!= col("bk"), lit(true)))
+      .withColumn("last_b", coalesce(lead(col("bk"), 1).over(w) =!= col("bk"), lit(true)))
+      .withColumn("first_l", coalesce(lag(col("lk"), 1).over(w) =!= col("lk"), lit(true)))
+      .withColumn("last_l", coalesce(lead(col("lk"), 1).over(w) =!= col("lk"), lit(true)))
+      .withColumn("is_conv_last", lead(col("tok"), 1).over(w).isNull)
     val statused = withPos
       .withColumn("f_blockStatus",
         when(col("first_b"), "BLOCKSTART")
@@ -72,41 +98,126 @@ object Features {
           .when(col("first_l"), "LINESTART")
           .when(col("last_l") && !col("is_conv_last"), "LINEEND")
           .otherwise("LINEIN"))
+    withFont(statused, w)
+  }
 
-    // indentation state: leading spaces of the line vs previous line,
-    // carried until it changes (reference W6). Expressed as token-row
-    // windows (last(...) ignoreNulls carry-forward) — no self-join, so the
-    // single conv_id exchange of the pipeline covers it at any scale.
-    val wPrevRows = wConv.rowsBetween(Window.unboundedPreceding, -1)
-    val wUpToHere = wConv.rowsBetween(Window.unboundedPreceding, 0)
-    val withAlign = statused
-      .withColumn("lsp", when(col("first_l"),
-        length(regexp_extract(col("sep_before"), "[ \t]*$", 0))))
-      .withColumn("prev_lsp", last(col("lsp"), ignoreNulls = true).over(wPrevRows))
-      .withColumn("indent_change",
-        when(col("first_l") && col("lsp") - col("prev_lsp") > 1, "LINEINDENT")
-          .when(col("first_l") && col("lsp") - col("prev_lsp") < -1, "ALIGNEDLEFT")
-          .otherwise(lit(null).cast("string")))
+  /** Per-token scalar features (pure codegen, no window). */
+  private[extract] def scalars(df: DataFrame): DataFrame = df
+    .withColumn("f_digit", digitClass(col("tok")))
+    .withColumn("f_capitalisation", capitalisation(col("tok"), col("f_digit")))
+    .withColumn("f_punctType", punctType(col("tok")))
+    .withColumn("f_singleChar", length(col("tok")) === 1)
+
+  /** Leading-space count of the line (defined on line-first tokens only). */
+  private def lspCol: Column =
+    when(col("first_l"), length(regexp_extract(col("sep_before"), "[ \t]*$", 0)))
+
+  /** Indentation transition fired by a line-first token, given the previous
+   * line's leading-space count. */
+  private def indentChangeCol(prevLsp: Column): Column =
+    when(col("first_l") && col("lsp") - prevLsp > 1, "LINEINDENT")
+      .when(col("first_l") && col("lsp") - prevLsp < -1, "ALIGNEDLEFT")
+      .otherwise(lit(null).cast("string"))
+
+  /** Source chars contributed by a token row (for the relDocPos offsets). */
+  private def tokLen: Column = length(col("tok")) + length(col("sep_before"))
+
+  /**
+   * Chunk-parallel twin of [[body]] — row-identical output
+   * (ChunkedFeaturesSpec), with every conversation-grain window replaced by
+   * a (conv_id, turn-chunk)-keyed one plus exact boundary reconstruction,
+   * so ONE giant conversation featurizes on nTurns/chunkTurns tasks.
+   * Completes the chunk-parallel path ([[Structure.tokensFromLinesChunked]]
+   * → this → [[Labeler.bodyLabelsChunked]]).
+   *
+   * Three state classes, three mechanisms:
+   *  - adjacent-row features (statuses, font): each chunk imports PHANTOM
+   *    copies of the previous existing chunk's last row and the next
+   *    existing chunk's first row, so lag/lead(1) is exact on every real
+   *    row (phantoms are dropped at the end);
+   *  - prefix sums / totals (relDocPos): per-chunk char sums roll up to a
+   *    one-row-per-chunk frame whose running sum joins back as the chunk's
+   *    offset — a two-level scan;
+   *  - running last-non-null state (indentation): per-chunk last leading-
+   *    space and last LOCALLY-DECIDABLE indent transition roll up the same
+   *    way; the only cross-chunk case (a chunk whose FIRST line-start is
+   *    its last transition) is reconstructed on the chunk frame from the
+   *    carried leading-space value.
+   *
+   * The chunk frame is tiny (one row per chunkTurns turns) so its
+   * conversation-grain windows are not a skew surface. Multi-conversation
+   * corpora should keep [[body]]: conv_id alone balances, and this variant
+   * pays two extra narrow shuffles + the chunk-frame join.
+   */
+  def bodyChunked(tokens: DataFrame, chunkTurns: Int = 4096): DataFrame = {
+    require(chunkTurns > 0, "chunkTurns must be positive")
+    val inCols = tokens.columns.toSeq
+    val ordS = struct(col("turn_idx"), col("line_in_turn"), col("tok_idx"))
+    val wChunks = Window.partitionBy("conv_id").orderBy("_chunk")
+    val aug = Chunked.augmentBoundaries(tokens, chunkTurns)
+
+    // ---- pass 1: within-chunk windows over the augmented frame ----------
+    val w = Window.partitionBy("conv_id", "_chunk").orderBy(ordCols: _*)
+    val wPrevRows = w.rowsBetween(Window.unboundedPreceding, -1)
+    // a turn never straddles chunks, so turn-level aggregates can keep the
+    // (conv_id, _chunk) clustering (no extra exchange); phantom rows form
+    // their own (conv, chunk, turn) groups and are dropped below
+    val wTurnC = Window.partitionBy("conv_id", "_chunk", "turn_idx")
+    val local = adjacent(aug, w)
+      .withColumn("lsp", when(!col("_ph"), lspCol))
+      .withColumn("_prev_lsp_local", last(col("lsp"), ignoreNulls = true).over(wPrevRows))
+      // indent transition decidable within the chunk (the previous
+      // line-start is local); the chunk's first line-start row stays null
+      // here and is reconstructed on the chunk frame from the carried lsp
+      .withColumn("_ind_local", when(col("_prev_lsp_local").isNotNull,
+        indentChangeCol(col("_prev_lsp_local"))))
+      .withColumn("_nn_local",
+        coalesce(sum(when(!col("_ph"), tokLen)).over(wPrevRows), lit(0L)))
+      .withColumn("n_lines_turn", max(col("line_in_turn")).over(wTurnC) + 1)
+
+    // ---- chunk-level carries (tiny frame: one row per chunk) ------------
+    val sums = local.where(!col("_ph")).groupBy("conv_id", "_chunk")
+      .agg(
+        sum(tokLen).as("_clen"),
+        min(when(col("first_l"), struct(ordS.as("o"), col("lsp").as("v")))).as("_first_lsp"),
+        max(when(col("first_l"), struct(ordS.as("o"), col("lsp").as("v")))).as("_last_lsp"),
+        max(when(col("_ind_local").isNotNull,
+          struct(ordS.as("o"), col("_ind_local").as("v")))).as("_last_ind_local"))
+    val carries = sums
+      .withColumn("_nn_off",
+        coalesce(sum(col("_clen")).over(wChunks.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("_doc_len", sum(col("_clen")).over(Window.partitionBy("conv_id")))
+      .withColumn("_lsp_in", last(col("_last_lsp.v"), ignoreNulls = true)
+        .over(wChunks.rowsBetween(Window.unboundedPreceding, -1)))
+      // the transition fired by this chunk's FIRST line-start (needs the
+      // carried lsp), then the chunk's effective last transition
+      .withColumn("_ind_first", when(col("_first_lsp").isNotNull && col("_lsp_in").isNotNull,
+        when(col("_first_lsp.v") - col("_lsp_in") > 1, "LINEINDENT")
+          .when(col("_first_lsp.v") - col("_lsp_in") < -1, "ALIGNEDLEFT")))
+      .withColumn("_ind_out", coalesce(col("_last_ind_local.v"), col("_ind_first")))
+      .withColumn("_ind_in", last(col("_ind_out"), ignoreNulls = true)
+        .over(wChunks.rowsBetween(Window.unboundedPreceding, -1)))
+      .select("conv_id", "_chunk", "_nn_off", "_doc_len", "_lsp_in", "_ind_in")
+
+    // ---- stitch + finish ------------------------------------------------
+    val wUpToHere = w.rowsBetween(Window.unboundedPreceding, 0)
+    val stitched = local.join(carries, Seq("conv_id", "_chunk"), "left")
+      .withColumn("prev_lsp", coalesce(col("_prev_lsp_local"), col("_lsp_in")))
+      .withColumn("indent_change", indentChangeCol(col("prev_lsp")))
       .withColumn("f_alignmentStatus",
         coalesce(last(col("indent_change"), ignoreNulls = true).over(wUpToHere),
-          lit("ALIGNEDLEFT")))
-      .drop("lsp", "prev_lsp", "indent_change")
-
-    val fontSized = withFont(withAlign, wConv)
-
-    fontSized
-      .withColumn("f_digit", digitClass(col("tok")))
-      .withColumn("f_capitalisation", capitalisation(col("tok"), col("f_digit")))
-      .withColumn("f_punctType", punctType(col("tok")))
-      .withColumn("f_singleChar", length(col("tok")) === 1)
-      .withColumn("nn",
-        coalesce(sum(length(col("tok")) + length(col("sep_before"))).over(wPrev), lit(0L)))
-      .withColumn("doc_len", sum(length(col("tok")) + length(col("sep_before"))).over(wConvAll))
-      .withColumn("f_relDocPos", linearScaling(col("nn"), col("doc_len"), NbBinsPosition))
-      .withColumn("n_lines_turn", max(col("line_in_turn")).over(wTurn) + 1)
+          col("_ind_in"), lit("ALIGNEDLEFT")))
+      .where(!col("_ph"))
+      .withColumn("nn", col("_nn_off") + col("_nn_local"))
+      .withColumn("f_relDocPos", linearScaling(col("nn"), col("_doc_len"), NbBinsPosition))
       .withColumn("f_relPagePos",
         linearScaling(col("line_in_turn"), col("n_lines_turn"), NbBinsPosition))
-      .drop("bk", "lk", "first_b", "last_b", "first_l", "last_l", "nn", "doc_len", "n_lines_turn")
+    scalars(stitched)
+      .select((inCols ++ Seq("is_conv_last", "f_blockStatus", "f_lineStatus",
+        "f_fontStatus", "f_fontSize", "f_alignmentStatus", "f_digit",
+        "f_capitalisation", "f_punctType", "f_singleChar",
+        "f_relDocPos", "f_relPagePos")).map(col): _*)
   }
 
   /** Shared running-font logic (reference W5: a single running variable over

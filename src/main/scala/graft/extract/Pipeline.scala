@@ -101,6 +101,42 @@ object Pipeline {
     graft.plans.BodySpans.spans(feats)
   }
 
+  /**
+   * Chunk-parallel twin of [[extract]] — row-identical output
+   * (ChunkedPipelineSpec differential), for corpora where single
+   * conversations are so large that one-task-per-conversation is the
+   * bottleneck (the north rule's 10^12-turn regime with 10^9-turn
+   * conversations). NO stage in this path partitions by conv_id alone:
+   *
+   *   - structuring windows are turn-grain already ([[Structure.lines]]);
+   *   - zone selection's conversation-grain repetitive count becomes a
+   *     two-level aggregate ([[Labeler.bodyLinesChunked]]);
+   *   - the tokenizer's separator lags stitch across (conv_id, turn-chunk)
+   *     boundaries ([[Structure.tokensFromLinesChunked]]);
+   *   - the FSM's feature input is pure per-token scalars (the narrow
+   *     projection [[extract]] relies on Catalyst to prune to);
+   *   - the FSM itself runs as the prefix-composed parallel automaton
+   *     ([[Labeler.bodyLabelsChunked]]);
+   *   - span assembly's running segment count becomes a two-level scan
+   *     ([[Assemble.bodySpansChunked]]), whose span groupBy merges
+   *     boundary-straddling spans by construction.
+   *
+   * Cost vs [[extract]]: several narrow chunk-frame aggregates/joins and a
+   * second FSM pass — keep [[extract]] (one exchange) for corpora whose
+   * conversations are ordinarily sized; conv_id alone balances there.
+   */
+  def extractChunked(turns: DataFrame, chunkTurns: Int = 4096): DataFrame = {
+    val bodyLines = Labeler.bodyLinesChunked(Structure.keptLines(turns), chunkTurns)
+      .select("conv_id", "turn_idx", "role", "tool", "block_idx",
+        "line_in_turn", "line_idx", "line")
+    val toks = Structure.tokensFromLinesChunked(bodyLines, chunkTurns)
+    val feats = Features.scalars(toks)
+      .select("conv_id", "turn_idx", "line_in_turn", "tok_idx",
+        "tok", "sep_before", "line_trailing", "f_capitalisation")
+    Assemble.bodySpansChunked(
+      Labeler.bodyLabelsChunked(feats, chunkTurns), chunkTurns)
+  }
+
   /** Declarative span assembly (windows + groupBy) over the labeled tokens —
    * output-identical to [[extract]] (differential-tested); kept as the
    * Catalyst-native reference path and for the driver's oracle queries. */

@@ -111,18 +111,87 @@ object Structure {
   def tokensFromLines(keptLines: DataFrame): DataFrame = {
     val wLine = Window.partitionBy("conv_id")
       .orderBy(col("turn_idx"), col("line_in_turn"))
-    val carried = keptLines.columns.toSeq
-      .diff(Seq("line", "kept", "line_trailing", "prev_trailing", "line_gap", "toks"))
     val perLine = keptLines
-      .withColumn("line_trailing", regexp_extract(col("line"), "[ \t\f ]*$", 0))
+      .withColumn("line_trailing", lineTrailingCol)
       .withColumn("prev_trailing",
         coalesce(lag(col("line_trailing"), 1).over(wLine), lit("")))
       .withColumn("line_gap",
-        when(lag(col("turn_idx"), 1).over(wLine).isNull, 0)
-          .when(lag(col("turn_idx"), 1).over(wLine) =!= col("turn_idx"), 1)
-          .otherwise(col("line_in_turn") - lag(col("line_in_turn"), 1).over(wLine)))
-      .withColumn("toks", tokenizeCol)
+        lineGapCol(lag(col("turn_idx"), 1).over(wLine),
+          lag(col("line_in_turn"), 1).over(wLine)))
+    explodeLineTokens(perLine, carriedCols(keptLines))
+  }
+
+  /**
+   * Chunk-parallel twin of [[tokensFromLines]] — row-identical output
+   * (StructureChunkedSpec), but the conversation-grain lag window is
+   * replaced by a (conv_id, turn-chunk)-keyed window plus a boundary
+   * stitch, so ONE giant conversation tokenizes on nTurns/chunkTurns
+   * tasks instead of one. Same pattern as [[Labeler.bodyLabelsChunked]],
+   * radically simpler because the carried state is just the previous
+   * existing line's (trailing whitespace, turn_idx, line_in_turn):
+   * per-chunk lag(1) is wrong only on each chunk's FIRST line, and the
+   * correction rides a tiny one-row-per-chunk frame (last line of the
+   * previous existing chunk, skew-free even for a 10^9-turn conversation)
+   * joined back on (conv_id, chunk). Multi-conversation corpora should
+   * keep [[tokensFromLines]]: conv_id alone already balances, and this
+   * variant adds the chunk-frame aggregate + join.
+   */
+  def tokensFromLinesChunked(keptLines: DataFrame, chunkTurns: Int = 4096): DataFrame = {
+    require(chunkTurns > 0, "chunkTurns must be positive")
+    val carried = carriedCols(keptLines)
+    val chunked = keptLines
+      .withColumn("_chunk", expr(s"int(turn_idx div $chunkTurns)"))
+      .withColumn("line_trailing", lineTrailingCol)
+    val w = Window.partitionBy("conv_id", "_chunk")
+      .orderBy(col("turn_idx"), col("line_in_turn"))
+    // per-chunk boundary frame: last line of each chunk that HAS lines
+    // (turn gaps may leave whole chunk ids absent), shifted to the next
+    // existing chunk by a lag over the chunk-level frame (one row per
+    // chunk — tiny, so its conv-keyed window is not a skew surface)
+    val bounds = chunked.groupBy("conv_id", "_chunk")
+      .agg(max(struct(col("turn_idx"), col("line_in_turn"),
+        col("line_trailing"))).as("_last"))
+      .withColumn("_prev", lag(col("_last"), 1).over(
+        Window.partitionBy("conv_id").orderBy("_chunk")))
+      .where(col("_prev").isNotNull)
+      .select(col("conv_id"), col("_chunk"), col("_prev"))
+    val perLine = chunked
+      .withColumn("_first", row_number().over(w) === 1)
+      .withColumn("_lag_trailing", lag(col("line_trailing"), 1).over(w))
+      .withColumn("_lag_turn", lag(col("turn_idx"), 1).over(w))
+      .withColumn("_lag_line", lag(col("line_in_turn"), 1).over(w))
+      .join(bounds, Seq("conv_id", "_chunk"), "left")
+      .withColumn("prev_trailing",
+        coalesce(when(col("_first"), col("_prev.line_trailing"))
+          .otherwise(col("_lag_trailing")), lit("")))
+      .withColumn("line_gap",
+        lineGapCol(when(col("_first"), col("_prev.turn_idx")).otherwise(col("_lag_turn")),
+          when(col("_first"), col("_prev.line_in_turn")).otherwise(col("_lag_line"))))
+    explodeLineTokens(perLine, carried)
+  }
+
+  /** Input columns carried through the token explode (computed BEFORE any
+   * temp columns are added, so both tokenizer paths emit the same order). */
+  private def carriedCols(keptLines: DataFrame): Seq[String] =
+    keptLines.columns.toSeq
+      .diff(Seq("line", "kept", "line_trailing", "prev_trailing", "line_gap", "toks"))
+
+  /** Trailing whitespace of the line (space/tab/FF/NBSP). */
+  private def lineTrailingCol: Column =
+    regexp_extract(col("line"), "[ \t\f ]*$", 0)
+
+  /** Source-line gap to the previous kept line, given that line's
+   * (turn_idx, line_in_turn); null prev = first line of the conversation. */
+  private def lineGapCol(prevTurn: Column, prevLine: Column): Column =
+    when(prevTurn.isNull, 0)
+      .when(prevTurn =!= col("turn_idx"), 1)
+      .otherwise(col("line_in_turn") - prevLine)
+
+  /** Shared tail of the tokenizer paths: explode `line` into delimiter
+   * tokens and assemble `sep_before` from the per-line lag columns. */
+  private def explodeLineTokens(perLine: DataFrame, carried: Seq[String]): DataFrame =
     perLine
+      .withColumn("toks", tokenizeCol)
       .select(carried.map(col) ++ Seq(
         col("line_trailing"), col("prev_trailing"), col("line_gap"),
         posexplode(col("toks")).as(Seq("tok_idx", "t"))): _*)
@@ -135,7 +204,6 @@ object Structure {
         col("line_trailing")): _*)
       .withColumn("nl_before", col("tok_idx") === 0 && col("line_in_turn") > 0)
       .withColumn("sp_before", col("sep_before") =!= "")
-  }
 
   /** Global per-conversation unit index (stable turn ordering invariant). */
   def withUnitIdx(df: DataFrame, orderCols: Seq[String]): DataFrame =
