@@ -125,7 +125,26 @@ object Pipeline {
    * second FSM pass — keep [[extract]] (one exchange) for corpora whose
    * conversations are ordinarily sized; conv_id alone balances there.
    */
-  def extractChunked(turns: DataFrame, chunkTurns: Int = 4096): DataFrame = {
+  def extractChunked(turns: DataFrame, chunkTurns: Int = 4096,
+      materialize: Boolean = true): DataFrame = {
+    // span assembly scans its input twice (real rows + the phantom edge
+    // aggregate): materialize the labeled frame so the FSM's pass-2 walk is
+    // not re-run per scan — same committed-stage pattern as
+    // [[Labeler.bodyLabelsChunked]]'s internal checkpoint (which covers the
+    // upstream of the FSM; this one covers the FSM output itself). In the
+    // resumable path ([[runResumable]] with chunkTurns) [[TableIO]]
+    // snapshots play this role instead.
+    val labeled0 = labeledBodyTokensChunked(turns, chunkTurns,
+      materialize = materialize)
+    val labeled = if (materialize) labeled0.localCheckpoint() else labeled0
+    Assemble.bodySpansChunked(labeled, chunkTurns)
+  }
+
+  /** structure → zone → scalar features → parallel FSM, all chunk-keyed —
+   * the giant-conversation twin of [[labeledBodyTokens]]. */
+  def labeledBodyTokensChunked(turns: DataFrame, chunkTurns: Int,
+      failures: Option[Lineage.PartitionStats] = None,
+      materialize: Boolean = true): DataFrame = {
     val bodyLines = Labeler.bodyLinesChunked(Structure.keptLines(turns), chunkTurns)
       .select("conv_id", "turn_idx", "role", "tool", "block_idx",
         "line_in_turn", "line_idx", "line")
@@ -133,8 +152,7 @@ object Pipeline {
     val feats = Features.scalars(toks)
       .select("conv_id", "turn_idx", "line_in_turn", "tok_idx",
         "tok", "sep_before", "line_trailing", "f_capitalisation")
-    Assemble.bodySpansChunked(
-      Labeler.bodyLabelsChunked(feats, chunkTurns), chunkTurns)
+    Labeler.bodyLabelsChunked(feats, chunkTurns, failures, materialize)
   }
 
   /** Declarative span assembly (windows + groupBy) over the labeled tokens —
@@ -186,8 +204,15 @@ object Pipeline {
    * killed job resumes from its last checkpoint with identical output.
    * Per-partition lineage rows (rows/bytes/parse failures) are committed
    * alongside each stage.
+   *
+   * `chunkTurns = Some(c)` runs both stages on the chunk-parallel path
+   * (same rows, ChunkedPipelineSpec) for giant-conversation corpora; the
+   * committed `labeled` table doubles as the materialization the in-memory
+   * path gets from localCheckpoint, so span assembly's phantom-edge scan
+   * re-reads column-pruned parquet instead of re-running the FSM.
    */
-  def runResumable(turns: DataFrame, io: TableIO, runId: String = "r1"): DataFrame = {
+  def runResumable(turns: DataFrame, io: TableIO, runId: String = "r1",
+      chunkTurns: Option[Int] = None): DataFrame = {
     val spark = turns.sparkSession
 
     val labeled = io.committedSnapshot("labeled") match {
@@ -195,8 +220,12 @@ object Pipeline {
       case None =>
         val acc = Lineage.newTotals(spark, "labeled")
         val fails = Lineage.newStats(spark, "labeled_failures")
+        val labeledDf = chunkTurns match {
+          case Some(c) => labeledBodyTokensChunked(turns, c, Some(fails))
+          case None => labeledBodyTokens(turns, Some(fails))
+        }
         val out = Lineage.withPartitionLineage(
-          labeledBodyTokens(turns, Some(fails)), acc, Seq("tok", "sep_before"))
+          labeledDf, acc, Seq("tok", "sep_before"))
         io.commit(out, "labeled", runId)
         io.commit(Lineage.lineageRows(spark, "labeled", acc,
           fails.value.map { case (p, (r, _)) => p -> r }), "lineage_labeled", runId)
@@ -207,8 +236,11 @@ object Pipeline {
       case Some(_) => io.read(spark, "spans")
       case None =>
         val acc = Lineage.newTotals(spark, "spans")
-        val spans = Lineage.withPartitionLineage(
-          Assemble.bodySpans(labeled), acc, Seq("text"))
+        val spansDf = chunkTurns match {
+          case Some(c) => Assemble.bodySpansChunked(labeled, c)
+          case None => Assemble.bodySpans(labeled)
+        }
+        val spans = Lineage.withPartitionLineage(spansDf, acc, Seq("text"))
         io.commit(spans, "spans", runId)
         io.commit(Lineage.lineageRows(spark, "spans", acc), "lineage_spans", runId)
         io.read(spark, "spans")

@@ -67,4 +67,22 @@ class PipelineSpec extends SparkSpec {
     assert(io2.committedSnapshot("labeled").contains("run1"))
     assert(io2.committedSnapshot("spans").contains("run2"))
   }
+
+  test("resumable run on the chunk-parallel path: identical output, resumable mid-run") {
+    val root = Files.createTempDirectory("graft-resume-chunked").toString
+    val turns = Synthetic.transcripts(spark, 12)
+
+    val io1 = new LocalSnapshotIO(root)
+    val full = canon(Pipeline.runResumable(turns, io1, "run1", chunkTurns = Some(3)))
+    assert(full == canon(Pipeline.extract(turns)), "chunked resumable != direct")
+
+    // kill after stage 1: the chunked span assembly must rebuild spans from
+    // the committed labeled table alone
+    Files.delete(Paths.get(root, "spans", "_manifest.json"))
+    val io2 = new LocalSnapshotIO(root)
+    val resumed = canon(
+      Pipeline.runResumable(turns.limit(0), io2, "run2", chunkTurns = Some(3)))
+    assert(resumed == full, "chunked resume did not reuse the committed stage")
+    assert(io2.committedSnapshot("labeled").contains("run1"))
+  }
 }
