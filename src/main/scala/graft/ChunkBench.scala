@@ -32,31 +32,37 @@ object ChunkBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val nTurns = sys.env.getOrElse("SPARK_GRAFT_CHUNK_TURNS", "1000000").toLong
     val chunk = sys.env.getOrElse("SPARK_GRAFT_CHUNK_SIZE", "16384").toInt
+    // e2eOnly skips the isolated-FSM stage measurements (fast A/B loops);
+    // mat toggles the pipeline's localCheckpoint materialization
+    val e2eOnly = sys.env.get("SPARK_GRAFT_CHUNK_E2E_ONLY").contains("1")
+    val mat = sys.env.getOrElse("SPARK_GRAFT_CHUNK_MAT", "true").toBoolean
     val spark = Bench.mkSpark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    // the labeling stage reads a MATERIALIZED token-feature table (the
-    // committed-stage shape of Pipeline.runResumable) so the measurement
-    // isolates the FSM stage — the upstream's own conversation-grain lags
-    // are a separate (turn-keyed, window-stitchable) concern
-    val dir = "/tmp/graft-chunk-bench/feats"
-    feats(Synthetic.giantConv(spark, nTurns)).write.mode("overwrite").parquet(dir)
-    val f = spark.read.parquet(dir)
-
-    // JIT/codegen warmup on a small slice of the same plans
-    val warm = f.where(org.apache.spark.sql.functions.col("turn_idx") < 20000)
-    (1 to 2).foreach { _ =>
-      noop(Labeler.bodyLabels(warm))
-      noop(Labeler.bodyLabelsChunked(warm, chunk, materialize = false))
-    }
-
     val reps = sys.env.getOrElse("SPARK_GRAFT_CHUNK_REPS", "2").toInt
-    val seqSec = (1 to reps).map { _ =>
-      Bench.time(noop(Labeler.bodyLabels(f)))._2
-    }.min
-    val chkSec = (1 to reps).map { _ =>
-      Bench.time(noop(Labeler.bodyLabelsChunked(f, chunk, materialize = false)))._2
-    }.min
+    val (seqSec, chkSec) = if (e2eOnly) (0.0, 0.0) else {
+      // the labeling stage reads a MATERIALIZED token-feature table (the
+      // committed-stage shape of Pipeline.runResumable) so the measurement
+      // isolates the FSM stage — the upstream's own conversation-grain lags
+      // are a separate (turn-keyed, window-stitchable) concern
+      val dir = "/tmp/graft-chunk-bench/feats"
+      feats(Synthetic.giantConv(spark, nTurns)).write.mode("overwrite").parquet(dir)
+      val f = spark.read.parquet(dir)
+
+      // JIT/codegen warmup on a small slice of the same plans
+      val warm = f.where(org.apache.spark.sql.functions.col("turn_idx") < 20000)
+      (1 to 2).foreach { _ =>
+        noop(Labeler.bodyLabels(warm))
+        noop(Labeler.bodyLabelsChunked(warm, chunk, materialize = false))
+      }
+      val s = (1 to reps).map { _ =>
+        Bench.time(noop(Labeler.bodyLabels(f)))._2
+      }.min
+      val c = (1 to reps).map { _ =>
+        Bench.time(noop(Labeler.bodyLabelsChunked(f, chunk, materialize = false)))._2
+      }.min
+      (s, c)
+    }
 
     // full pipeline from raw turns (turns table materialized so both paths
     // pay the same scan)
@@ -65,12 +71,12 @@ object ChunkBench {
     val turns = spark.read.parquet(turnsDir)
     val warmT = turns.where(org.apache.spark.sql.functions.col("turn_idx") < 20000)
     noop(Pipeline.extract(warmT))
-    noop(Pipeline.extractChunked(warmT, chunk))
+    noop(Pipeline.extractChunked(warmT, chunk, materialize = mat))
     val e2eSeqSec = (1 to reps).map { _ =>
       Bench.time(noop(Pipeline.extract(turns)))._2
     }.min
     val e2eChkSec = (1 to reps).map { _ =>
-      Bench.time(noop(Pipeline.extractChunked(turns, chunk)))._2
+      Bench.time(noop(Pipeline.extractChunked(turns, chunk, materialize = mat)))._2
     }.min
 
     val json =

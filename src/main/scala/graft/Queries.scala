@@ -165,6 +165,15 @@ object Queries {
           col("f_blockStatus").as("block_status"),
           col("f_lineStatus").as("line_status"))),
 
+    "w2_statuses_chunked" -> ((s, dir) =>
+      // chunk-parallel featurizer against the SAME DuckDB oracle as
+      // w2_statuses: the phantom-edge adjacency reconstruction is checked
+      // externally, not just differentially (ChunkedFeaturesSpec)
+      Features.bodyChunked(tokensOf(s, dir), chunkTurns = 8)
+        .select(col("conv_id"), col("turn_idx"), col("tok_idx"),
+          col("f_blockStatus").as("block_status"),
+          col("f_lineStatus").as("line_status"))),
+
     "w5_font_status" -> ((s, dir) =>
       Features.segmenter(Structure.keptLines(transcripts(s, dir)))
         .select(col("conv_id"), col("turn_idx"),
@@ -495,6 +504,24 @@ object Queries {
          |SELECT conv_id, turn_idx, tok_idx, tok FROM toks""".stripMargin,
 
     "w2_statuses" ->
+      s"""WITH $transcriptsCte, $tokensCte,
+         |x AS (
+         |  SELECT conv_id, turn_idx, tok_idx, tok,
+         |    tok_idx = 0 AS first_b,
+         |    tok_idx = max(tok_idx) OVER (PARTITION BY conv_id, turn_idx) AS last_b,
+         |    (turn_idx, tok_idx) = (max((turn_idx, tok_idx))
+         |       OVER (PARTITION BY conv_id)) AS conv_last
+         |  FROM toks)
+         |SELECT conv_id, turn_idx, tok_idx,
+         |  CASE WHEN first_b THEN 'BLOCKSTART'
+         |       WHEN last_b AND NOT conv_last THEN 'BLOCKEND'
+         |       ELSE 'BLOCKIN' END AS block_status,
+         |  CASE WHEN first_b THEN 'LINESTART'
+         |       WHEN last_b AND NOT conv_last THEN 'LINEEND'
+         |       ELSE 'LINEIN' END AS line_status
+         |FROM x""".stripMargin,
+
+    "w2_statuses_chunked" ->
       s"""WITH $transcriptsCte, $tokensCte,
          |x AS (
          |  SELECT conv_id, turn_idx, tok_idx, tok,

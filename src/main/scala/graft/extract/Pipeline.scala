@@ -126,14 +126,20 @@ object Pipeline {
    * conversations are ordinarily sized; conv_id alone balances there.
    */
   def extractChunked(turns: DataFrame, chunkTurns: Int = 4096,
-      materialize: Boolean = true): DataFrame = {
-    // span assembly scans its input twice (real rows + the phantom edge
-    // aggregate): materialize the labeled frame so the FSM's pass-2 walk is
-    // not re-run per scan — same committed-stage pattern as
-    // [[Labeler.bodyLabelsChunked]]'s internal checkpoint (which covers the
-    // upstream of the FSM; this one covers the FSM output itself). In the
-    // resumable path ([[runResumable]] with chunkTurns) [[TableIO]]
-    // snapshots play this role instead.
+      materialize: Boolean = false): DataFrame = {
+    // `materialize` caches the FSM output (and the FSM input, inside the
+    // labeler) so downstream multi-scans never recompute. MEASURED
+    // (ChunkBench, 2M-turn single conversation, 16 cores / 16g):
+    // materialize=false runs at sequential parity (174s vs 168s) because
+    // AQE stage reuse serves every repeated subtree from its shuffle
+    // files, while materialize=true THRASHES the storage pool (379s) —
+    // two full-frame localCheckpoints exceed a single JVM's storage
+    // fraction and evict each other to disk. Default OFF: recompute is
+    // near-free under shuffle reuse, caching risks the memory cliff; turn
+    // it on only when executor storage comfortably fits ~2 copies of the
+    // token frame. The resumable path ([[runResumable]] with chunkTurns)
+    // sidesteps the tradeoff: its committed parquet stages make every
+    // re-scan a column-pruned file read.
     val labeled0 = labeledBodyTokensChunked(turns, chunkTurns,
       materialize = materialize)
     val labeled = if (materialize) labeled0.localCheckpoint() else labeled0
