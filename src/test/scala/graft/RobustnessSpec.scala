@@ -125,4 +125,23 @@ class RobustnessSpec extends SparkSpec {
     // every turn's text (>= 22 chars each) must be present in some span
     assert(total >= 500000L * 22)
   }
+
+  test("one 100k-turn conversation through the CHUNKED pipeline, content complete") {
+    // same skew shape through Pipeline.extractChunked: many tasks instead of
+    // one (ChunkBench measures the wall-clock story at 1M-4M turns; this
+    // protects the path in CI). Content completeness, not a differential —
+    // the row-identity is ChunkedPipelineSpec's job at boundary-shape sizes.
+    val sparkS = spark
+    import sparkS.implicits._
+    val turns = sparkS.range(100000)
+      .select(lit("giant2").as("conv_id"), col("id").cast("int").as("turn_idx"),
+        lit("user").as("role"),
+        concat(lit("turn body text number "),
+          translate(col("id").cast("string"), "0123456789", "abcdefghij")).as("text"),
+        lit(null).cast("string").as("tool"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"))
+    val spans = Pipeline.extractChunked(turns, chunkTurns = 8192)
+    val total = spans.agg(sum(length(col("text")))).head().getLong(0)
+    assert(total >= 100000L * 22)
+  }
 }
