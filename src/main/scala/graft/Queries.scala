@@ -626,7 +626,7 @@ object Queries {
          |p AS (
          |  SELECT conv_id, turn_idx, line_in_turn, line,
          |    row_number() OVER wo AS line_no,
-         |    (regexp_matches(line, '^[*"«''~]?[0-9]+([-_–−.\\s]|$$)') OR
+         |    (regexp_matches(line, '^[*"«''~]?[0-9]+([-_–−.\\s*]|$$)') OR
          |     regexp_matches(line, '^[iIjJ!,][0-9]+')) AS is_mark,
          |    regexp_matches(line, '^[*"«''~]?[0-9]+\\s*[-_–−.]') AS is_strong,
          |    (length(line) <= 50 AND (
@@ -651,23 +651,43 @@ object Queries {
          |  WINDOW wo AS (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn)),
          |pp AS (
          |  SELECT *, (length(pattern) > 2 AND length(line) <= 30 AND
-         |    count(*) OVER (PARTITION BY conv_id, pattern) >= 3) AS is_repetitive
+         |    count(*) OVER (PARTITION BY conv_id, pattern) >= 3) AS is_repetitive,
+         |    CASE WHEN is_mark THEN try_cast(nullif(
+         |      regexp_extract(line, '^[*"«''~]?([0-9]{1,6})', 1), '') AS INT)
+         |    END AS mark_num
          |  FROM p),
          |q AS (
          |  SELECT *,
          |    avg(CASE WHEN is_mark THEN 1.0 ELSE 0.0 END) OVER wn AS mark_frac,
          |    sum(CASE WHEN is_strong THEN 1 ELSE 0 END) OVER ws AS strong_cnt,
-         |    sum(CASE WHEN is_strong THEN 1 ELSE 0 END) OVER wb AS strong_bwd
+         |    sum(CASE WHEN is_strong THEN 1 ELSE 0 END) OVER wb AS strong_bwd,
+         |    list(mark_num) OVER wp AS prev_nums
          |  FROM pp
          |  WINDOW wn AS (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn
          |                ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING),
          |         ws AS (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn
          |                ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING),
          |         wb AS (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn
+         |                ROWS BETWEEN 20 PRECEDING AND CURRENT ROW),
+         |         wp AS (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn
+         |                ROWS BETWEEN 15 PRECEDING AND 1 PRECEDING)),
+         |qs AS (
+         |  SELECT *, coalesce(is_mark AND mark_num IS NOT NULL AND
+         |    (list_contains(prev_nums, mark_num - 1) OR
+         |     list_contains(prev_nums, mark_num - 2)), FALSE) AS is_seq
+         |  FROM q),
+         |qs2 AS (
+         |  SELECT *,
+         |    sum(CASE WHEN is_seq THEN 1 ELSE 0 END) OVER ws AS seq_cnt,
+         |    sum(CASE WHEN is_seq THEN 1 ELSE 0 END) OVER wb AS seq_bwd
+         |  FROM qs
+         |  WINDOW ws AS (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn
+         |                ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING),
+         |         wb AS (PARTITION BY conv_id ORDER BY turn_idx, line_in_turn
          |                ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)),
          |r AS (
-         |  SELECT *, (mark_frac >= 0.3 OR (strong_cnt >= 3 AND strong_bwd >= 1))
-         |    AS is_numeric FROM q),
+         |  SELECT *, (mark_frac >= 0.3 OR (strong_cnt >= 3 AND strong_bwd >= 1)
+         |    OR (seq_cnt >= 3 AND seq_bwd >= 1)) AS is_numeric FROM qs2),
          |r1 AS (
          |  SELECT *, lag(is_numeric) OVER (PARTITION BY conv_id
          |    ORDER BY turn_idx, line_in_turn) AS prev_numeric
@@ -686,7 +706,8 @@ object Queries {
          |     greatest(sum(CAST(length(line) AS DOUBLE)), 1.0)) >= 0.26 AS r_is_body,
          |    ((sum(CAST(length(regexp_replace(line, '[^\\p{L}]', '', 'g')) AS DOUBLE)) /
          |      greatest(sum(CAST(length(line) AS DOUBLE)), 1.0)) >= 0.26 AND
-         |     (sum(CASE WHEN is_mark AND is_contentful THEN 1.0 ELSE 0.0 END) /
+         |     (sum(CASE WHEN is_mark AND (is_contentful OR is_seq)
+         |               THEN 1.0 ELSE 0.0 END) /
          |      greatest(sum(CASE WHEN is_mark THEN 1.0 ELSE 0.0 END), 1.0)) < 0.15)
          |      AS r_index
          |  FROM r2 WHERE is_numeric GROUP BY conv_id, region_id),
@@ -727,8 +748,8 @@ object Queries {
          |      WHEN line_no BETWEEN first_body AND last_body THEN '<body>'
          |      WHEN line_no < first_body AND near_price THEN '<annex>'
          |      WHEN is_form OR is_trigger THEN '<annex>'
-         |      WHEN is_repetitive THEN '<other>'
          |      WHEN line_no < first_body THEN '<front>'
+         |      WHEN is_repetitive THEN '<other>'
          |      WHEN is_pagenum OR is_garbage THEN '<other>'
          |      ELSE '<back>' END AS zone
          |  FROM a3)

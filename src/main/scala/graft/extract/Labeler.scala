@@ -127,7 +127,13 @@ object Labeler {
    * Input needs (conv_id, turn_idx, line_in_turn, line). Adds `zone` and
    * BIO-encoded `zone_label`.
    */
-  def zonesContent(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+  def zonesContent(lines: DataFrame, lineCol: String = "line"): DataFrame =
+    zonesContentFinish(zonesContentRaw(lines, lineCol),
+      Window.partitionBy("conv_id").orderBy(col("turn_idx"), col("line_in_turn")))
+
+  /** [[zonesContent]] before BIO encoding and internal-column drop — the
+   * region statistics stay readable for diagnostics. */
+  private[graft] def zonesContentRaw(lines: DataFrame, lineCol: String = "line"): DataFrame = {
     val wConv = Window.partitionBy("conv_id")
     val wOrd = wConv.orderBy(col("turn_idx"), col("line_in_turn"))
     val text = trim(col(lineCol))
@@ -135,7 +141,7 @@ object Labeler {
     // ("151 - ", "246.", "3 Zeugitane", "*483 Jean-Louis", OCR confusables).
     // Individually too noisy (dates, addresses, page numbers also match) —
     // the body range is decided by marker DENSITY below, not single markers
-    val isMark = text.rlike("^[\\*\"«'~]?\\p{Nd}+([-_–−.\\s]|$)") ||
+    val isMark = text.rlike("^[\\*\"«'~]?\\p{Nd}+([-_–−.\\s*]|$)") ||
       text.rlike("^[iIjJ!,]\\p{Nd}+")
     // annex trigger: auction-result / order-form section HEADERS
     // ("PRIX DES ADJUDICATIONS", "RESULTAT DES ENCHERES", "BASES
@@ -190,6 +196,30 @@ object Labeler {
       .withColumn("_sparse",
         sum(col("_strong").cast("int")).over(wOrd.rowsBetween(-30, 30)) >= 3 &&
           sum(col("_strong").cast("int")).over(wOrd.rowsBetween(-20, 0)) >= 1)
+      // SEQUENTIAL markers: catalogues whose entries span 3-15 lines with a
+      // plain "2 Ethelbert…", bare "2", or starred "1*" marker fall below
+      // the 0.3 density AND lack the strong dash form — but their lot
+      // numbers INCREMENT, which front matter (dates, addresses, prices)
+      // essentially never does. A mark is sequential if some mark within
+      // the previous 15 lines carries its number minus 1 or 2 (minus 2
+      // tolerates one OCR-mangled marker); price lines between lots do not
+      // poison the test because ANY recent mark may supply n-1, not just
+      // the nearest
+      // OCR-confusable marks ("i151") have no plain leading digits: the
+      // extract is '' there, and ANSI mode makes ''::int throw — nullif
+      // first (OCR'd numbers can't be trusted for the ±1 test anyway)
+      .withColumn("_mark_num",
+        when(col("_is_mark"),
+          nullif(regexp_extract(text, "^[\\*\"«'~]?(\\p{Nd}{1,6})", 1), lit(""))
+            .cast("int")))
+      .withColumn("_prev_nums",
+        collect_list(col("_mark_num")).over(wOrd.rowsBetween(-15, -1)))
+      .withColumn("_seq_mark", col("_is_mark") && col("_mark_num").isNotNull &&
+        (array_contains(col("_prev_nums"), col("_mark_num") - 1) ||
+          array_contains(col("_prev_nums"), col("_mark_num") - 2)))
+      .withColumn("_seqr",
+        sum(col("_seq_mark").cast("int")).over(wOrd.rowsBetween(-30, 30)) >= 3 &&
+          sum(col("_seq_mark").cast("int")).over(wOrd.rowsBetween(-20, 0)) >= 1)
       // contiguous numbered regions: a catalogue body that drifts letter-poor
       // mid-way ("0200 Écu. ... / AR5 F.D.C.") is ONE region and must be
       // classified as a whole, not line-by-line — region identity via
@@ -197,7 +227,8 @@ object Labeler {
       .withColumn("_repetitive",
         length(pattern) > 2 && length(text) <= 30 &&
           count(lit(1)).over(Window.partitionBy(col("conv_id"), pattern)) >= 3)
-      .withColumn("_numeric", col("_mark_frac") >= 0.3 || col("_sparse"))
+      .withColumn("_numeric",
+        col("_mark_frac") >= 0.3 || col("_sparse") || col("_seqr"))
       .withColumn("_region_id",
         when(col("_numeric"),
           sum(when(col("_numeric") &&
@@ -217,8 +248,11 @@ object Labeler {
     // ("Bronzes antiques" / "743 à 820") form numbered regions whose
     // markers are BARE numbers or ranges — gold labels those <front>
     // wherever they sit, even trailing the body
+    // a SEQUENTIAL bare marker is contentful too: an index's page refs are
+    // bare numbers but not incrementing, a lot list's bare markers are —
+    // without this, a bare-marker catalogue region would look like an index
     val markContentful = col("_is_mark") &&
-      (col("_strong") || col("_nletters") >= 2)
+      (col("_strong") || col("_nletters") >= 2 || col("_seq_mark"))
     val withRegion = withPreds
       .withColumn("_r_start", when(col("_numeric"), min("_line_no").over(wRegion)))
       .withColumn("_r_end", when(col("_numeric"), max("_line_no").over(wRegion)))
@@ -277,21 +311,26 @@ object Labeler {
         .when(col("_line_no").between(firstEntry, lastEntry), "<body>")
         .when(col("_line_no") < firstEntry && nearPrice, "<annex>")
         .when(isForm || isTrigger, "<annex>")
-        // repeated page stamps (A2) are <other> wherever they sit, but
-        // ORDINARY junk (bare page numbers, OCR noise, "-"/"," fragments)
-        // inside the front matter belongs to <front> in the gold convention
-        // — the junk rule fires only after the front span is assigned
-        .when(col("_repetitive"), "<other>")
+        // ALL pre-body lines — including repeated headers ("COMMISSAIRES-
+        // PRISEURS ASSOCIÉS" on every title page, session schedules) — are
+        // <front> in the gold convention; the A2 repetitive rule fires only
+        // from the body onward (page stamps between/after entries)
         .when(col("_line_no") < firstEntry, "<front>")
+        .when(col("_repetitive"), "<other>")
         .when(isPageNum || isGarbage, "<other>")
         .otherwise("<back>")
-    withBodySpan
-      .withColumn("zone", zone)
+    withBodySpan.withColumn("zone", zone)
+  }
+
+  /** Shared tail of [[zonesContent]]: BIO labels + internal-column drop
+   * (kept separate so diagnostics can read the region statistics). */
+  private[graft] def zonesContentFinish(withZone: DataFrame,
+      wOrd: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+    withZone
       .withColumn("zone_label",
         when(coalesce(lag(col("zone"), 1).over(wOrd) =!= col("zone"), lit(true)),
           concat(lit("I-"), col("zone"))).otherwise(col("zone")))
-      .drop("_line_no", "_is_mark", "_is_trigger", "_mark_frac", "_numeric", "_strong", "_sparse", "_repetitive", "_region_id", "_nletters", "_r_start", "_r_end", "_r_letters", "_r_marks", "_r_content", "_r_is_body", "_r_index", "_first_body", "_last_body")
-  }
+      .drop("_line_no", "_is_mark", "_is_trigger", "_mark_frac", "_numeric", "_strong", "_sparse", "_mark_num", "_prev_nums", "_seq_mark", "_seqr", "_repetitive", "_region_id", "_nletters", "_r_start", "_r_end", "_r_letters", "_r_marks", "_r_content", "_r_is_body", "_r_index", "_first_body", "_last_body")
 
   // one buffered line of the body FSM
   private case class LineBuf(rows: Vector[Row], tokIdxOf: Int, labelAt: Int)

@@ -55,8 +55,9 @@ class ZoneEvalSpec extends SparkSpec {
       f"macro-F1 ${sumF1 / nLab * 100}%.2f")
     report.foreach(info(_))
 
-    // round-2 measured level: 93.26% (round 1: 92.62)
-    assert(acc >= 0.91, f"zone labeler accuracy regressed: ${acc * 100}%.1f%%")
+    // round-2 measured level: 94.06% (round 1: 92.62) — the sequential-
+    // marker region rule and front-first repetitive ordering added +0.8
+    assert(acc >= 0.92, f"zone labeler accuracy regressed: ${acc * 100}%.1f%%")
   }
 
   test("zonesContent is invariant to input row order") {
