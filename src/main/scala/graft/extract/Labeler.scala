@@ -122,7 +122,7 @@ object Labeler {
    * the first body region, back matter after the last; order-form pages
    * (dotted fill-in lines, COMMANDE/PRIX headers) → `<annex>`
    * (`12148-bpt6k97773279`), OCR garbage and bare page numbers outside the
-   * body → `<other>`. 92.6% line accuracy vs gold (ZoneEvalSpec).
+   * body → `<other>`. 94.1% line accuracy vs gold (ZoneEvalSpec).
    *
    * Input needs (conv_id, turn_idx, line_in_turn, line). Adds `zone` and
    * BIO-encoded `zone_label`.
@@ -227,6 +227,9 @@ object Labeler {
       .withColumn("_repetitive",
         length(pattern) > 2 && length(text) <= 30 &&
           count(lit(1)).over(Window.partitionBy(col("conv_id"), pattern)) >= 3)
+      // bridging <=2-line gaps between numeric stretches (region merge for
+      // fragmented index tables) was TRIED and measured a wash: front F1
+      // +0.3 but overall accuracy −0.03 and annex recall −0.4 — reverted
       .withColumn("_numeric",
         col("_mark_frac") >= 0.3 || col("_sparse") || col("_seqr"))
       .withColumn("_region_id",

@@ -97,6 +97,40 @@ class ChunkedPipelineSpec extends SparkSpec {
     Seq(1, 2).foreach(c => assertIdentical(turnsDf(rows), c))
   }
 
+  test("property: random corpora agree end-to-end at random chunk sizes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("vase", "bronze", "gravure", "Monnaie", "ancien",
+      "grand", "doré", "pièce", "médaille", "rare")
+    val text: Gen[String] = Gen.frequency(
+      (5, for { n <- Gen.choose(1, 999); ws <- Gen.listOfN(3, word) }
+        yield s"$n - ${ws.mkString(" ")} ."),
+      (2, Gen.listOfN(4, word).map(_.mkString(" ") + " .")),
+      (1, Gen.oneOf("MONNAIES GRECQUES", "OBJETS D'ART")),
+      (1, for { a <- word; b <- word } yield s"$a\n  $b  \n\n$b"), // multi-line + blanks + trailing ws
+      (1, Gen.oneOf("Syracuse .", "AR .", "T . B .")),
+      (1, Gen.choose(1, 400).map(_.toString)))
+    val role = Gen.frequency((6, Gen.const("user")), (2, Gen.const("assistant")),
+      (1, Gen.const("system")), (1, Gen.const("tool")))
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    (1 to 4).foreach { i =>
+      val nConvs = 1 + sample(Gen.choose(0, 2), 5000L + i)
+      val rows = (0 until nConvs).flatMap { c =>
+        val nTurns = sample(Gen.choose(5, 30), 6000L + i * 31 + c)
+        val gap = 1 + sample(Gen.choose(0, 3), 6500L + i * 17 + c) // turn-idx gaps
+        (0 until nTurns).map { t =>
+          val r = sample(role, i * 7919L + c * 131L + t)
+          (s"conv$c", t * gap, r,
+            sample(text, i * 100003L + c * 977L + t),
+            if (r == "tool") "search" else null)
+        }
+      }
+      val chunk = 1 + sample(Gen.choose(0, 8), 7000L + i)
+      assertIdentical(turnsDf(rows), chunk)
+    }
+  }
+
   test("null-role document-shaped rows fall through to <body> in both paths") {
     val rows = Seq(
       ("d", 0, null: String, "9. Statuette en bronze", null),
