@@ -35,7 +35,7 @@ object ChunkBench {
     // e2eOnly skips the isolated-FSM stage measurements (fast A/B loops);
     // mat toggles the pipeline's localCheckpoint materialization
     val e2eOnly = sys.env.get("SPARK_GRAFT_CHUNK_E2E_ONLY").contains("1")
-    val mat = sys.env.getOrElse("SPARK_GRAFT_CHUNK_MAT", "true").toBoolean
+    val mat = sys.env.getOrElse("SPARK_GRAFT_CHUNK_MAT", "false").toBoolean
     val spark = Bench.mkSpark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -79,10 +79,15 @@ object ChunkBench {
       Bench.time(noop(Pipeline.extractChunked(turns, chunk, materialize = mat)))._2
     }.min
 
+    // e2e-only runs skip the stage measurements: emit JSON null for them
+    // (0.0/0.0 would print the non-JSON literal NaN and read as real data)
+    val stageJson =
+      if (e2eOnly) """"sequential_sec":null,"chunked_sec":null,"speedup":null,"""
+      else f""""sequential_sec":$seqSec%.2f,"chunked_sec":$chkSec%.2f,""" +
+        f""""speedup":${seqSec / chkSec}%.2f,"""
     val json =
       f"""{"metric":"single_conv_fsm","turns":$nTurns,"chunk_turns":$chunk,""" +
-        f""""cpus":"$cpus","sequential_sec":$seqSec%.2f,""" +
-        f""""chunked_sec":$chkSec%.2f,"speedup":${seqSec / chkSec}%.2f,""" +
+        f""""cpus":"$cpus","materialize":$mat,""" + stageJson +
         f""""e2e_sequential_sec":$e2eSeqSec%.2f,"e2e_chunked_sec":$e2eChkSec%.2f,""" +
         f""""e2e_speedup":${e2eSeqSec / e2eChkSec}%.2f}"""
     println(json)

@@ -205,12 +205,14 @@ object Labeler {
       // tolerates one OCR-mangled marker); price lines between lots do not
       // poison the test because ANY recent mark may supply n-1, not just
       // the nearest
-      // OCR-confusable marks ("i151") have no plain leading digits: the
-      // extract is '' there, and ANSI mode makes ''::int throw — nullif
-      // first (OCR'd numbers can't be trusted for the ±1 test anyway)
+      // ASCII digits only: OCR-confusable marks ("i151") and non-ASCII
+      // Unicode digits (fullwidth/Arabic-Indic, which the \p{Nd} mark
+      // regexes match) have no [0-9] capture — the extract is '' there,
+      // and ANSI mode makes ''::int (or '１２'::int) throw, so nullif
+      // first. Matches the DuckDB oracle, which also captures [0-9].
       .withColumn("_mark_num",
         when(col("_is_mark"),
-          nullif(regexp_extract(text, "^[\\*\"«'~]?(\\p{Nd}{1,6})", 1), lit(""))
+          nullif(regexp_extract(text, "^[\\*\"«'~]?([0-9]{1,6})", 1), lit(""))
             .cast("int")))
       .withColumn("_prev_nums",
         collect_list(col("_mark_num")).over(wOrd.rowsBetween(-15, -1)))
@@ -898,7 +900,7 @@ object Labeler {
     // (e.g. a committed [[TableIO]] stage) — re-scanning parquet with column
     // pruning is far cheaper than a checkpoint write. Checkpoint blocks are
     // released by the ContextCleaner when the frame becomes unreachable.
-    val base0 = tokens.withColumn("_chunk", expr(s"int(turn_idx div $chunkTurns)"))
+    val base0 = tokens.withColumn("_chunk", Chunked.chunkCol(chunkTurns))
     val base = if (materialize) base0.localCheckpoint() else base0
     // chunk-level frame (one row per chunk of turns — tiny even for a
     // 10^9-turn conversation): first line of each chunk PLUS the two tokens

@@ -140,7 +140,7 @@ object Structure {
     require(chunkTurns > 0, "chunkTurns must be positive")
     val carried = carriedCols(keptLines)
     val chunked = keptLines
-      .withColumn("_chunk", expr(s"int(turn_idx div $chunkTurns)"))
+      .withColumn("_chunk", Chunked.chunkCol(chunkTurns))
       .withColumn("line_trailing", lineTrailingCol)
     val w = Window.partitionBy("conv_id", "_chunk")
       .orderBy(col("turn_idx"), col("line_in_turn"))

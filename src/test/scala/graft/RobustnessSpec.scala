@@ -126,6 +126,20 @@ class RobustnessSpec extends SparkSpec {
     assert(total >= 500000L * 22)
   }
 
+  test("non-ASCII Unicode digit marks survive content zoning (ANSI cast guard)") {
+    // \p{Nd} mark regexes match fullwidth/Arabic-Indic digits, but the
+    // sequential-marker number extract must not feed them to ::int
+    val sparkS = spark
+    import sparkS.implicits._
+    val lines = Seq(
+      ("u1", 0, 0, "１２ Vase ancien de collection"),
+      ("u1", 1, 0, "١٥ objet rare du lot"),
+      ("u1", 2, 0, "13 - Lot normal ."))
+      .toDF("conv_id", "turn_idx", "line_in_turn", "line")
+    val out = graft.extract.Labeler.zonesContent(lines).collect()
+    assert(out.length == 3)
+  }
+
   test("one 100k-turn conversation through the CHUNKED pipeline, content complete") {
     // same skew shape through Pipeline.extractChunked: many tasks instead of
     // one (ChunkBench measures the wall-clock story at 1M-4M turns; this
