@@ -968,10 +968,12 @@ object Queries {
          |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
          |    md5(string_agg(CAST(seed AS VARCHAR) || '@' || minhash, '|'
          |      ORDER BY CAST(seed AS VARCHAR) || '@' || minhash)) AS bucket
-         |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT))
+         |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)),
+         |bc AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+         |       FROM b)
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
-         |WHERE l.doc_id < r.doc_id""".stripMargin,
+         |FROM bc l JOIN bc r ON l.band = r.band AND l.bucket = r.bucket
+         |WHERE l.doc_id < r.doc_id AND l.bsz <= 1000""".stripMargin,
 
     "dedup_star_edges" ->
       s"""WITH $wordsCte, $shinglesCte,
@@ -1100,10 +1102,12 @@ object Queries {
          |    md5(string_agg(CAST(seed AS VARCHAR) || '@' || minhash, '|'
          |      ORDER BY CAST(seed AS VARCHAR) || '@' || minhash)) AS bucket
          |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)),
+         |bktc AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+         |         FROM bkt),
          |pairs AS (
          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM bkt l JOIN bkt r ON l.band = r.band AND l.bucket = r.bucket
-         |  WHERE l.doc_id < r.doc_id),
+         |  FROM bktc l JOIN bktc r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id AND l.bsz <= 1000),
          |cnts AS (SELECT doc_id, count(*) AS n_sh FROM d GROUP BY doc_id),
          |com AS (
          |  SELECT p.a, p.b, count(*) AS n_common

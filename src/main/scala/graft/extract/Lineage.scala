@@ -71,10 +71,15 @@ object Lineage {
     val schema = df.schema
     val idxs = textCols.map(schema.fieldIndex)
     df.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val ctx = org.apache.spark.TaskContext.get()
+      val pid = ctx.partitionId()
+      var rows = 0L
+      var bytes = 0L
+      // early-exit safety: a limit/take consumer never exhausts the
+      // iterator, so also report at task completion — max-merge keeps the
+      // larger of this and the exhaustion-time report (counts only grow)
+      ctx.addTaskCompletionListener[Unit](_ => acc.add((pid, rows, bytes)))
       new Iterator[Row] {
-        private var rows = 0L
-        private var bytes = 0L
         def hasNext: Boolean = {
           val h = it.hasNext
           if (!h) acc.add((pid, rows, bytes)) // idempotent under max-merge

@@ -75,7 +75,12 @@ object ZoneModel {
           greatest(sum(length(t).cast("double")).over(wNear), lit(1.0)))
       .withColumn("_feats",
         concat(
-          featureArray(col(lineCol), col("_line_no"), col("_n_lines"), col("_prev_line")),
+          // coalesce: a NULL line must still produce a (shape-only) feature
+          // row — featureArray would otherwise yield a null array, and
+          // apply()'s posexplode would silently DROP the line instead of
+          // scoring it by priors
+          featureArray(coalesce(col(lineCol), lit("")),
+            col("_line_no"), col("_n_lines"), col("_prev_line")),
           array(
             concat(lit("MF:"), least(floor(col("_mark_frac") * 10), lit(9))),
             concat(lit("LF:"), least(floor(col("_letter_frac") * 10), lit(9)))),

@@ -162,25 +162,30 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neigh = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("cluster_id").as("nlabel"))
-      val updated = labels.join(neigh, labels("id") === neigh("src"), "left")
+      val stepped = labels.join(neigh, labels("id") === neigh("src"), "left")
         .select(col("id"), col("cluster_id"),
           least(col("cluster_id"), coalesce(col("nlabel"), col("cluster_id")))
-            .as("next_label"))
+            .as("mid"))
+      // pointer jumping: label := label(label) — chain depth HALVES per
+      // round, so maxIter=20 covers diameters ~10^6 (bucket-chained
+      // near-dup drift, where star edges bound diameter only per bucket),
+      // not 20. Labels only decrease, so least() keeps monotonicity.
+      val ptrs = stepped.select(col("id").as("pid"), col("mid").as("pmid"))
+      val updated = stepped.join(ptrs, stepped("mid") === ptrs("pid"), "left")
+        .select(col("id"), col("cluster_id"),
+          least(col("mid"), coalesce(col("pmid"), col("mid"))).as("next_label"))
         .localCheckpoint()
       converged = updated.where(col("next_label") < col("cluster_id")).isEmpty
       labels = updated.select(col("id"), col("next_label").as("cluster_id"))
       i += 1
     }
     edges.unpersist()
-    // Min-label propagation advances one hop per round; exiting via maxIter
-    // would silently return partially-merged clusters (splitting a duplicate
-    // group). Dedup graphs are near-cliques — and star edges have diameter 2
-    // — so non-convergence here means the edge set is not what this loop is
-    // for; fail loudly rather than emit wrong clusters.
+    // Exiting via maxIter would silently return partially-merged clusters
+    // (splitting a duplicate group) that diverge from the exact oracle —
+    // fail loudly. With pointer jumping this needs diameter > ~2^maxIter.
     require(converged,
       s"components() did not converge after $maxIter rounds - component " +
-        "diameter exceeds maxIter; raise maxIter or use star-form edges " +
-        "(minhashStarEdges), whose components have diameter <= 2 per bucket")
+        s"diameter exceeds ~2^$maxIter; raise maxIter")
     labels
   }
 

@@ -15,12 +15,21 @@ object Par {
    * (`optimizedPlan.stats.sizeInBytes / files.maxPartitionBytes`) instead of
    * `df.rdd.getNumPartitions`, which would force full physical planning of
    * the frame once per call site. The estimate only has to be directionally
-   * right: any multi-split input clears the threshold and is left alone. */
+   * right: any multi-split input clears the threshold and is left alone.
+   * When the stats are the UNKNOWN sentinel (`defaultSizeInBytes`, e.g. an
+   * RDD-backed frame from `localCheckpoint`/`createDataFrame`), the
+   * estimate would silently report "huge" and never spread a
+   * single-partition input — only there fall back to the physical
+   * partition count (cheap for those plans: the RDD already exists). */
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val estSplits = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estSplits =
+      if (size == spark.sessionState.conf.defaultSizeInBytes)
+        BigInt(df.rdd.getNumPartitions)
+      else size / maxSplit
     if (estSplits < target) df.repartition(target) else df
   }
 }

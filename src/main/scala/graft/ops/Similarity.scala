@@ -72,6 +72,11 @@ object Similarity {
    * hashes); `dim = 0` falls back to the in-plan derivation. `table` selects
    * an independent hyperplane set (OR-amplification across tables). */
   def srpBucket(vec: Column, planes: Int = 8, dim: Int = 0, table: Int = 0): Column = {
+    // planes > 31 would overflow the int bucket (1 << p), and planes > 99
+    // would additionally collide plane ids across tables (stride 100 in
+    // [[planeId]]), silently correlating the "independent" tables
+    require(planes >= 1 && planes <= 31,
+      s"planes must be in [1, 31] (int bucket width), got $planes")
     val bits = (0 until planes).map { p =>
       val pid = planeId(table, p)
       val dotp =

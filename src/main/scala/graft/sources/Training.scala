@@ -28,7 +28,9 @@ object Training {
   def rawFeatureRows(spark: SparkSession, pathGlob: String): DataFrame =
     spark.read.option("wholetext", "true").text(pathGlob)
       .select(input_file_name().as("doc_id"),
-        posexplode(split(col("value"), "\n")).as(Seq("pos", "line")))
+        // \r?\n so CRLF trainer files do not leave a trailing \r on every
+        // line (and so on every first-field token)
+        posexplode(split(col("value"), "\r?\n")).as(Seq("pos", "line")))
       .where(trim(col("line")) =!= "")
       .withColumn("row_idx",
         row_number().over(Window.partitionBy("doc_id").orderBy("pos")) - 1)

@@ -18,6 +18,17 @@ class ComponentsSpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
   }
 
+  test("a 60-node chain converges within maxIter=20 (pointer jumping)") {
+    // bucket-chained near-dup drift: doc_i pairs only with doc_{i+1}.
+    // One-hop min-label propagation would need 59 rounds; pointer jumping
+    // halves chain depth per round, so 20 suffice (this threw before)
+    val sparkS = spark
+    import sparkS.implicits._
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 60L).forall(got(_) == 1L))
+  }
+
   test("components: empty pair set yields empty clusters; order-invariant") {
     val sparkS = spark
     import sparkS.implicits._

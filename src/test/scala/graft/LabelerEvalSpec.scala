@@ -43,21 +43,19 @@ class LabelerEvalSpec extends SparkSpec {
     val acc = pairs.count(p => p._1 == p._2).toDouble / n
 
     val labels = pairs.map(_._1).distinct.sorted
-    def f1Of(l: String): Double = {
+    def prf(l: String): (Double, Double, Double, Int) = {
       val tp = pairs.count(p => p._1 == l && p._2 == l).toDouble
       val fp = pairs.count(p => p._1 != l && p._2 == l).toDouble
       val fn = pairs.count(p => p._1 == l && p._2 != l).toDouble
       val p = if (tp + fp > 0) tp / (tp + fp) else 0.0
       val r = if (tp + fn > 0) tp / (tp + fn) else 0.0
-      if (p + r > 0) 2 * p * r / (p + r) else 0.0
+      val f1 = if (p + r > 0) 2 * p * r / (p + r) else 0.0
+      (p, r, f1, (tp + fn).toInt)
     }
+    def f1Of(l: String): Double = prf(l)._3
     val report = labels.map { l =>
-      val tp = pairs.count(p => p._1 == l && p._2 == l).toDouble
-      val fp = pairs.count(p => p._1 != l && p._2 == l).toDouble
-      val fn = pairs.count(p => p._1 == l && p._2 != l).toDouble
-      val p = if (tp + fp > 0) tp / (tp + fp) else 0.0
-      val r = if (tp + fn > 0) tp / (tp + fn) else 0.0
-      f"$l%-12s P=${p * 100}%5.1f R=${r * 100}%5.1f F1=${f1Of(l) * 100}%5.1f  n=${(tp + fn).toInt}"
+      val (p, r, f1, nl) = prf(l)
+      f"$l%-12s P=${p * 100}%5.1f R=${r * 100}%5.1f F1=${f1 * 100}%5.1f  n=$nl"
     }
     info(f"token accuracy: ${acc * 100}%.2f%% over $n tokens, ${fxs.size} docs")
     report.foreach(info(_))

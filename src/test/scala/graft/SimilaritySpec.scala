@@ -82,8 +82,12 @@ class SimilaritySpec extends SparkSpec {
    * the WORST case for ANN: the floors document measured quality at the
    * tuned parameters (LSH 4 planes × 16 tables ⇒ 0.82; IVF 16 cells,
    * 6 probes ⇒ 0.66). */
+  private val benchEmbeddings = "/root/testdata/sf0.01/embeddings.parquet"
+
   private def benchRecall(ann: String): Double = {
-    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(benchEmbeddings)),
+      "driver testdata not mounted")
+    val e = spark.read.parquet(benchEmbeddings)
     val q = e.where(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(e, q, k = 5)
       .select("query_id", "neighbor_id").collect()
