@@ -259,10 +259,12 @@ object Queries {
 
     "prep_corpus" -> ((s, dir) => {
       // the composed training-corpus prep pass: near-dup canonicalization
-      // (MinHash LSH -> star edges -> components -> keep min-id), quality
-      // floor, lang tag
+      // (MinHash LSH -> Jaccard-VERIFIED edges -> components -> keep
+      // min-id), quality floor, lang tag. Verification keeps an LSH
+      // false-positive collision from silently merging two non-duplicate
+      // documents and dropping one from the corpus.
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashStarEdges(docs, k = 8, rowsPerBand = 4)
+      val pairs = Dedup.verifiedEdges(docs, k = 8, rowsPerBand = 4, tau = 0.5)
       Dedup.keepCanonical(docs, pairs)
         .join(TextStats.quality(docs).select("doc_id", "quality_score"), Seq("doc_id"))
         .where(col("quality_score") >= 0.5)
@@ -304,6 +306,11 @@ object Queries {
 
     "sim_near_dups" -> ((s, dir) =>
       Similarity.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.9, planes = 8)),
+
+    "sim_near_dup_stars" -> ((s, dir) =>
+      // the components feed at scale: O(d) verified edges per SRP bucket
+      // instead of the capped all-pairs form above
+      Similarity.cosineStarEdges(t(s, dir, "embeddings"), threshold = 0.9, planes = 8)),
 
     // — text analysis —
     "text_lang_id" -> ((s, dir) =>
@@ -1037,10 +1044,28 @@ object Queries {
          |    md5(string_agg(CAST(seed AS VARCHAR) || '@' || minhash, '|'
          |      ORDER BY CAST(seed AS VARCHAR) || '@' || minhash)) AS bucket
          |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)),
-         |prs AS (
+         |bs AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bk),
+         |cand AS (
          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket
-         |  WHERE l.doc_id < r.doc_id),
+         |  FROM bs l JOIN bs r ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id < r.doc_id AND l.bsz <= 1000),
+         |cnts AS (SELECT doc_id, count(*) AS n_sh FROM d GROUP BY 1),
+         |com AS (
+         |  SELECT c.a, c.b, count(*) AS n_common
+         |  FROM cand c JOIN d da ON da.doc_id = c.a
+         |              JOIN d db ON db.doc_id = c.b AND db.shingle = da.shingle
+         |  GROUP BY 1, 2),
+         |vprs AS (
+         |  SELECT com.a, com.b FROM com
+         |  JOIN cnts ca ON ca.doc_id = com.a JOIN cnts cb ON cb.doc_id = com.b
+         |  WHERE round(com.n_common * 1.0
+         |    / (ca.n_sh + cb.n_sh - com.n_common), 4) >= 0.5),
+         |bigstars AS (
+         |  SELECT DISTINCT a, b FROM (
+         |    SELECT min(doc_id) OVER (PARTITION BY band, bucket) AS a, doc_id AS b
+         |    FROM bs WHERE bsz > 1000)
+         |  WHERE b <> a),
+         |prs AS (SELECT * FROM vprs UNION SELECT * FROM bigstars),
          |edges AS (
          |  SELECT a AS src, b AS dst FROM prs
          |  UNION SELECT b AS src, a AS dst FROM prs),
@@ -1197,13 +1222,31 @@ object Queries {
 
     "sim_near_dups" -> {
       val b = bucketSql("e.embedding", 8)
-      s"""WITH bk AS (SELECT e.vec_id, e.embedding, $b AS bucket FROM embeddings e)
+      s"""WITH bk AS (SELECT e.vec_id, e.embedding, $b AS bucket FROM embeddings e),
+         |bs AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM bk)
          |SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
          |  round(list_cosine_similarity(l.embedding::DOUBLE[],
          |                               r.embedding::DOUBLE[]), 4) AS cosine
-         |FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-         |WHERE round(list_cosine_similarity(l.embedding::DOUBLE[],
+         |FROM bs l JOIN bs r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |WHERE l.bsz <= 1000
+         |  AND round(list_cosine_similarity(l.embedding::DOUBLE[],
          |                                   r.embedding::DOUBLE[]), 4) >= 0.9""".stripMargin
+    },
+
+    "sim_near_dup_stars" -> {
+      val b = bucketSql("e.embedding", 8)
+      s"""WITH bk AS (SELECT e.vec_id, e.embedding, $b AS bucket FROM embeddings e),
+         |hb AS (SELECT vec_id, embedding, bucket,
+         |    min(vec_id) OVER (PARTITION BY bucket) AS hub,
+         |    first_value(embedding) OVER (PARTITION BY bucket ORDER BY vec_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS va
+         |  FROM bk)
+         |SELECT DISTINCT a, b, cosine FROM (
+         |  SELECT hub AS a, vec_id AS b,
+         |    round(list_cosine_similarity(va::DOUBLE[],
+         |                                 embedding::DOUBLE[]), 4) AS cosine
+         |  FROM hb WHERE vec_id <> hub)
+         |WHERE cosine >= 0.9""".stripMargin
     },
 
     "sim_brute_vs_lsh_recall" -> {

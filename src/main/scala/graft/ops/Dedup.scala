@@ -140,6 +140,40 @@ object Dedup {
       idCol)
 
   /**
+   * Jaccard-VERIFIED duplicate edges — the precision-safe feed for
+   * [[components]]/[[keepCanonical]]: raw LSH candidates are probabilistic,
+   * and an unverified false-positive collision silently merges two
+   * non-duplicate documents (dropping one from the corpus). Two regimes,
+   * split on bucket size:
+   *
+   *  - buckets ≤ `maxBucket`: all-pairs candidates, each pair verified with
+   *    exact n-gram Jaccard ≥ `tau`. Full connectivity among true
+   *    duplicates is preserved (a false hub cannot disconnect two true
+   *    dups, since their direct pair is verified independently).
+   *  - buckets > `maxBucket`: star edges, unverified. A bucket only grows
+   *    past the cap when thousands of documents share ALL band minhashes —
+   *    at that size they are near-certain duplicates, and the O(d) star
+   *    form is the only shape that survives 10^6-dup boilerplate clusters.
+   */
+  def verifiedEdges(docs: DataFrame, k: Int = 16, n: Int = 5, rowsPerBand: Int = 4,
+      tau: Double = 0.5, maxBucket: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val buckets =
+      lshBucketsFromWide(minhashWide(docs, k, n, idCol, textCol), k, rowsPerBand, idCol)
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+    val small = buckets.where(col("bsz") <= maxBucket)
+    val l = small.select(col(idCol).as("a"), col("band"), col("bucket"))
+    val r = small.select(col(idCol).as("b"), col("band"), col("bucket"))
+    val candidates = l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val verified = jaccard(docs, candidates, n, idCol, textCol)
+      .where(col("jaccard") >= tau)
+      .select("a", "b")
+    val bigStars = starEdges(buckets.where(col("bsz") > maxBucket), idCol)
+    verified.union(bigStars).distinct()
+  }
+
+  /**
    * Connected components over candidate duplicate pairs — resolves pairwise
    * LSH candidates into duplicate CLUSTERS (cluster id = min doc id in the
    * component) so one canonical document per group survives. Distributed

@@ -208,16 +208,52 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via SRP
-   * buckets (a < b ordering, exact cosine verification inside buckets). */
+   * buckets (a < b ordering, exact cosine verification inside buckets).
+   *
+   * `maxBucket` caps the in-bucket all-pairs blowup — the same treatment
+   * its MinHash twin [[Dedup.minhashCandidates]] has: a cluster of d
+   * near-identical embeddings (boilerplate documents at 100 TB) lands in
+   * ONE bucket and would emit d(d-1)/2 pairs (10^6 dups → 5·10^11 rows).
+   * Buckets larger than the cap are dropped from pairwise verification;
+   * anything feeding cluster resolution should use [[cosineStarEdges]]
+   * (O(d) edges per bucket, same component connectivity). */
   def cosineNearDups(corpus: DataFrame, threshold: Double = 0.95, planes: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 1000): DataFrame = {
     val b = Par.spread(corpus).select(col(idCol), col(vecCol),
       srpBucket(col(vecCol), planes, dimOf(corpus, vecCol)).as("bucket"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("bucket")))
+      .where(col("bsz") <= maxBucket)
     val l = b.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket"))
     val r = b.select(col(idCol).as("b"), col(vecCol).as("vb"), col("bucket"))
     l.join(r, Seq("bucket")).where(col("a") < col("b"))
       .withColumn("cosine", round(cosine(col("va"), col("vb")), 4))
       .where(col("cosine") >= threshold)
       .select("a", "b", "cosine").distinct()
+  }
+
+  /** Star-form near-duplicate candidate edges per SRP bucket: (a = min id
+   * in bucket, b = every other member), cosine-verified per EDGE. A
+   * d-member bucket emits at most d-1 edges — linear in duplicate-cluster
+   * size — and connected components over the verified stars equal
+   * components over verified all-pairs whenever the bucket is a true
+   * near-dup cluster (every member is within threshold of every other, so
+   * the hub edges alone keep the bucket connected). This is the feed for
+   * [[Dedup.components]] at scale; [[cosineNearDups]] is for when the
+   * pairs themselves (with cosines) are the product. */
+  def cosineStarEdges(corpus: DataFrame, threshold: Double = 0.95, planes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = Par.spread(corpus).select(col(idCol), col(vecCol),
+      srpBucket(col(vecCol), planes, dimOf(corpus, vecCol)).as("bucket"))
+    // hub id AND hub vector via one sorted window pass — no join back to
+    // the corpus, so the only exchange is the bucket hash partitioning
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    b.withColumn("hub", first(col(idCol)).over(w))
+      .withColumn("va", first(col(vecCol)).over(w))
+      .where(col(idCol) =!= col("hub"))
+      .withColumn("cosine", round(cosine(col("va"), col(vecCol)), 4))
+      .where(col("cosine") >= threshold)
+      .select(col("hub").as("a"), col(idCol).as("b"), col("cosine")).distinct()
   }
 }

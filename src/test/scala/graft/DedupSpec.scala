@@ -74,6 +74,36 @@ class DedupSpec extends SparkSpec {
     assert(viaStar == viaPairs, s"star=$viaStar pairs=$viaPairs")
   }
 
+  test("verifiedEdges rejects an LSH false-positive collision; both docs " +
+      "survive canonicalization") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 12 six-word docs sharing ONE 5-gram ("lot number one hundred fifty")
+    // but otherwise unique: pairwise jaccard = 1/3 < tau. With
+    // rowsPerBand=1 each band is a single minhash — for any seed where the
+    // shared shingle is BOTH docs' argmin the pair collides (p=1/4 per
+    // seed per pair, 8 seeds × 66 pairs ⇒ collisions certain), which is
+    // exactly the LSH false-positive regime the verification must reject.
+    val common = "lot number one hundred fifty"
+    val uniq = Seq("aardvark", "bramble", "cormorant", "dirigible", "eggshell",
+      "fulcrum", "gossamer", "hinterland", "isotope", "juggernaut",
+      "kumquat", "lodestone")
+    val d = uniq.zipWithIndex.map { case (u, i) => (i.toLong, s"$common $u") }
+      .toDF("doc_id", "text")
+    val raw = Dedup.minhashCandidates(d, k = 8, rowsPerBand = 1)
+    assert(raw.count() > 0, "test precondition: LSH must produce false positives")
+    val verified = Dedup.verifiedEdges(d, k = 8, rowsPerBand = 1, tau = 0.5)
+    assert(verified.isEmpty,
+      s"jaccard=1/3 candidates must be rejected at tau=0.5: ${verified.collect().mkString(",")}")
+    val kept = Dedup.keepCanonical(d, verified).count()
+    assert(kept == 12, s"no document may be dropped on an unverified collision, kept=$kept")
+    // and true duplicates still pass verification end-to-end
+    val withDup = d.union(Seq((100L, s"$common aardvark")).toDF("doc_id", "text"))
+    val v2 = Dedup.verifiedEdges(withDup, k = 8, rowsPerBand = 1, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v2 == Set((0L, 100L)), s"the exact duplicate must survive verification: $v2")
+  }
+
   test("a 10^4-duplicate cluster emits O(d) star edges, not O(d^2) pairs") {
     val sparkS = spark
     import sparkS.implicits._

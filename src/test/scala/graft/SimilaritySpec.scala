@@ -51,6 +51,38 @@ class SimilaritySpec extends SparkSpec {
       s"only ${pairs.size}/${planted.size} planted pairs found")
   }
 
+  test("near-dup star edges are O(d) on a giant duplicate cluster; the " +
+      "capped pairs form drops the oversized bucket") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 1000 identical embeddings (one boilerplate doc duplicated 10^3 times)
+    // plus a handful of distinct lones — all land in one SRP bucket
+    val base = Array.fill(8)(0.5f)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 1000).map(i => (i.toLong, base)) ++
+      (1000 until 1010).map(i => (i.toLong,
+        Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val c = rows.toDF("vec_id", "embedding")
+    val stars = Similarity.cosineStarEdges(c, threshold = 0.98, planes = 4)
+      .collect()
+    // O(d): the 1000-dup cluster contributes exactly d-1 = 999 hub edges,
+    // never the d(d-1)/2 ≈ 5*10^5 all-pairs blowup
+    assert(stars.length < 1100,
+      s"star edges not O(d): ${stars.length} rows for a 1000-dup cluster")
+    assert(stars.count(r => r.getLong(0) == 0L) == 999,
+      "every duplicate should link to the bucket hub (id 0)")
+    // connectivity preserved: components over stars = one cluster of 1000
+    val comp = graft.ops.Dedup.components(
+      Similarity.cosineStarEdges(c, threshold = 0.98, planes = 4)
+        .select("a", "b"))
+    assert(comp.where(col("cluster_id") === 0L).count() == 1000)
+    // the capped all-pairs form refuses the oversized bucket entirely
+    val capped = Similarity.cosineNearDups(c, threshold = 0.98, planes = 4,
+      maxBucket = 100)
+    assert(capped.where(col("a") < 1000 && col("b") < 1000).isEmpty,
+      "maxBucket must drop the 1000-dup bucket from pairwise verification")
+  }
+
   test("brute-force top-k ranks a planted duplicate first") {
     val c = corpus()
     val q = c.where(col("vec_id") === 0L)
