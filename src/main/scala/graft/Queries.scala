@@ -378,6 +378,26 @@ object Queries {
     "tei_body_documents" -> ((s, dir) =>
       Pipeline.extractTei(transcripts(s, dir))),
 
+    "w10_label_spans_diff" -> ((s, dir) => {
+      // label-stream ↔ span-output invariant, the oracle-checkable cover
+      // for the rows-only w10_body_labels: per (conv, label), the number of
+      // spans the custom physical operator emits must equal the number of
+      // BIO span starts in the mapPartitions FSM's label stream — two
+      // INDEPENDENT implementations of the same walk. Constant-empty
+      // oracle, pipeline_chunked_diff-style.
+      val trns = transcripts(s, dir)
+      val fromLabels = Assemble.withSegmentIds(
+        Pipeline.labeledBodyTokens(trns),
+        Seq("turn_idx", "line_in_turn", "tok_idx"))
+        .groupBy(col("conv_id"), col("label_base"))
+        .agg(sum(when(col("span_start"), 1L).otherwise(0L)).as("n_spans"))
+      val fromSpans = Pipeline.extract(trns)
+        .groupBy(col("conv_id"), col("label").as("label_base"))
+        .agg(count(lit(1)).as("n_spans"))
+      fromLabels.exceptAll(fromSpans).union(fromSpans.exceptAll(fromLabels))
+        .agg(count(lit(1)).as("n_mismatch"))
+    }),
+
     "pipeline_chunked_diff" -> ((s, dir) => {
       // giant-conversation path equivalence as an ORACLE-checkable
       // invariant: the symmetric difference between the flagship
@@ -388,6 +408,20 @@ object Queries {
       val trns = transcripts(s, dir)
       val a = Pipeline.extract(trns)
       val b = Pipeline.extractChunked(trns, chunkTurns = 8)
+      a.exceptAll(b).union(b.exceptAll(a))
+        .agg(count(lit(1)).as("n_mismatch"))
+    }),
+
+    "doc_chunked_diff" -> ((s, dir) => {
+      // document-mode giant-document path equivalence as an ORACLE-checkable
+      // invariant (pipeline_chunked_diff's sibling for the content-zoned
+      // cascade): sequential extractDocuments vs the chunk-parallel twin
+      // must be row-identical. Transcript-shaped input (multi-turn convs)
+      // so chunkTurns=4 really splits; role/tool columns are dropped —
+      // document mode zones by CONTENT.
+      val docs = transcripts(s, dir).select("conv_id", "turn_idx", "text")
+      val a = Pipeline.extractDocuments(docs)
+      val b = Pipeline.extractDocumentsChunked(docs, chunkTurns = 4)
       a.exceptAll(b).union(b.exceptAll(a))
         .agg(count(lit(1)).as("n_mismatch"))
     }),
@@ -450,10 +484,19 @@ object Queries {
        |  FROM chg)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "w10_label_spans_diff" ->
+      // the Spark side computes the symmetric difference between the FSM
+      // label stream's BIO span starts and the custom operator's emitted
+      // spans, per (conv, label); the contract is that it is EMPTY
+      "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+
     "pipeline_chunked_diff" ->
       // the Spark side computes the symmetric difference between the
       // sequential and chunk-parallel extraction paths; its contract is
       // that the difference is EMPTY, which the oracle pins as a constant
+      "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+
+    "doc_chunked_diff" ->
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
 
     "q1_agg" ->

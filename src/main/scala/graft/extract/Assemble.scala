@@ -181,4 +181,73 @@ object Assemble {
         col("spans_xml"),
         lit("\n\n\t</text>\n</tei>\n")).as("tei"))
   }
+
+  /**
+   * Turn-range-sharded TEI for giant conversations (SURVEY §8.1 residual
+   * #5): [[teiDocuments]] necessarily funnels a whole conversation through
+   * ONE `collect_list` task because its output is a single XML string; this
+   * twin emits `(conv_id, shard_idx, tei)` fragments whose in-order
+   * concatenation is byte-identical to [[teiDocuments]]'s `tei`
+   * (RobustnessSpec pins the equality), with per-task state bounded by
+   * `shardTurns` turns of span text.
+   *
+   * Contract: per conv_id, `concat(tei ORDER BY shard_idx)` ==
+   * `teiDocuments(spans).tei`. shard_idx −1 is the header (XML declaration
+   * + teiHeader + `<text xml:lang=…>`), 0.. are span shards (shard of a
+   * span = `turn_idx div shardTurns` of its first turn — monotone in
+   * segment order, so cross-shard concatenation preserves span order), and
+   * max+1 is the footer. The header's `xml:lang` equals [[teiDocuments]]'s:
+   * language-ID over the first 500 chars of the ordered span samples,
+   * assembled from ≤500-char per-shard samples on the one-row-per-shard
+   * frame (truncation at shard grain cannot change the first 500 chars).
+   */
+  def teiDocumentsSharded(spans: DataFrame, shardTurns: Int = 65536,
+      defaultLang: String = "fr"): DataFrame = {
+    require(shardTurns > 0, "shardTurns must be positive")
+    val open = when(col("label") === "<other>", "<note type=\"other\">")
+      .otherwise(col("label"))
+    val close = when(col("label") === "<other>", "</note>")
+      .otherwise(concat(lit("</"), regexp_replace(col("label"), "[<>]", ""), lit(">")))
+    val spanXml = concat(open, col("text"), close)
+    // every span "\n\n"-prefixed (≡ the join separator of [[teiDocuments]]);
+    // the conversation's FIRST shard drops its leading 2 chars below
+    val shardFrame = spans
+      .withColumn("_shard", expr(s"bigint(turn_idx div $shardTurns)"))
+      .groupBy("conv_id", "_shard")
+      .agg(array_sort(collect_list(struct(col("segment_id"),
+        concat(lit("\n\n"), spanXml).as("x"),
+        substring(col("text"), 1, 500).as("t")))).as("arr"))
+      .select(col("conv_id"), col("_shard"),
+        array_join(transform(col("arr"), s => s.getField("x")), "").as("frag"),
+        substring(array_join(transform(col("arr"), s => s.getField("t")), " "), 1, 500)
+          .as("sample"))
+    // conv-grain metadata off the one-row-per-shard frame (samples only —
+    // fragments are never aggregated at conversation grain)
+    val meta = shardFrame.groupBy("conv_id")
+      .agg(min("_shard").as("_min_shard"), max("_shard").as("_max_shard"),
+        substring(array_join(transform(
+          array_sort(collect_list(struct(col("_shard"), col("sample")))),
+          s => s.getField("sample")), " "), 1, 500).as("lang_sample"))
+    val langOf = {
+      val l = graft.ops.TextStats.langId(col("lang_sample"))
+      when(l === "und", lit(defaultLang)).otherwise(l)
+    }
+    val header = meta.select(col("conv_id"), lit(-1L).as("shard_idx"), concat(
+      lit("<?xml version=\"1.0\" ?>\n<tei xml:space=\"preserve\">\n\t<teiHeader>\n\t\t<fileDesc xml:id=\""),
+      col("conv_id"),
+      lit("\"/>\n\t</teiHeader>\n\t<text xml:lang=\""), langOf,
+      lit("\">\n")).as("tei"))
+    val footer = meta.select(col("conv_id"),
+      (col("_max_shard") + 1).as("shard_idx"),
+      lit("\n\n\t</text>\n</tei>\n").as("tei"))
+    // first-shard detection as a conv-grain window over the ONE-ROW-PER-
+    // SHARD frame (tiny even for a 10^9-turn conversation) — no join back,
+    // no self-join ambiguity
+    val body = shardFrame
+      .withColumn("_min_shard", min("_shard").over(Window.partitionBy("conv_id")))
+      .select(col("conv_id"), col("_shard").as("shard_idx"),
+        when(col("_shard") === col("_min_shard"), expr("substring(frag, 3)"))
+          .otherwise(col("frag")).as("tei"))
+    header.unionByName(body).unionByName(footer)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.extract
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -131,53 +131,108 @@ object Labeler {
     zonesContentFinish(zonesContentRaw(lines, lineCol),
       Window.partitionBy("conv_id").orderBy(col("turn_idx"), col("line_in_turn")))
 
-  /** [[zonesContent]] before BIO encoding and internal-column drop — the
-   * region statistics stay readable for diagnostics. */
-  private[graft] def zonesContentRaw(lines: DataFrame, lineCol: String = "line"): DataFrame = {
-    val wConv = Window.partitionBy("conv_id")
-    val wOrd = wConv.orderBy(col("turn_idx"), col("line_in_turn"))
-    val text = trim(col(lineCol))
+  /** Shared per-line expressions of the content zoner — ONE definition used
+   * by both [[zonesContent]] and [[zonesContentChunked]] so the two can
+   * never drift. See [[zonesContentRaw]] for the rule rationale. */
+  private[extract] object ZC {
     // lot-entry marker: numeric-ish line start in any of the corpus shapes
     // ("151 - ", "246.", "3 Zeugitane", "*483 Jean-Louis", OCR confusables).
     // Individually too noisy (dates, addresses, page numbers also match) —
-    // the body range is decided by marker DENSITY below, not single markers
-    val isMark = text.rlike("^[\\*\"«'~]?\\p{Nd}+([-_–−.\\s*]|$)") ||
-      text.rlike("^[iIjJ!,]\\p{Nd}+")
+    // the body range is decided by marker DENSITY, not single markers
+    def isMark(t: Column): Column =
+      t.rlike("^[\\*\"«'~]?\\p{Nd}+([-_–−.\\s*]|$)") || t.rlike("^[iIjJ!,]\\p{Nd}+")
     // annex trigger: auction-result / order-form section HEADERS
     // ("PRIX DES ADJUDICATIONS", "RESULTAT DES ENCHERES", "BASES
     // D'ÉVALUATION", "COMMANDE émanant de") — these open the numbered
     // price-list pages that line-local rules cannot tell from lot entries.
     // Length-capped so front-matter prose mentioning "prix d'adjudication"
     // (the sale conditions) does not fire
-    val isTrigger = length(text) <= 50 && (
-      text.rlike("(?i)prix\\s+d(es|')?\\s*adjudications?") ||
-      text.rlike("(?i)r[ée]sultats?\\s+des?\\s+ench[èe]res") ||
-      text.rlike("(?i)bases\\s+d.[ée]valuations?") ||
-      text.rlike("(?i)commande\\s+[ée]manant") ||
-      text.rlike("(?i)^annexe$"))
+    def isTrigger(t: Column): Column = length(t) <= 50 && (
+      t.rlike("(?i)prix\\s+d(es|')?\\s*adjudications?") ||
+      t.rlike("(?i)r[ée]sultats?\\s+des?\\s+ench[èe]res") ||
+      t.rlike("(?i)bases\\s+d.[ée]valuations?") ||
+      t.rlike("(?i)commande\\s+[ée]manant") ||
+      t.rlike("(?i)^annexe$"))
     // order-form fill-in line: mostly dots
-    val dots = length(regexp_replace(text, "[^.]", ""))
-    val isForm = length(text) > 6 && dots * 2 > length(text)
+    def isForm(t: Column): Column =
+      length(t) > 6 && length(regexp_replace(t, "[^.]", "")) * 2 > length(t)
     // bare page number / tiny non-alphabetic fragment
-    val isPageNum = text.rlike("^\\p{Nd}{1,4}$") ||
-      (length(regexp_replace(text, "[\\p{L}\\p{Nd}]", "")) === length(text) &&
-        length(text) <= 8)
+    def isPageNum(t: Column): Column = t.rlike("^\\p{Nd}{1,4}$") ||
+      (length(regexp_replace(t, "[\\p{L}\\p{Nd}]", "")) === length(t) &&
+        length(t) <= 8)
+    def nLetters(t: Column): Column = length(regexp_replace(t, "[^\\p{L}]", ""))
     // OCR garbage: less than 40% letters on a long-enough line
-    val letters = length(regexp_replace(text, "[^\\p{L}]", ""))
-    val isGarbage = length(text) >= 10 && letters * 5 < length(text) * 2
-    // repetitive page headers/stamps (A2, `DatacatSegmenterParser.java:
-    // 268-299`): the same short letter pattern recurring through a document
-    // is a page marker, not content — applied outside the body span only
-    val pattern = lower(regexp_replace(text, "[^\\p{L}]", ""))
-    val wNear = wOrd.rowsBetween(-10, 10)
-    val withPreds = lines
-      .withColumn("_line_no", row_number().over(wOrd))
+    def isGarbage(t: Column): Column =
+      length(t) >= 10 && nLetters(t) * 5 < length(t) * 2
+    def pattern(t: Column): Column = lower(regexp_replace(t, "[^\\p{L}]", ""))
+    def strong(t: Column): Column = t.rlike("^[\\*\"«'~]?\\p{Nd}+\\s*[-_–−.]")
+    // ASCII digits only: OCR-confusable marks ("i151") and non-ASCII
+    // Unicode digits (fullwidth/Arabic-Indic, which the \p{Nd} mark
+    // regexes match) have no [0-9] capture — the extract is '' there,
+    // and ANSI mode makes ''::int (or '１２'::int) throw, so nullif
+    // first. Matches the DuckDB oracle, which also captures [0-9].
+    def markNum(t: Column): Column =
+      when(col("_is_mark"),
+        nullif(regexp_extract(t, "^[\\*\"«'~]?([0-9]{1,6})", 1), lit(""))
+          .cast("int"))
+    // a CONTENTFUL marker line is a real lot entry: number + dash/dot (the
+    // _strong shape), or number followed by words on the same line, or a
+    // SEQUENTIAL bare marker (see [[zonesContentRaw]])
+    def markContentful: Column = col("_is_mark") &&
+      (col("_strong") || col("_nletters") >= 2 || col("_seq_mark"))
+    /** The zone decision over the line text plus the statistics columns
+     * (windowed in the sequential path, two-level-joined in the chunked
+     * one); rule ordering is load-bearing — see [[zonesContentRaw]]. */
+    def zone(t: Column, firstEntry: Column, lastEntry: Column,
+        annexStart: Column, nearPrice: Column): Column =
+      when(firstEntry.isNull && col("_r_index"), "<front>")
+        .when(firstEntry.isNull && col("_numeric"), "<annex>")
+        .when(firstEntry.isNull, "<body>")
+        .when(annexStart.isNotNull && col("_line_no") >= annexStart, "<annex>")
+        // index/schedule regions are front matter only OUTSIDE the genuine
+        // body span — a bare-number-rich stretch in the middle of the
+        // catalogue (price columns, year lists) stays body
+        .when(col("_r_index") &&
+          (col("_line_no") < firstEntry || col("_line_no") > lastEntry), "<front>")
+        .when(col("_numeric") && !col("_r_is_body"), "<annex>")
+        .when(col("_line_no").between(firstEntry, lastEntry), "<body>")
+        .when(col("_line_no") < firstEntry && nearPrice, "<annex>")
+        .when(isForm(t) || isTrigger(t), "<annex>")
+        // ALL pre-body lines — including repeated headers ("COMMISSAIRES-
+        // PRISEURS ASSOCIÉS" on every title page, session schedules) — are
+        // <front> in the gold convention; the A2 repetitive rule fires only
+        // from the body onward (page stamps between/after entries)
+        .when(col("_line_no") < firstEntry, "<front>")
+        .when(col("_repetitive"), "<other>")
+        .when(isPageNum(t) || isGarbage(t), "<other>")
+        .otherwise("<back>")
+  }
+
+  /** Per-line predicate columns shared by both content-zoner paths. */
+  private def zcPredCols(df: DataFrame, lineCol: String): DataFrame = {
+    val t = trim(col(lineCol))
+    df
       // letter count of the line, shared by the garbage test, the region
       // letter-richness sum and the contentful-marker test (one regex
       // evaluation per line instead of three)
-      .withColumn("_nletters", letters)
-      .withColumn("_is_mark", isMark)
-      .withColumn("_is_trigger", isTrigger)
+      .withColumn("_nletters", ZC.nLetters(t))
+      .withColumn("_is_mark", ZC.isMark(t))
+      .withColumn("_is_trigger", ZC.isTrigger(t))
+      .withColumn("_strong", ZC.strong(t))
+      .withColumn("_mark_num", ZC.markNum(t))
+  }
+
+  /** BOUNDED-window marker-density features shared by both content-zoner
+   * paths — the caller supplies the ordering window (conversation-grain in
+   * the sequential path, (conv_id, _chunk)-grain over a lead-46/trail-30
+   * phantom-adopted frame in the chunked one; 46 = the 30-line `_seqr`
+   * radius + 15 more for its `_seq_mark` inputs + 1 for `lag(_numeric)`).
+   * Widest lookback chain: `_seqr` at x reads `_seq_mark` over [x−30, x+30],
+   * each reading `_prev_nums` 15 further back. */
+  private def zcDensityCols(df: DataFrame,
+      wOrd: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+    val wNear = wOrd.rowsBetween(-10, 10)
+    df
       // numbered region: >=30% of the surrounding 21 lines start with a lot
       // number — isolated numeric lines (a date in the front, a library-stamp
       // year in the back) never qualify
@@ -187,12 +242,10 @@ object Labeler {
       // only every ~10-15 lines — too sparse for the 0.3 density, but their
       // markers are the STRONG dash/dot form ("5 __ Amphore", "246."), which
       // front matter almost never strings together: count those over a wide
-      // ±30 window
-      .withColumn("_strong",
-        text.rlike("^[\\*\"«'~]?\\p{Nd}+\\s*[-_–−.]"))
-      // a line belongs to a sparse region only if a strong marker sits AT or
-      // ABOVE it within 20 lines — otherwise the ±30 window would absorb up
-      // to 30 lines of front matter above the first lot
+      // ±30 window; a line belongs to a sparse region only if a strong
+      // marker sits AT or ABOVE it within 20 lines — otherwise the ±30
+      // window would absorb up to 30 lines of front matter above the first
+      // lot
       .withColumn("_sparse",
         sum(col("_strong").cast("int")).over(wOrd.rowsBetween(-30, 30)) >= 3 &&
           sum(col("_strong").cast("int")).over(wOrd.rowsBetween(-20, 0)) >= 1)
@@ -205,15 +258,6 @@ object Labeler {
       // tolerates one OCR-mangled marker); price lines between lots do not
       // poison the test because ANY recent mark may supply n-1, not just
       // the nearest
-      // ASCII digits only: OCR-confusable marks ("i151") and non-ASCII
-      // Unicode digits (fullwidth/Arabic-Indic, which the \p{Nd} mark
-      // regexes match) have no [0-9] capture — the extract is '' there,
-      // and ANSI mode makes ''::int (or '１２'::int) throw, so nullif
-      // first. Matches the DuckDB oracle, which also captures [0-9].
-      .withColumn("_mark_num",
-        when(col("_is_mark"),
-          nullif(regexp_extract(text, "^[\\*\"«'~]?([0-9]{1,6})", 1), lit(""))
-            .cast("int")))
       .withColumn("_prev_nums",
         collect_list(col("_mark_num")).over(wOrd.rowsBetween(-15, -1)))
       .withColumn("_seq_mark", col("_is_mark") && col("_mark_num").isNotNull &&
@@ -222,18 +266,33 @@ object Labeler {
       .withColumn("_seqr",
         sum(col("_seq_mark").cast("int")).over(wOrd.rowsBetween(-30, 30)) >= 3 &&
           sum(col("_seq_mark").cast("int")).over(wOrd.rowsBetween(-20, 0)) >= 1)
-      // contiguous numbered regions: a catalogue body that drifts letter-poor
-      // mid-way ("0200 Écu. ... / AR5 F.D.C.") is ONE region and must be
-      // classified as a whole, not line-by-line — region identity via
-      // change detection, region class via region-level letter richness
-      .withColumn("_repetitive",
-        length(pattern) > 2 && length(text) <= 30 &&
-          count(lit(1)).over(Window.partitionBy(col("conv_id"), pattern)) >= 3)
       // bridging <=2-line gaps between numeric stretches (region merge for
       // fragmented index tables) was TRIED and measured a wash: front F1
       // +0.3 but overall accuracy −0.03 and annex recall −0.4 — reverted
       .withColumn("_numeric",
         col("_mark_frac") >= 0.3 || col("_sparse") || col("_seqr"))
+  }
+
+  /** [[zonesContent]] before BIO encoding and internal-column drop — the
+   * region statistics stay readable for diagnostics. */
+  private[graft] def zonesContentRaw(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    val wConv = Window.partitionBy("conv_id")
+    val wOrd = wConv.orderBy(col("turn_idx"), col("line_in_turn"))
+    val text = trim(col(lineCol))
+    // repetitive page headers/stamps (A2, `DatacatSegmenterParser.java:
+    // 268-299`): the same short letter pattern recurring through a document
+    // is a page marker, not content — applied outside the body span only
+    val pattern = ZC.pattern(text)
+    val withPreds = zcDensityCols(
+      zcPredCols(lines, lineCol)
+        .withColumn("_line_no", row_number().over(wOrd)), wOrd)
+      .withColumn("_repetitive",
+        length(pattern) > 2 && length(text) <= 30 &&
+          count(lit(1)).over(Window.partitionBy(col("conv_id"), pattern)) >= 3)
+      // contiguous numbered regions: a catalogue body that drifts letter-poor
+      // mid-way ("0200 Écu. ... / AR5 F.D.C.") is ONE region and must be
+      // classified as a whole, not line-by-line — region identity via
+      // change detection, region class via region-level letter richness
       .withColumn("_region_id",
         when(col("_numeric"),
           sum(when(col("_numeric") &&
@@ -256,8 +315,6 @@ object Labeler {
     // a SEQUENTIAL bare marker is contentful too: an index's page refs are
     // bare numbers but not incrementing, a lot list's bare markers are —
     // without this, a bare-marker catalogue region would look like an index
-    val markContentful = col("_is_mark") &&
-      (col("_strong") || col("_nletters") >= 2 || col("_seq_mark"))
     val withRegion = withPreds
       .withColumn("_r_start", when(col("_numeric"), min("_line_no").over(wRegion)))
       .withColumn("_r_end", when(col("_numeric"), max("_line_no").over(wRegion)))
@@ -270,7 +327,7 @@ object Labeler {
       .withColumn("_r_marks",
         sum(when(col("_is_mark"), 1.0).otherwise(0.0)).over(wRegion))
       .withColumn("_r_content",
-        sum(when(col("_is_mark") && markContentful, 1.0).otherwise(0.0)).over(wRegion) /
+        sum(when(col("_is_mark") && ZC.markContentful, 1.0).otherwise(0.0)).over(wRegion) /
           greatest(col("_r_marks"), lit(1.0)))
       // a region is a BODY of entries if it is letter-rich as a whole;
       // pure price lists sit well below the threshold
@@ -302,29 +359,151 @@ object Labeler {
       col("_line_no")))
       .over(Window.partitionBy("conv_id")
         .orderBy(col("turn_idx"), col("line_in_turn")).rowsBetween(0, 15)).isNotNull
-    val zone =
-      when(firstEntry.isNull && col("_r_index"), "<front>")
-        .when(firstEntry.isNull && col("_numeric"), "<annex>")
-        .when(firstEntry.isNull, "<body>")
-        .when(annexStart.isNotNull && col("_line_no") >= annexStart, "<annex>")
-        // index/schedule regions are front matter only OUTSIDE the genuine
-        // body span — a bare-number-rich stretch in the middle of the
-        // catalogue (price columns, year lists) stays body
-        .when(col("_r_index") &&
-          (col("_line_no") < firstEntry || col("_line_no") > lastEntry), "<front>")
-        .when(col("_numeric") && !col("_r_is_body"), "<annex>")
-        .when(col("_line_no").between(firstEntry, lastEntry), "<body>")
-        .when(col("_line_no") < firstEntry && nearPrice, "<annex>")
-        .when(isForm || isTrigger, "<annex>")
-        // ALL pre-body lines — including repeated headers ("COMMISSAIRES-
-        // PRISEURS ASSOCIÉS" on every title page, session schedules) — are
-        // <front> in the gold convention; the A2 repetitive rule fires only
-        // from the body onward (page stamps between/after entries)
-        .when(col("_line_no") < firstEntry, "<front>")
-        .when(col("_repetitive"), "<other>")
-        .when(isPageNum || isGarbage, "<other>")
-        .otherwise("<back>")
-    withBodySpan.withColumn("zone", zone)
+    withBodySpan.withColumn("zone",
+      ZC.zone(text, firstEntry, lastEntry, annexStart, nearPrice))
+  }
+
+  /**
+   * Chunk-parallel twin of [[zonesContent]] — row-identical output
+   * (DocumentChunkedSpec differential + the doc_chunked_diff oracle), for
+   * document-mode corpora whose single conversations are giant (SURVEY §8.2
+   * #1). NO stage partitions by conv_id alone over a line-grain frame:
+   *
+   *  - global `_line_no` is two-level ([[Chunked.withGlobalLineNo]]);
+   *  - the bounded marker-density windows run per (conv_id, _chunk) over a
+   *    lead-46/trail-30 phantom-adopted frame ([[Chunked.adoptByLineNo]];
+   *    46 = `_seqr`'s 30-line radius + 15 for its `_seq_mark` inputs + 1
+   *    for `lag(_numeric)`);
+   *  - the (conv, pattern) repetitive count, region ids (a prefix sum) and
+   *    region statistics are per-chunk partials + tiny totals + a
+   *    (conv, chunk, …)-keyed join back — the same two-level shape as
+   *    [[bodyLinesChunked]];
+   *  - conversation anchors (body span, annex start) are map-side-
+   *    combinable groupBy aggregates over tiny frames, re-keyed by chunk;
+   *  - the forward-looking `nearPrice` window and the BIO lag run on a
+   *    second lead-1/trail-15 adoption carrying the joined statistics.
+   */
+  def zonesContentChunked(lines: DataFrame, chunkTurns: Int = 4096,
+      lineCol: String = "line"): DataFrame = {
+    require(chunkTurns > 0, "chunkTurns must be positive")
+    val inCols = lines.columns.toSeq
+    val t = trim(col(lineCol))
+    val wCh = Window.partitionBy("conv_id", "_chunk").orderBy("_line_no")
+
+    // chunk ids + global line numbers + per-line predicates
+    val base = zcPredCols(Chunked.withGlobalLineNo(lines, chunkTurns), lineCol)
+      .withColumn("_pat", ZC.pattern(t))
+
+    // (conv, pattern) repetitive counts, two-level; totals re-keyed by
+    // chunk so the join back never clusters a conversation on one task
+    val patPartials = base.groupBy("conv_id", "_chunk", "_pat")
+      .agg(count(lit(1)).as("_pc"))
+    val patTotals = patPartials.groupBy("conv_id", "_pat")
+      .agg(sum("_pc").as("_pat_cnt"))
+    val patKeyed = patPartials.select("conv_id", "_chunk", "_pat")
+      .join(patTotals, Seq("conv_id", "_pat"))
+    val withRep = base.join(patKeyed, Seq("conv_id", "_chunk", "_pat"), "left")
+      .withColumn("_repetitive",
+        length(col("_pat")) > 2 && length(t) <= 30 &&
+          coalesce(col("_pat_cnt"), lit(0L)) >= 3)
+      .drop("_pat", "_pat_cnt")
+
+    // bounded-window features + the region-start indicator on the adopted
+    // frame (lag(_numeric) is exact for real rows AND the lead-1 phantom).
+    // The plan BARRIER cuts the logical tree here: the region/anchor stages
+    // below reference this frame ~8×, and each reference would otherwise
+    // carry the whole predicate+adoption tree into Catalyst's per-Dataset
+    // clone/analyze walk ([[Chunked.barrier]]).
+    val dens = Chunked.barrier(
+      zcDensityCols(Chunked.adoptByLineNo(withRep, lead = 46, trail = 30), wCh)
+        .withColumn("_rs_ind",
+          when(col("_numeric") &&
+            !coalesce(lag(col("_numeric"), 1).over(wCh), lit(false)), 1)
+            .otherwise(0))
+        .where(!col("_ph")).drop("_ph")
+        .drop("_mark_frac", "_sparse", "_prev_nums", "_seqr"))
+
+    // region ids: two-level prefix sum of the region-start indicators
+    val regOffsets = dens.groupBy("conv_id", "_chunk")
+      .agg(sum("_rs_ind").as("_nr"))
+      .withColumn("_r_off", coalesce(sum(col("_nr")).over(
+        Window.partitionBy("conv_id").orderBy("_chunk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("conv_id", "_chunk", "_r_off")
+    val withRegion0 = dens.join(regOffsets, Seq("conv_id", "_chunk"))
+      .withColumn("_region_id", when(col("_numeric"),
+        col("_r_off") + sum(col("_rs_ind")).over(
+          wCh.rowsBetween(Window.unboundedPreceding, 0))))
+      .drop("_rs_ind", "_r_off")
+
+    // region statistics: per-(conv, chunk, region) partials → tiny region
+    // totals → join back keyed (conv, chunk, region). All sums are
+    // integer-valued doubles, so two-level addition is EXACT (no float
+    // order sensitivity vs the sequential window sums).
+    val rPartials = withRegion0.where(col("_numeric"))
+      .groupBy("conv_id", "_chunk", "_region_id")
+      .agg(min("_line_no").as("_p_start"), max("_line_no").as("_p_end"),
+        sum(col("_nletters").cast("double")).as("_p_nl"),
+        sum(length(t).cast("double")).as("_p_len"),
+        sum(when(col("_is_mark"), 1.0).otherwise(0.0)).as("_p_marks"),
+        sum(when(col("_is_mark") && ZC.markContentful, 1.0).otherwise(0.0))
+          .as("_p_content"))
+    val rTotals = rPartials.groupBy("conv_id", "_region_id")
+      .agg(min("_p_start").as("_r_start"), max("_p_end").as("_r_end"),
+        sum("_p_nl").as("_t_nl"), sum("_p_len").as("_t_len"),
+        sum("_p_marks").as("_r_marks"), sum("_p_content").as("_t_content"))
+      .withColumn("_r_letters",
+        col("_t_nl") / greatest(col("_t_len"), lit(1.0)))
+      .withColumn("_r_content",
+        col("_t_content") / greatest(col("_r_marks"), lit(1.0)))
+      .withColumn("_r_is_body", col("_r_letters") >= 0.26)
+      .withColumn("_r_index",
+        col("_r_letters") >= 0.26 && col("_r_content") < 0.15)
+      .select("conv_id", "_region_id", "_r_start", "_r_end", "_r_letters",
+        "_r_marks", "_r_content", "_r_is_body", "_r_index")
+    val rKeyed = rPartials.select("conv_id", "_chunk", "_region_id")
+      .join(rTotals, Seq("conv_id", "_region_id"))
+    val withRegion = withRegion0
+      .join(rKeyed, Seq("conv_id", "_chunk", "_region_id"), "left")
+      // sequential `_r_index` is false (not null) for non-numeric lines
+      .withColumn("_r_index", coalesce(col("_r_index"), lit(false)))
+
+    // conversation anchors off the tiny frames, re-keyed by chunk
+    val convAnchors = rTotals.groupBy("conv_id")
+      .agg(min(when(col("_r_is_body") && !col("_r_index"), col("_r_start")))
+        .as("_first_body"),
+        max(when(col("_r_is_body") && !col("_r_index"), col("_r_end")))
+          .as("_last_body"))
+    val chunkAnchors = regOffsets.select("conv_id", "_chunk")
+      .join(convAnchors, Seq("conv_id"), "left")
+    // first annex header after the body start: trigger rows meet the conv
+    // anchor via the chunk key, then a map-side-combinable conv min
+    val annexStarts = withRegion.where(col("_is_trigger"))
+      .select("conv_id", "_chunk", "_line_no")
+      .join(chunkAnchors, Seq("conv_id", "_chunk"), "left")
+      .where(col("_line_no") > col("_first_body"))
+      .groupBy("conv_id").agg(min("_line_no").as("_annex_start"))
+    val chunkMeta = chunkAnchors.join(annexStarts, Seq("conv_id"), "left")
+    val withAnchors = withRegion.join(chunkMeta, Seq("conv_id", "_chunk"))
+
+    // forward-looking nearPrice + zone + BIO on a lead-1/trail-15 adoption
+    // (the lead-1 phantom's zone is exact: its 15-forward context is the
+    // chunk's own head, its statistics ride the adopted row)
+    val aug2 = Chunked.adoptByLineNo(withAnchors, lead = 1, trail = 15)
+    val nearPrice = min(when(
+      col("_numeric") && !col("_r_is_body") && !col("_r_index"),
+      col("_line_no"))).over(wCh.rowsBetween(0, 15)).isNotNull
+    // output barrier: stage-1 output is consumed 2-3× per downstream
+    // two-level stage (model featurizer, tokenizer stitch) — hand those a
+    // leaf, pruned to the caller-visible columns
+    Chunked.barrier(aug2
+      .withColumn("zone", ZC.zone(t, col("_first_body"), col("_last_body"),
+        col("_annex_start"), nearPrice))
+      .withColumn("zone_label",
+        when(coalesce(lag(col("zone"), 1).over(wCh) =!= col("zone"), lit(true)),
+          concat(lit("I-"), col("zone"))).otherwise(col("zone")))
+      .where(!col("_ph"))
+      .select((inCols :+ "zone" :+ "zone_label").map(col): _*))
   }
 
   /** Shared tail of [[zonesContent]]: BIO labels + internal-column drop
@@ -560,7 +739,24 @@ object Labeler {
         else if (parenDesc) "<titledesc>"
         else if (lastWasTitle) "<entry>"
         else openLabel
-      val isStart = base != openLabel
+      // span segmentation: a label CHANGE starts a span, and so does an
+      // entry-marker line — the reference emits one <entry> per lot, so
+      // back-to-back lots (the common catalogue shape) must not merge into
+      // one span (gold BIO agreement measured in LabelerEvalSpec). A bare
+      // all-digit head starts a span only in the dash form ("151 - …"), as
+      // a lone number line, or when the first word after it is capitalized
+      // ("12 Vase ancien"): the coin-catalogue TALLY lines that close an
+      // entry ("28 pièces .", "3 pièces AR .") share the digit-head shape
+      // but carry a lowercase unit word and must not split their entry
+      // OCR'd catalogues also lose lot numbers entirely: a dash-headed line
+      // with a capitalized first word ("- Cinq Émeraudes .") is the gold
+      // start of the next lot (wrapped-text continuations share the dash
+      // head but start lowercase: "- gaises")
+      val isStart = base != openLabel ||
+        (isEntry && ((n > 1 && dashSet(toks(1))) || n == 1 ||
+          (firstAlphaCap != null && firstAlphaCap != "NOCAPS"))) ||
+        (base == "<entry>" && n >= 2 && dashSet(head) &&
+          firstAlphaCap == "INITCAP")
       openLabel = base
       lastWasTitle = base == "<title>"
       // a grade line CLOSES an entry — an entry-START line (a bare OCR'd

@@ -60,13 +60,49 @@ object ZoneModel {
   def withFeatures(lines: DataFrame, lineCol: String = "line"): DataFrame = {
     val wOrd = Window.partitionBy("conv_id").orderBy("turn_idx", "line_in_turn")
     val wConv = Window.partitionBy("conv_id")
+    featureCols(
+      lines
+        .withColumn("_line_no", row_number().over(wOrd))
+        .withColumn("_n_lines", count(lit(1)).over(wConv)),
+      wOrd, lineCol, hasHint = lines.columns.contains("hint"))
+  }
+
+  /**
+   * Chunk-parallel twin of [[withFeatures]] — row-identical `_feats`
+   * (DocumentChunkedSpec differential), for the giant-conversation
+   * document-mode path: global `_line_no` and the conversation line count
+   * are two-level ([[Chunked.withGlobalLineNo]] + a tiny chunk-keyed totals
+   * join), and the ±10 neighborhood windows (plus `lag(_prev_line)`) run
+   * per (conv_id, _chunk) over a lead-10/trail-10 phantom adoption
+   * ([[Chunked.adoptByLineNo]]). Leaves `_chunk` on the output for
+   * downstream chunk-keyed stages.
+   */
+  def withFeaturesChunked(lines: DataFrame, chunkTurns: Int,
+      lineCol: String = "line"): DataFrame = {
+    val numbered = Chunked.withGlobalLineNo(lines, chunkTurns)
+    val nPartials = numbered.groupBy("conv_id", "_chunk")
+      .agg(count(lit(1)).as("_cn"))
+    val nTotals = nPartials.groupBy("conv_id").agg(sum("_cn").as("_n_lines"))
+    val nKeyed = nPartials.select("conv_id", "_chunk")
+      .join(nTotals, Seq("conv_id"))
+    val wCh = Window.partitionBy("conv_id", "_chunk").orderBy("_line_no")
+    featureCols(
+      Chunked.adoptByLineNo(
+        numbered.join(nKeyed, Seq("conv_id", "_chunk")), lead = 10, trail = 10),
+      wCh, lineCol, hasHint = lines.columns.contains("hint"))
+      .where(col("_ph")=== false).drop("_ph")
+  }
+
+  /** Shared feature assembly of the two paths above: input already carries
+   * `_line_no` and `_n_lines`; the caller supplies the ordering window. */
+  private def featureCols(df: DataFrame,
+      wOrd: org.apache.spark.sql.expressions.WindowSpec,
+      lineCol: String, hasHint: Boolean): DataFrame = {
     val wNear = wOrd.rowsBetween(-10, 10)
     val t = trim(col(lineCol))
     val isMark = t.rlike("^[\\*\"«'~]?\\p{Nd}+([-_–−.\\s]|$)") ||
       t.rlike("^[iIjJ!,]\\p{Nd}+")
-    lines
-      .withColumn("_line_no", row_number().over(wOrd))
-      .withColumn("_n_lines", count(lit(1)).over(wConv))
+    df
       .withColumn("_prev_line", lag(col(lineCol), 1).over(wOrd))
       .withColumn("_mark_frac",
         avg(isMark.cast("double")).over(wNear))
@@ -86,7 +122,7 @@ object ZoneModel {
             concat(lit("LF:"), least(floor(col("_letter_frac") * 10), lit(9)))),
           // stacking: when the caller provides the heuristic labeler's zone
           // as a `hint` column, the model learns when to trust it
-          if (lines.columns.contains("hint"))
+          if (hasHint)
             array(concat(lit("H:"), coalesce(col("hint"), lit("none"))))
           else array().cast("array<string>")))
       .drop("_line_no", "_n_lines", "_prev_line", "_mark_frac", "_letter_frac")
@@ -147,7 +183,12 @@ object ZoneModel {
    * neighbors carry evidence about it).
    */
   def apply(lines: DataFrame, model: Model, lineCol: String = "line",
-      smooth: Int = 0): DataFrame = {
+      smooth: Int = 0, chunkTurns: Option[Int] = None): DataFrame = {
+    // chunked feature computation for giant-conversation corpora; the score
+    // window below is (conv, turn, line)-grain — already skew-free — and
+    // smoothing (a conversation-grain window) is the sequential path's tool
+    require(chunkTurns.isEmpty || smooth == 0,
+      "smoothing is conversation-grain; not supported on the chunked path")
     // Score assembly is a WINDOW over the exploded features, not a groupBy
     // + join-back on the line key: explode → broadcast-join weights (left,
     // so OOV features contribute 0) → per-line window sum → keep the first
@@ -156,7 +197,10 @@ object ZoneModel {
     // (partitioning expressions ⊆ clustering keys), so the modeled path
     // adds NO exchange — the old join added two conv-prefixed shuffles and
     // recomputed the feature branch twice.
-    val keyed = withFeatures(lines, lineCol)
+    val keyed = chunkTurns match {
+      case Some(c) => withFeaturesChunked(lines, c, lineCol).drop("_chunk")
+      case None => withFeatures(lines, lineCol)
+    }
     val wLine = Window.partitionBy("conv_id", "turn_idx", "line_in_turn")
     val summed = model.labels.indices.foldLeft(
       keyed

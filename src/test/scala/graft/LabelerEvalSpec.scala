@@ -69,5 +69,21 @@ class LabelerEvalSpec extends SparkSpec {
       f"title F1 regressed: ${f1Of("<title>") * 100}%.1f")
     assert(f1Of("<entry>") >= 0.99,
       f"entry F1 regressed: ${f1Of("<entry>") * 100}%.1f")
+
+    // SPAN SEGMENTATION agreement (BIO span starts, the boundary the
+    // reference's one-tag-per-lot TEI encodes): predicted I-<entry> marks
+    // vs gold I-<entry> marks. Before round 3 the FSM opened spans only on
+    // label CHANGE, merging back-to-back lots into one span — measured
+    // start recall was near the per-doc lot-run rate; the isEntry start
+    // rule closes it.
+    val bioPairs = gold.toSeq.map { case (k, g) => (g, predicted(k)) }
+    val sTp = bioPairs.count(p => p._1 == "I-<entry>" && p._2 == "I-<entry>").toDouble
+    val sFp = bioPairs.count(p => p._1 != "I-<entry>" && p._2 == "I-<entry>").toDouble
+    val sFn = bioPairs.count(p => p._1 == "I-<entry>" && p._2 != "I-<entry>").toDouble
+    val sP = if (sTp + sFp > 0) sTp / (sTp + sFp) else 0.0
+    val sR = if (sTp + sFn > 0) sTp / (sTp + sFn) else 0.0
+    val sF1 = if (sP + sR > 0) 2 * sP * sR / (sP + sR) else 0.0
+    info(f"entry span-start: P=${sP * 100}%5.1f R=${sR * 100}%5.1f F1=${sF1 * 100}%5.1f  n=${(sTp + sFn).toInt}")
+    assert(sF1 >= 0.95, f"entry span-start F1 regressed: ${sF1 * 100}%.1f")
   }
 }

@@ -140,6 +140,55 @@ class RobustnessSpec extends SparkSpec {
     assert(out.length == 3)
   }
 
+  test("sharded TEI fragments concatenate byte-identically to teiDocuments") {
+    val turns = turnsDf(Seq(
+      ("t1", 0, "user", "Premier lot de la vente aux enchères.", null),
+      ("t1", 1, "assistant", "1 - Tableau ancien <cadre doré> & signé.", null),
+      ("t1", 2, "user", "2 - Sculpture en bronze \"patinée\".", null),
+      ("t1", 3, "assistant", "3 - Commode Louis XV estampillée.", null),
+      ("t1", 4, "user", "Fin de la première vacation.", null),
+      ("t2", 0, "user", "Single turn conversation body.", null)))
+    val spans = Pipeline.extract(turns)
+    val whole = Assemble.teiDocuments(spans).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // shardTurns=2 → multiple shards per conversation; every boundary shape
+    val frags = Assemble.teiDocumentsSharded(spans, shardTurns = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+      .map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3).mkString }
+    assert(frags.keySet == whole.keySet)
+    frags.foreach { case (c, tei) => assert(tei == whole(c), s"conv $c differs") }
+    // degenerate single-shard conversation also byte-identical
+    val frags1 = Assemble.teiDocumentsSharded(spans, shardTurns = 100).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3).mkString }
+    frags1.foreach { case (c, tei) => assert(tei == whole(c), s"conv $c differs at 1 shard") }
+  }
+
+  test("sharded TEI writes a 500k-turn conversation without a conv-grain collect_list") {
+    // the giant-conversation XML story (SURVEY §8.1 residual #5): span
+    // extraction on the chunked path, TEI emission per turn-range shard —
+    // no stage collects the whole conversation onto one task
+    val sparkS = spark
+    import sparkS.implicits._
+    // numbered lot-entry turns → one span per turn (a uniform conversation
+    // would collapse into ONE giant span, which no sharding can split —
+    // that shape is the span-assembly residual, not the TEI writer's)
+    val turns = sparkS.range(500000)
+      .select(lit("giant3").as("conv_id"), col("id").cast("int").as("turn_idx"),
+        lit("user").as("role"),
+        concat(col("id") + 1, lit(" - lot item number "),
+          translate(col("id").cast("string"), "0123456789", "abcdefghij")).as("text"),
+        lit(null).cast("string").as("tool"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"))
+    val frags = Assemble.teiDocumentsSharded(
+      Pipeline.extractChunked(turns, chunkTurns = 32768), shardTurns = 32768)
+    val stats = frags.agg(count(lit(1)).as("n"), sum(length(col("tei"))).as("len"))
+      .head()
+    assert(stats.getLong(0) >= 17, "header + >=15 span shards + footer")
+    assert(stats.getLong(1) >= 500000L * 18, "all turn text present across fragments")
+  }
+
   test("one 100k-turn conversation through the CHUNKED pipeline, content complete") {
     // same skew shape through Pipeline.extractChunked: many tasks instead of
     // one (ChunkBench measures the wall-clock story at 1M-4M turns; this
