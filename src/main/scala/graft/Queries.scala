@@ -378,6 +378,25 @@ object Queries {
     "tei_body_documents" -> ((s, dir) =>
       Pipeline.extractTei(transcripts(s, dir))),
 
+    "tei_sharded_diff" -> ((s, dir) => {
+      // sharded-TEI contract as a driver-checked invariant: concatenating
+      // the (conv_id, shard_idx, tei) fragments in shard order must be
+      // byte-identical to the one-string teiDocuments output. shardTurns=2
+      // so every conversation really splits. Constant-empty oracle.
+      // two INDEPENDENT plan constructions (same result): sharing one
+      // `spans` object across both exceptAll branches trips Catalyst's
+      // conflicting-reference resolution
+      val whole = Assemble.teiDocuments(Pipeline.extract(transcripts(s, dir)))
+      val glued = Assemble.teiDocumentsSharded(
+        Pipeline.extract(transcripts(s, dir)), shardTurns = 2)
+        .groupBy("conv_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("shard_idx"), col("tei")))),
+          s => s.getField("tei")), "").as("tei"))
+      whole.exceptAll(glued).union(glued.exceptAll(whole))
+        .agg(count(lit(1)).as("n_mismatch"))
+    }),
+
     "w10_label_spans_diff" -> ((s, dir) => {
       // label-stream ↔ span-output invariant, the oracle-checkable cover
       // for the rows-only w10_body_labels: per (conv, label), the number of
@@ -497,6 +516,9 @@ object Queries {
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
 
     "doc_chunked_diff" ->
+      "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+
+    "tei_sharded_diff" ->
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
 
     "q1_agg" ->

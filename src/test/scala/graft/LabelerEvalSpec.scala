@@ -63,7 +63,22 @@ class LabelerEvalSpec extends SparkSpec {
     // floors = measured round-2 levels (acc 99.37, title F1 95.2 via the
     // one-line-lookahead heading rules, entry F1 99.7) minus slack; the
     // reference's own CRF scores 85.8 micro-F1 on held-out docs (different
-    // split, upper bound)
+    // split, upper bound).
+    // Round-3 NEGATIVE RESULT on pushing title F1 past ~95 (VERDICT item
+    // 7): the residual title confusions split into (a) OCR coin-legend
+    // garble predicted <title> ("BPETTIQN .", "VATRIX GALLIAE .",
+    // "HAECTIBI") — all-caps junk indistinguishable from headings without
+    // a word lexicon; (b) short init-cap name lines whose role flips with
+    // DOCUMENT-level context ("Sicyon ." = section heading in a coin
+    // catalogue, "Aquarelle ." = medium line closing an entry in a
+    // drawings catalogue — identical shape, opposite labels; this is the
+    // CRF window-50 advantage a 2-line FSM state cannot see); and (c)
+    // cross-document annotation inconsistency (geo headings
+    // "SAMNIUM . - Aesernia ." are gold <entry> in one doc and the same
+    // shape gold <title> in another; <titledesc> has n=15 total). Each
+    // class trades precision for recall under any line-shape rule — the
+    // measured error sample was ~1/3 each, so the heuristic plateau is
+    // ~95-96 title F1 on this corpus.
     assert(acc >= 0.98, f"labeler accuracy regressed: ${acc * 100}%.1f%%")
     assert(f1Of("<title>") >= 0.93,
       f"title F1 regressed: ${f1Of("<title>") * 100}%.1f")
