@@ -31,6 +31,13 @@ object Explain {
     dump("extractDocumentsModeled (trained stage-1)",
       graft.extract.Pipeline.extractDocumentsModeled(
         turns.select("conv_id", "turn_idx", "text"), model))
+    // NOTE: the chunked document cascade is plan-BARRIERED at its three
+    // macro-stage boundaries (GraftPlanBridge.planBarrier), so this dump
+    // shows only the final segment (span assembly over the labeled-token
+    // leaf); the earlier segments were planned eagerly at construction
+    dump("extractDocumentsChunked (final segment below last barrier)",
+      graft.extract.Pipeline.extractDocumentsChunked(
+        turns.select("conv_id", "turn_idx", "text"), chunkTurns = 16))
     spark.stop()
   }
 }

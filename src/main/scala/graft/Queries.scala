@@ -417,6 +417,19 @@ object Queries {
         .agg(count(lit(1)).as("n_mismatch"))
     }),
 
+    "pipeline_declarative_diff" -> ((s, dir) => {
+      // third independent implementation pinned at driver level: the
+      // custom-physical-operator extraction vs the pure-Catalyst
+      // declarative assembly (windows + groupBy over the FSM labels) must
+      // be row-identical. Together with w10_label_spans_diff and
+      // pipeline_chunked_diff, every FSM-path surface is cross-checked by
+      // at least one constant-empty invariant.
+      val a = Pipeline.extract(transcripts(s, dir))
+      val b = Pipeline.extractDeclarative(transcripts(s, dir))
+      a.exceptAll(b).union(b.exceptAll(a))
+        .agg(count(lit(1)).as("n_mismatch"))
+    }),
+
     "pipeline_chunked_diff" -> ((s, dir) => {
       // giant-conversation path equivalence as an ORACLE-checkable
       // invariant: the symmetric difference between the flagship
@@ -519,6 +532,9 @@ object Queries {
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
 
     "tei_sharded_diff" ->
+      "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+
+    "pipeline_declarative_diff" ->
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
 
     "q1_agg" ->
