@@ -378,6 +378,11 @@ object Queries {
     "tei_body_documents" -> ((s, dir) =>
       Pipeline.extractTei(transcripts(s, dir))),
 
+    "blank_training_tei" -> ((s, dir) =>
+      // annotator-facing blank-training skeleton (reference
+      // createBlankTrainingFromPDF): wrapper + escaped raw text, no labels
+      Assemble.blankTrainingTei(transcripts(s, dir))),
+
     "tei_sharded_diff" -> ((s, dir) => {
       // sharded-TEI contract as a driver-checked invariant: concatenating
       // the (conv_id, shard_idx, tei) fragments in shard order must be
@@ -855,6 +860,19 @@ object Queries {
     "k3_rawtext" ->
       s"""WITH $transcriptsCte
          |SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS rawtext
+         |FROM transcripts GROUP BY conv_id""".stripMargin,
+
+    "blank_training_tei" ->
+      s"""WITH $transcriptsCte
+         |SELECT conv_id,
+         |  e'<?xml version="1.0" ?>\\n<tei xml:space="preserve">\\n\\t<teiHeader>' ||
+         |  e'\\n\\t\\t<fileDesc xml:id="' || conv_id ||
+         |  e'"/>\\n\\t</teiHeader>\\n\\t<text xml:lang="fr">\\n' ||
+         |  replace(replace(replace(replace(replace(
+         |    string_agg(text, chr(10) ORDER BY turn_idx),
+         |    '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'),
+         |    '''', '&apos;') ||
+         |  e'\\n\\t</text>\\n</tei>\\n' AS tei
          |FROM transcripts GROUP BY conv_id""".stripMargin,
 
     "tei_documents" -> {

@@ -18,14 +18,16 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val cpus = args.headOption.getOrElse("32")
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "50000").toLong
+    Bench.pinCpus(cpus) // a true cpus-core machine, not cpus task slots on 32 cores
     val spark = Bench.mkSpark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     // deep JIT/codegen warmup: short runs alone leave C2 cold and measure 3x slow
     Seq(1000L, 10000L, 20000L).foreach(Bench.e2e(spark, _))
-    val (turns, sec1) = Bench.e2e(spark, nConvs)
-    val (_, sec2) = Bench.e2e(spark, nConvs)
-    val sec = math.min(sec1, sec2)
-    println(f"""{"metric":"e2e_extract","cpus":$cpus,"sec":$sec%.2f,"turns":$turns,"turns_per_sec":${turns / sec}%.1f}""")
+    var turns = 0L
+    val reps = Bench.stableReps(() => { val (t, s) = Bench.e2e(spark, nConvs); turns = t; s })
+    val sec = reps.takeRight(3).min
+    val repsJson = reps.takeRight(3).map(r => f"$r%.3f").mkString("[", ",", "]")
+    println(f"""{"metric":"e2e_extract","cpus":$cpus,"sec":$sec%.2f,"turns":$turns,"turns_per_sec":${turns / sec}%.1f,"reps_sec":$repsJson,"total_reps":${reps.size}}""")
     spark.stop()
   }
 }

@@ -183,6 +183,30 @@ object Assemble {
   }
 
   /**
+   * Blank-training TEI skeleton per conversation — the annotator-facing
+   * convenience of the reference's `createBlankTrainingFromPDF`
+   * (`DatacatBodySegmentationParser.java:675-758`): the TEI wrapper around
+   * the ESCAPED raw text with NO labels, for marking up from scratch. Two
+   * deliberate differences from [[teiDocuments]], both from the reference's
+   * blank path: `xml:lang` is hardcoded (`:736-741` writes "fr", no
+   * language ID — there are no labeled spans to sample), and the footer has
+   * a single newline before `</text>` (`:743`). The raw-feature sibling
+   * file the reference writes next to it is the K1 path
+   * ([[Features]] feature vectors) with the label column dropped.
+   */
+  def blankTrainingTei(turns: DataFrame, lang: String = "fr"): DataFrame =
+    turns.groupBy("conv_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+        x => x.getField("text")), "\n").as("rawtext"))
+      .select(col("conv_id"), concat(
+        lit("<?xml version=\"1.0\" ?>\n<tei xml:space=\"preserve\">\n\t<teiHeader>\n\t\t<fileDesc xml:id=\""),
+        col("conv_id"),
+        lit("\"/>\n\t</teiHeader>\n\t<text xml:lang=\"" + lang + "\">\n"),
+        TextCols.htmlEncode(col("rawtext")),
+        lit("\n\t</text>\n</tei>\n")).as("tei"))
+
+  /**
    * Turn-range-sharded TEI for giant conversations (SURVEY §8.1 residual
    * #5): [[teiDocuments]] necessarily funnels a whole conversation through
    * ONE `collect_list` task because its output is a single XML string; this

@@ -52,4 +52,21 @@ class GuardLangSpec extends SparkSpec {
     val en = tei("en_conv")
     assert(en.indexOf("the cat") < en.indexOf("it is the best"))
   }
+
+  test("blank-training TEI: wrapper + escaped raw text, no labels, fixed lang") {
+    // reference createBlankTrainingFromPDF byte contract
+    // (DatacatBodySegmentationParser.java:736-744): hardcoded xml:lang,
+    // single newline before </text>, HTMLEncoded untagged text
+    val turns = turnsDf(Seq(
+      ("c1", 0, "user", "a <b> & \"q\" 'x'"),
+      ("c1", 1, "assistant", "second turn")))
+    val tei = Assemble.blankTrainingTei(turns).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tei("c1") ==
+      "<?xml version=\"1.0\" ?>\n<tei xml:space=\"preserve\">\n\t<teiHeader>" +
+      "\n\t\t<fileDesc xml:id=\"c1\"/>\n\t</teiHeader>\n\t<text xml:lang=\"fr\">\n" +
+      "a &lt;b&gt; &amp; &quot;q&quot; &apos;x&apos;\nsecond turn" +
+      "\n\t</text>\n</tei>\n")
+    assert(!tei("c1").contains("<note"), "no labels in a blank skeleton")
+  }
 }
