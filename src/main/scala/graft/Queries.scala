@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.extract.{Assemble, Features, Labeler, Pipeline, Structure}
-import graft.ops.{Dedup, Similarity, TextStats}
+import graft.ops.{Decontam, Dedup, Similarity, TextStats}
 import graft.text.TextCols
 
 /**
@@ -69,6 +69,14 @@ object Queries {
       |  SELECT doc_id, unnest(CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
       |    ELSE list_transform(range(len(ws)-4), i -> array_to_string(ws[i+1:i+5], ' '))
       |    END) AS shingle
+      |  FROM words)""".stripMargin
+
+  /** 13-gram variant of [[shinglesCte]] (decontamination window). */
+  private val ngrams13Cte =
+    """ngrams AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
+      |    ELSE list_transform(range(len(ws)-12), i -> array_to_string(ws[i+1:i+13], ' '))
+      |    END) AS sh
       |  FROM words)""".stripMargin
 
   // deterministic SRP hyperplane component, shared Spark<->SQL (md5-derived)
@@ -329,6 +337,33 @@ object Queries {
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextStats.fingerprint(col("text")).as("fp"))),
+
+    // — decontamination & corpus mixing (benchmark = docs with id%50=3,
+    //   a deterministic stand-in for a held-out eval suite) —
+    "decon_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontam.overlap(docs,
+        docs.where(col("doc_id") % 50 === 3)
+          .select(col("doc_id").as("bench_id"), col("text")))
+    }),
+
+    "decon_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontam.decontaminate(docs,
+        docs.where(col("doc_id") % 50 === 3)
+          .select(col("doc_id").as("bench_id"), col("text")),
+        maxFrac = 0.1)
+        .select("doc_id", "lang", "source", "n_chars", "contamination")
+    }),
+
+    "sample_hash" -> ((s, dir) =>
+      Decontam.hashSample(t(s, dir, "documents"), rate = 0.25, seed = "s42")
+        .select("doc_id", "source")),
+
+    "mix_corpus" -> ((s, dir) =>
+      Decontam.mixCorpus(t(s, dir, "documents"),
+        Map("src0" -> 2.0, "src1" -> 1.5, "src2" -> 0.25, "src3" -> 1.0))
+        .select("doc_id", "source", "epoch")),
 
     // — multimodal plumbing (payload = utf-8 bytes of text; stub codec) —
     "mm_media_meta" -> ((s, dir) =>
@@ -1481,6 +1516,61 @@ object Queries {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    "decon_overlap" ->
+      s"""WITH $wordsCte, $ngrams13Cte,
+         |d AS (SELECT DISTINCT doc_id, sh FROM ngrams),
+         |bench AS (SELECT DISTINCT sh, doc_id AS bench_id FROM ngrams
+         |          WHERE doc_id % 50 = 3),
+         |tot AS (SELECT doc_id, count(*) AS n_ngrams FROM d GROUP BY 1),
+         |hits AS (
+         |  SELECT d.doc_id, count(DISTINCT d.sh) AS contaminated_ngrams,
+         |         count(DISTINCT bench.bench_id) AS n_bench_docs
+         |  FROM d JOIN bench USING (sh) GROUP BY 1)
+         |SELECT tot.doc_id, n_ngrams,
+         |  coalesce(contaminated_ngrams, 0) AS contaminated_ngrams,
+         |  coalesce(n_bench_docs, 0) AS n_bench_docs,
+         |  round(coalesce(contaminated_ngrams, 0) / n_ngrams, 4) AS contamination
+         |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id""".stripMargin,
+
+    "decon_filter" ->
+      s"""WITH $wordsCte, $ngrams13Cte,
+         |d AS (SELECT DISTINCT doc_id, sh FROM ngrams),
+         |bench AS (SELECT DISTINCT sh, doc_id AS bench_id FROM ngrams
+         |          WHERE doc_id % 50 = 3),
+         |tot AS (SELECT doc_id, count(*) AS n_ngrams FROM d GROUP BY 1),
+         |hits AS (
+         |  SELECT d.doc_id, count(DISTINCT d.sh) AS contaminated_ngrams
+         |  FROM d JOIN bench USING (sh) GROUP BY 1),
+         |m AS (
+         |  SELECT tot.doc_id,
+         |    round(coalesce(contaminated_ngrams, 0) / n_ngrams, 4) AS contamination
+         |  FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id)
+         |SELECT documents.doc_id, lang, source, n_chars, contamination
+         |FROM documents JOIN m ON documents.doc_id = m.doc_id
+         |WHERE contamination <= 0.1""".stripMargin,
+
+    "sample_hash" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 6))::INT
+        |      / 16777216.0 < 0.25""".stripMargin,
+
+    "mix_corpus" ->
+      """WITH w(source, weight) AS (
+        |  SELECT * FROM (VALUES ('src0', CAST(2.0 AS DOUBLE)),
+        |    ('src1', CAST(1.5 AS DOUBLE)), ('src2', CAST(0.25 AS DOUBLE)),
+        |    ('src3', CAST(1.0 AS DOUBLE))) v),
+        |j AS (SELECT doc_id, d.source, weight
+        |      FROM documents d JOIN w USING (source)),
+        |e AS (SELECT doc_id, source, weight,
+        |        CAST(unnest(range(CAST(greatest(ceil(weight), 1) AS BIGINT))) AS INT)
+        |          AS epoch
+        |      FROM j)
+        |SELECT doc_id, source, epoch FROM e
+        |WHERE epoch < floor(weight)
+        |   OR ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR) || '#' ||
+        |        CAST(epoch AS VARCHAR)), 1, 6))::INT / 16777216.0
+        |      < weight - floor(weight)""".stripMargin,
 
     "f5_size_guard" ->
       s"""WITH $transcriptsCte,

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination and deterministic corpus sampling / mixing —
+ * the remaining standard stages of a large-scale training-data pipeline
+ * (n-gram-overlap decontamination as popularized by the GPT-3 appendix and
+ * The Pile; hash-Bernoulli sampling; weighted domain mixing with
+ * fractional epochs).
+ *
+ * Scale contracts (the 100 TB shapes):
+ *  - The benchmark suite is SMALL relative to the corpus (benchmarks are
+ *    MBs; corpora are TBs), so its distinct-shingle set is broadcast and
+ *    the corpus side joins it map-side — corpus shingles are NEVER
+ *    shuffled. Per-doc totals come from `size(array_distinct(...))` on the
+ *    scan side, no explode, no shuffle.
+ *  - Sampling and mixing are per-row hash predicates/generators: no
+ *    shuffle at all, deterministic under retries and repartitioning
+ *    (md5 of (seed, id) — never `rand()`, whose per-partition streams
+ *    change with partitioning and break exactly-once semantics).
+ *  - All semantics are SQL-expressible so the driver's DuckDB oracle can
+ *    check them 1:1.
+ */
+object Decontam {
+
+  /**
+   * Deterministic unit-interval hash in [0, 1): first 6 hex chars of
+   * md5(seed:id) as an int / 2^24. 6 chars keeps the value exactly
+   * representable in both Spark and DuckDB integer casts (SQL parity:
+   * `('0x' || substr(md5(...), 1, 6))::INT / 16777216.0`).
+   */
+  def hashUnit(id: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 6),
+      16, 10).cast("long") / 16777216.0
+
+  /**
+   * Deterministic Bernoulli sample: keep a row iff hashUnit(id) < rate.
+   * Repartition-stable and retry-stable, unlike `df.sample` (whose
+   * per-partition RNG streams depend on the physical split). The same
+   * (seed, rate) always selects the same ids — a corpus sample can be
+   * reproduced months later from the predicate alone.
+   */
+  def hashSample(df: DataFrame, rate: Double, seed: String = "sample",
+      idCol: String = "doc_id"): DataFrame =
+    df.where(hashUnit(col(idCol), seed) < math.min(rate, 1.0))
+
+  /**
+   * Per-document benchmark n-gram overlap (decontamination measurement):
+   * for each corpus doc, how many of its distinct word `n`-grams appear in
+   * any benchmark doc. Word n-grams via [[Dedup.shingles]] (docs shorter
+   * than n words contribute their whole text as one shingle — a short doc
+   * equal to a short benchmark prompt is still a hit).
+   *
+   * Output: (id, n_ngrams, contaminated_ngrams, n_bench_docs,
+   * contamination = contaminated/total rounded to 4 places).
+   *
+   * Plan shape: benchmark distinct (bench_id, shingle) pairs are
+   * broadcast; the corpus explodes its distinct shingles, broadcast-joins,
+   * and partially aggregates to doc grain — the only exchange is the final
+   * doc-grain agg of HIT rows (tiny: contamination is the exception, not
+   * the rule). `n_ngrams` never leaves the scan projection.
+   */
+  def overlap(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchIdCol: String = "bench_id", benchTextCol: String = "text"): DataFrame = {
+    val benchSh = benchmark.select(col(benchIdCol).as("_bench_id"),
+        explode(array_distinct(Dedup.shingles(col(benchTextCol), n))).as("_sh"))
+      .distinct()
+    val docSh = Par.spread(corpus).select(col(idCol),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("_sh"))
+    val hits = docSh.join(broadcast(benchSh), "_sh")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("_sh")).as("contaminated_ngrams"),
+        countDistinct(col("_bench_id")).as("n_bench_docs"))
+    // hits holds only CONTAMINATED docs — small by assumption (contamination
+    // is the exception at corpus scale), so broadcast it and the totals
+    // frame never shuffles either
+    corpus
+      .select(col(idCol),
+        size(array_distinct(Dedup.shingles(col(textCol), n))).cast("long").as("n_ngrams"))
+      .join(broadcast(hits), Seq(idCol), "left")
+      .na.fill(0L, Seq("contaminated_ngrams", "n_bench_docs"))
+      .withColumn("contamination",
+        round(col("contaminated_ngrams").cast("double") / col("n_ngrams"), 4))
+  }
+
+  /**
+   * Benchmark decontamination filter: drop corpus docs whose benchmark
+   * n-gram contamination exceeds `maxFrac` (0.0 = drop on any overlap).
+   * Returns the surviving corpus rows plus the `contamination` column —
+   * the measurement is kept so downstream lineage can audit the decision.
+   *
+   * Only the (tiny) contaminated-doc frame is joined back, broadcast —
+   * the corpus passes through map-side with zero shuffles.
+   */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
+      maxFrac: Double = 0.0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val m = overlap(corpus, benchmark, n, idCol, textCol)
+      .select(col(idCol), col("contamination"))
+      .where(col("contamination") > 0)
+    corpus.join(broadcast(m), Seq(idCol), "left")
+      .na.fill(0.0, Seq("contamination"))
+      .where(col("contamination") <= maxFrac)
+  }
+
+  /**
+   * Weighted domain mixing with fractional epochs (the GPT-3 data-mixing
+   * table): `weights` maps a domain value to its target epoch count w.
+   * Every doc in a weighted domain is emitted floor(w) times (epochs
+   * 0..floor(w)-1) plus one more epoch with probability frac(w), decided
+   * by the deterministic per-(doc, epoch) hash. Domains absent from
+   * `weights` are dropped (an explicit mix is a whitelist). Output = the
+   * doc columns plus `epoch`; expected row count = Σ_domain |domain|·w.
+   *
+   * No shuffle: the weights table is broadcast, the epoch explode is
+   * per-row, and the keep predicate is a hash. Deterministic under
+   * retries, so a resumed job regenerates the identical mix.
+   */
+  def mixCorpus(docs: DataFrame, weights: Map[String, Double],
+      domainCol: String = "source", seed: String = "mix",
+      idCol: String = "doc_id"): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val w = weights.toSeq.toDF(domainCol, "_weight")
+    docs.join(broadcast(w), domainCol)
+      .withColumn("epoch",
+        explode(sequence(lit(0), greatest(ceil(col("_weight")).cast("int") - 1, lit(0)))))
+      .where(col("epoch") < floor(col("_weight")) ||
+        hashUnit(concat(col(idCol).cast("string"), lit("#"), col("epoch")), seed) <
+          col("_weight") - floor(col("_weight")))
+      .drop("_weight")
+  }
+}
