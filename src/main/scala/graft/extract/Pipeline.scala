@@ -321,4 +321,34 @@ object Pipeline {
         io.read(spark, "spans")
     }
   }
+
+  /**
+   * Incremental (offset-style) extraction over a snapshot-logged transcript
+   * table: extract only the turns appended to `inStage` since the last run
+   * and append the resulting spans to `outStage`. The consumed-offset store
+   * IS the output table — each output snapshot is committed under the INPUT
+   * snapshot id it consumed, so the output's committed id is the offset and
+   * the whole step is one atomic commit (a crash before the manifest swap
+   * re-runs the same batch; [[TableIO]]'s duplicate-id check makes an
+   * accidental double-apply impossible). Exactly-once per input snapshot.
+   *
+   * Contract: input appends must be CONVERSATION-COMPLETE (a conversation
+   * never spans two input snapshots — extraction state is per-conversation)
+   * and the input must be append-only (an input overwrite restarts its
+   * chain; reset the output table alongside it). Returns the number of
+   * input snapshots consumed this call (0 = already caught up).
+   */
+  def extractIncremental(spark: org.apache.spark.sql.SparkSession,
+      inIo: TableIO, outIo: TableIO,
+      inStage: String = "transcripts", outStage: String = "spans"): Int = {
+    val latest = inIo.committedSnapshot(inStage).getOrElse(
+      throw new IllegalStateException(s"no committed input snapshot for $inStage"))
+    val from = outIo.committedSnapshot(outStage)
+    if (from.contains(latest)) return 0
+    val newTurns = inIo.readIncremental(spark, inStage, from)
+    val spans = extract(newTurns)
+    if (from.isEmpty) outIo.commit(spans, outStage, latest)
+    else outIo.commitAppend(spans, outStage, latest)
+    inIo.history(inStage).takeWhile(m => !from.contains(m.id)).size
+  }
 }
