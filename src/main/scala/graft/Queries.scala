@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.extract.{Assemble, Features, Labeler, Pipeline, Structure}
-import graft.ops.{Decontam, Dedup, Similarity, TextStats}
+import graft.ops.{CorpusClean, Decontam, Dedup, Similarity, TextStats}
 import graft.text.TextCols
 
 /**
@@ -58,6 +58,33 @@ object Queries {
   private def tokensOf(s: SparkSession, dir: String): DataFrame =
     Structure.tokens(transcripts(s, dir))
 
+  /** Documents with a deterministic shared footer line planted (5 footer
+   * variants, each in 1/5 of the corpus) — the boilerplate-census corpus. */
+  private def boilerCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit("\nCopyright Lot Catalogue "),
+        (col("doc_id") % 5).cast("string")).as("text"))
+
+  private val boilerCorpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text || chr(10) || 'Copyright Lot Catalogue ' ||
+      |         CAST(doc_id % 5 AS VARCHAR) AS text
+      |  FROM documents)""".stripMargin
+
+  /** Documents with one email, one IPv4, and one phone number planted. */
+  private def piiCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0.0."), (col("doc_id") % 200).cast("string"),
+        lit(" call 555-123-4567")).as("text"))
+
+  private val piiCorpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+      |         '@example.com from 10.0.0.' || CAST(doc_id % 200 AS VARCHAR) ||
+      |         ' call 555-123-4567' AS text
+      |  FROM documents)""".stripMargin
+
   private val wordsCte =
     """words AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -71,13 +98,15 @@ object Queries {
       |    END) AS shingle
       |  FROM words)""".stripMargin
 
-  /** 13-gram variant of [[shinglesCte]] (decontamination window). */
-  private val ngrams13Cte =
-    """ngrams AS (
-      |  SELECT doc_id, unnest(CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
-      |    ELSE list_transform(range(len(ws)-12), i -> array_to_string(ws[i+1:i+13], ' '))
-      |    END) AS sh
-      |  FROM words)""".stripMargin
+  /** n-gram variant of [[shinglesCte]] over the `words` CTE. */
+  private def ngramsCte(n: Int, name: String): String =
+    s"""$name AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(ws) < $n THEN [array_to_string(ws, ' ')]
+       |    ELSE list_transform(range(len(ws)-${n - 1}), i -> array_to_string(ws[i+1:i+$n], ' '))
+       |    END) AS sh
+       |  FROM words)""".stripMargin
+
+  private val ngrams13Cte = ngramsCte(13, "ngrams")
 
   // deterministic SRP hyperplane component, shared Spark<->SQL (md5-derived)
   private def planeSql(p: Int): String =
@@ -364,6 +393,26 @@ object Queries {
       Decontam.mixCorpus(t(s, dir, "documents"),
         Map("src0" -> 2.0, "src1" -> 1.5, "src2" -> 0.25, "src3" -> 1.0))
         .select("doc_id", "source", "epoch")),
+
+    // — corpus cleaning (boilerplate / repetition / PII) over views that
+    //   deterministically plant the phenomena (footer lines, PII strings) —
+    "clean_boiler_census" -> ((s, dir) =>
+      CorpusClean.boilerplateLines(boilerCorpus(s, dir),
+        minDocs = 2, minFrac = 0.05)),
+
+    "clean_boiler_strip" -> ((s, dir) => {
+      val docs = boilerCorpus(s, dir)
+      CorpusClean.stripBoilerplate(docs,
+        CorpusClean.boilerplateLines(docs, minDocs = 2, minFrac = 0.05))
+        .select("doc_id", "text_clean")
+    }),
+
+    "clean_repetition" -> ((s, dir) =>
+      CorpusClean.repetitionMetrics(t(s, dir, "documents"))),
+
+    "clean_pii_redact" -> ((s, dir) =>
+      CorpusClean.redactPii(piiCorpus(s, dir))
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "text_redacted")),
 
     // — multimodal plumbing (payload = utf-8 bytes of text; stub codec) —
     "mm_media_meta" -> ((s, dir) =>
@@ -1571,6 +1620,77 @@ object Queries {
         |   OR ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR) || '#' ||
         |        CAST(epoch AS VARCHAR)), 1, 6))::INT / 16777216.0
         |      < weight - floor(weight)""".stripMargin,
+
+    "clean_boiler_census" ->
+      s"""WITH $boilerCorpusCte,
+         |l1 AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM corpus),
+         |ln AS (SELECT DISTINCT doc_id,
+         |         regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') AS line_norm
+         |       FROM l1)
+         |SELECT line_norm, count(*) AS n_docs,
+         |  round(count(*) / (SELECT count(*) FROM corpus), 4) AS doc_frac
+         |FROM ln WHERE line_norm <> ''
+         |GROUP BY line_norm
+         |HAVING count(*) >= 2
+         |   AND round(count(*) / (SELECT count(*) FROM corpus), 4) >= 0.05""".stripMargin,
+
+    "clean_boiler_strip" ->
+      s"""WITH $boilerCorpusCte,
+         |l1 AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM corpus),
+         |ln AS (SELECT DISTINCT doc_id,
+         |         regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') AS line_norm
+         |       FROM l1),
+         |census AS (
+         |  SELECT line_norm FROM ln WHERE line_norm <> ''
+         |  GROUP BY line_norm
+         |  HAVING count(*) >= 2
+         |     AND round(count(*) / (SELECT count(*) FROM corpus), 4) >= 0.05),
+         |lx AS (SELECT doc_id, ls FROM
+         |         (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus)),
+         |pos AS (SELECT doc_id, unnest(ls) AS line,
+         |          CAST(unnest(range(len(ls))) AS INT) AS line_no FROM lx),
+         |kept AS (SELECT doc_id, line_no, line FROM pos
+         |         WHERE regexp_replace(lower(trim(line)), '\\s+', ' ', 'g')
+         |               NOT IN (SELECT line_norm FROM census))
+         |SELECT corpus.doc_id,
+         |  coalesce(string_agg(kept.line, chr(10) ORDER BY kept.line_no), '')
+         |    AS text_clean
+         |FROM corpus LEFT JOIN kept ON corpus.doc_id = kept.doc_id
+         |GROUP BY corpus.doc_id""".stripMargin,
+
+    "clean_repetition" ->
+      s"""WITH $wordsCte, ${ngramsCte(2, "g2")}, ${ngramsCte(3, "g3")},
+         |dl AS (SELECT doc_id,
+         |         list_filter(list_transform(string_split(text, chr(10)),
+         |           l -> regexp_replace(lower(trim(l)), '\\s+', ' ', 'g')),
+         |           l -> l <> '') AS ls
+         |       FROM documents),
+         |lf AS (SELECT doc_id, CASE WHEN len(ls) > 0
+         |         THEN round(1.0 - len(list_distinct(ls)) / len(ls), 4)
+         |         ELSE 0.0 END AS dup_line_frac FROM dl),
+         |t2 AS (SELECT doc_id, round(max(c) / sum(c), 4) AS top_2gram_frac
+         |       FROM (SELECT doc_id, sh, count(*) AS c FROM g2 GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |t3 AS (SELECT doc_id, round(max(c) / sum(c), 4) AS top_3gram_frac
+         |       FROM (SELECT doc_id, sh, count(*) AS c FROM g3 GROUP BY 1, 2)
+         |       GROUP BY 1)
+         |SELECT lf.doc_id, dup_line_frac,
+         |  coalesce(top_2gram_frac, 0.0) AS top_2gram_frac,
+         |  coalesce(top_3gram_frac, 0.0) AS top_3gram_frac
+         |FROM lf LEFT JOIN t2 ON lf.doc_id = t2.doc_id
+         |        LEFT JOIN t3 ON lf.doc_id = t3.doc_id""".stripMargin,
+
+    "clean_pii_redact" ->
+      s"""WITH $piiCorpusCte
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '${CorpusClean.emailRe}')) AS n_emails,
+         |  len(regexp_extract_all(text, '${CorpusClean.ipv4Re}')) AS n_ips,
+         |  len(regexp_extract_all(text, '${CorpusClean.phoneRe}')) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${CorpusClean.emailRe}', '<EMAIL>', 'g'),
+         |    '${CorpusClean.ipv4Re}', '<IP>', 'g'),
+         |    '${CorpusClean.phoneRe}', '<PHONE>', 'g') AS text_redacted
+         |FROM corpus""".stripMargin,
 
     "f5_size_guard" ->
       s"""WITH $transcriptsCte,
