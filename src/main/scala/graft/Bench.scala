@@ -77,7 +77,8 @@ object Bench {
     "s2_tokenize", "w2_statuses", "a7_zone_segments", "k2_zone_spans",
     "dedup_minhash_pairs", "dedup_simhash", "dedup_jaccard",
     "sim_topk_brute", "sim_topk_lsh",
-    "text_quality", "text_lang_id", "w11_zones_content", "pipeline_doc_spans")
+    "text_quality", "text_lang_id", "decon_overlap", "clean_boiler_strip",
+    "w11_zones_content", "pipeline_doc_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

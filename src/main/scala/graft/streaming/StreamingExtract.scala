@@ -92,6 +92,27 @@ object StreamingExtract {
       }
       .start()
 
+  /** A document arriving on a stream (for [[dedupDocs]] tests/demos). */
+  final case class DocEvent(doc_id: String, text: String, ts: Timestamp)
+
+  /**
+   * Streaming exact-dedup of a document stream: the first document with a
+   * given normalized-text fingerprint ([[graft.ops.TextStats.fingerprint]]
+   * semantics) passes, later copies within the watermark horizon are
+   * dropped. Built on `dropDuplicatesWithinWatermark`, so dedup state
+   * EXPIRES with the watermark — bounded by the arrival-window duplicate
+   * distance, not corpus size. That is the honest 10^12-doc design:
+   * unbounded "seen forever" state cannot fit any cluster; cross-horizon
+   * duplicates are [[graft.ops.Dedup.exact]]'s job in the periodic batch
+   * compaction downstream. Requires an event-time column `ts`.
+   */
+  def dedupDocs(docs: DataFrame, watermark: String = "1 hour",
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp", md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Close a conversation after `gapSeconds` of event-time silence and emit
    * its ordered text (turn texts joined by newline — the Structure input). */
   def convClose(turns: Dataset[TurnEvent], gapSeconds: Long = 1800): Dataset[ClosedConv] = {

@@ -95,4 +95,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(r => r.getString(1) == "user" && r.getLong(2) == 2 && r.getLong(3) == 7))
     q.stop()
   }
+
+  test("dedupDocs passes the first copy of a fingerprint and drops later ones") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingExtract.DocEvent
+
+    val input = MemoryStream[DocEvent]
+    val q = StreamingExtract.dedupDocs(input.toDS().toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+
+    input.addData(
+      DocEvent("d1", "Hello   World", ts(0)),
+      DocEvent("d2", "unique second document", ts(1)))
+    q.processAllAvailable()
+    // same normalized fingerprint as d1 (case + whitespace collapse) → dropped
+    input.addData(DocEvent("d3", "  hello world ", ts(2)))
+    q.processAllAvailable()
+
+    val kept = spark.table("deduped").select("doc_id").as[String].collect().toSet
+    assert(kept == Set("d1", "d2"), s"expected d3 dropped, got $kept")
+    q.stop()
+  }
 }
