@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.extract.{Assemble, Features, Labeler, Pipeline, Structure}
-import graft.ops.{CorpusClean, Decontam, Dedup, Similarity, TextStats}
+import graft.ops.{CorpusClean, Decontam, Dedup, MainContent, Similarity, TextStats}
 import graft.text.TextCols
 
 /**
@@ -84,6 +84,83 @@ object Queries {
       |         '@example.com from 10.0.0.' || CAST(doc_id % 200 AS VARCHAR) ||
       |         ' call 555-123-4567' AS text
       |  FROM documents)""".stripMargin
+
+  /** Documents wrapped in deterministic HTML (head with script/style, a
+   * link-dense nav, an HTML comment, the text as `<br/>`-separated content
+   * lines, a link-dense sidebar varying with doc_id, a footer with an
+   * undecoded `&copy;`) — the main-content-extraction corpus. */
+  private def htmlCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>body { margin: 0; }</style>" +
+          "<script type=\"text/javascript\">var trk = 'id-"),
+        col("doc_id").cast("string"),
+        lit("';</script></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/lots\">Lots</a> " +
+          "<a href=\"/about\">About</a></nav><!-- layout: "),
+        (col("doc_id") % 3).cast("string"),
+        lit(" --><div class=\"content\">"),
+        regexp_replace(col("text"), "\n", "<br/>"),
+        lit("</div><div class=\"side\">Related: <a href=\"/lot/"),
+        (col("doc_id") % 7).cast("string"), lit("\">lot "),
+        (col("doc_id") % 7).cast("string"),
+        lit("</a> &amp; <a href=\"/cat\">catalogue index</a></div>" +
+          "<footer><a href=\"/terms\">Terms</a> <a href=\"/privacy\">" +
+          "Privacy</a> &copy; Lot Catalogue</footer></body></html>"))
+        .as("html"))
+
+  private val htmlCorpusCte =
+    """hc AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><style>body { margin: 0; }</style>' ||
+      |    '<script type="text/javascript">var trk = ''id-' ||
+      |    CAST(doc_id AS VARCHAR) || ''';</script></head><body>' ||
+      |    '<nav><a href="/">Home</a> <a href="/lots">Lots</a> ' ||
+      |    '<a href="/about">About</a></nav><!-- layout: ' ||
+      |    CAST(doc_id % 3 AS VARCHAR) || ' --><div class="content">' ||
+      |    replace(text, chr(10), '<br/>') ||
+      |    '</div><div class="side">Related: <a href="/lot/' ||
+      |    CAST(doc_id % 7 AS VARCHAR) || '">lot ' ||
+      |    CAST(doc_id % 7 AS VARCHAR) ||
+      |    '</a> &amp; <a href="/cat">catalogue index</a></div>' ||
+      |    '<footer><a href="/terms">Terms</a> <a href="/privacy">' ||
+      |    'Privacy</a> &copy; Lot Catalogue</footer></body></html>' AS html
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB mirror of [[MainContent.dropNonContent]] over `expr`. */
+  private def duckDropNonContent(expr: String): String =
+    MainContent.dropWholeRes.foldLeft(expr)((acc, re) =>
+      s"regexp_replace($acc, '$re', ' ', 'g')")
+
+  /** DuckDB mirror of the entity-decode chain (plain-string replaces). */
+  private def duckDecodeEntities(expr: String): String =
+    MainContent.entityDecodes.foldLeft(expr) { case (acc, (from, to)) =>
+      s"replace($acc, '$from', '${to.replace("'", "''")}')"
+    }
+
+  /** DuckDB mirror of [[MainContent]]'s inner tag-strip + decode + collapse. */
+  private def duckStripInner(expr: String): String = {
+    val untagged = s"regexp_replace($expr, '${MainContent.tagRe}', ' ', 'g')"
+    s"trim(regexp_replace(${duckDecodeEntities(untagged)}, '\\s+', ' ', 'g'))"
+  }
+
+  /** Shared CTE chain html → non-empty blocks with text/link_chars,
+   * mirroring [[MainContent.blockStructs]] (numbered before empty-drop). */
+  private def mcBlocksCtes: String =
+    s"""$htmlCorpusCte,
+       |nd AS (SELECT doc_id, ${duckDropNonContent("html")} AS h FROM hc),
+       |bl AS (SELECT doc_id,
+       |         string_split_regex(h, '${MainContent.blockSplitRe}') AS bs
+       |       FROM nd),
+       |pos AS (SELECT doc_id, unnest(bs) AS blk,
+       |          CAST(unnest(range(len(bs))) AS INT) AS block_no FROM bl),
+       |txt AS (SELECT doc_id, block_no, ${duckStripInner("blk")} AS text,
+       |          coalesce(list_sum(list_transform(
+       |            regexp_extract_all(blk, '${MainContent.anchorRe}', 1),
+       |            a -> len(${duckStripInner("a")}))), 0) AS link_chars
+       |        FROM pos)""".stripMargin
 
   private val wordsCte =
     """words AS (
@@ -413,6 +490,15 @@ object Queries {
     "clean_pii_redact" -> ((s, dir) =>
       CorpusClean.redactPii(piiCorpus(s, dir))
         .select("doc_id", "n_emails", "n_ips", "n_phones", "text_redacted")),
+
+    // — HTML main-content extraction (DOM-heuristic boilerplate strip)
+    //   over documents wrapped in deterministic boilerplate-laden HTML —
+    "mc_block_features" -> ((s, dir) =>
+      MainContent.blockFeatures(htmlCorpus(s, dir))),
+
+    "mc_main_content" -> ((s, dir) =>
+      MainContent.mainContent(htmlCorpus(s, dir))
+        .select("doc_id", "text_main", "n_blocks_kept")),
 
     // — multimodal plumbing (payload = utf-8 bytes of text; stub codec) —
     "mm_media_meta" -> ((s, dir) =>
@@ -1691,6 +1777,25 @@ object Queries {
          |    '${CorpusClean.ipv4Re}', '<IP>', 'g'),
          |    '${CorpusClean.phoneRe}', '<PHONE>', 'g') AS text_redacted
          |FROM corpus""".stripMargin,
+
+    "mc_block_features" ->
+      s"""WITH $mcBlocksCtes
+         |SELECT doc_id, block_no, text, CAST(len(text) AS INT) AS n_chars,
+         |  CAST(link_chars AS INT) AS link_chars,
+         |  round(CAST(link_chars AS DOUBLE) / len(text), 4) AS link_density
+         |FROM txt WHERE len(text) > 0""".stripMargin,
+
+    "mc_main_content" ->
+      s"""WITH $mcBlocksCtes,
+         |kept AS (SELECT doc_id, block_no, text FROM txt
+         |         WHERE len(text) >= 25
+         |           AND link_chars <= len(text) * CAST(0.33 AS DOUBLE))
+         |SELECT hc.doc_id,
+         |  coalesce(string_agg(kept.text, chr(10) ORDER BY kept.block_no), '')
+         |    AS text_main,
+         |  CAST(count(kept.text) AS INT) AS n_blocks_kept
+         |FROM hc LEFT JOIN kept ON hc.doc_id = kept.doc_id
+         |GROUP BY hc.doc_id""".stripMargin,
 
     "f5_size_guard" ->
       s"""WITH $transcriptsCte,
