@@ -78,7 +78,7 @@ object Bench {
     "dedup_minhash_pairs", "dedup_simhash", "dedup_jaccard",
     "sim_topk_brute", "sim_topk_lsh",
     "text_quality", "text_lang_id", "decon_overlap", "clean_boiler_strip",
-    "w11_zones_content", "pipeline_doc_spans")
+    "mc_main_content", "w11_zones_content", "pipeline_doc_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

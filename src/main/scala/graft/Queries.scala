@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.extract.{Assemble, Features, Labeler, Pipeline, Structure}
-import graft.ops.{CorpusClean, Decontam, Dedup, MainContent, Similarity, TextStats}
+import graft.ops.{CorpusClean, Decontam, Dedup, MainContent, QualityModel, Similarity, TextStats}
 import graft.text.TextCols
 
 /**
@@ -159,8 +159,62 @@ object Queries {
        |txt AS (SELECT doc_id, block_no, ${duckStripInner("blk")} AS text,
        |          coalesce(list_sum(list_transform(
        |            regexp_extract_all(blk, '${MainContent.anchorRe}', 1),
-       |            a -> len(${duckStripInner("a")}))), 0) AS link_chars
-       |        FROM pos)""".stripMargin
+       |            a -> len(${duckStripInner("a")}))), 0) AS link_chars,
+       |          len(regexp_extract_all(blk, '${MainContent.tagRe}'))
+       |            AS n_tags
+       |        FROM pos),
+       |tt AS (SELECT *, CAST(len(text) AS DOUBLE) / greatest(n_tags, 1)
+       |         AS ttr FROM txt),
+       |sm AS (SELECT *, avg(ttr) OVER (PARTITION BY doc_id ORDER BY block_no
+       |         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS sttr FROM tt)""".stripMargin
+
+  /** Labeled quality corpus: odd doc_ids keep their real text (label 1),
+   * even doc_ids get a deterministic spam string (label 0). doc_id%5==4
+   * is the held-out eval split used by qm_scores. */
+  private def qualityCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      (col("doc_id") % 2).cast("int").as("label"),
+      when(col("doc_id") % 2 === 1, col("text"))
+        .otherwise(concat(
+          lit("buy cheap now click free win prize offer deal sale lot "),
+          (col("doc_id") % 10).cast("string"))).as("text"))
+
+  private val qualityCorpusCte =
+    """qc AS (
+      |  SELECT doc_id, CAST(doc_id % 2 AS INT) AS label,
+      |    CASE WHEN doc_id % 2 = 1 THEN text
+      |         ELSE 'buy cheap now click free win prize offer deal sale lot ' ||
+      |           CAST(doc_id % 10 AS VARCHAR) END AS text
+      |  FROM documents)""".stripMargin
+
+  /** CTE chain qc → trained NB weights table `wt(tok, w_fp)` incl. the
+   * __PRIOR__/__UNSEEN__ sentinels, mirroring [[QualityModel.train]] on
+   * the doc_id%5<4 training split (micro-nat fixed point). */
+  private val qmWeightsCtes =
+    s"""$qualityCorpusCte,
+       |tr AS (SELECT * FROM qc WHERE doc_id % 5 < 4),
+       |qtk AS (SELECT label, unnest(list_filter(string_split_regex(
+       |          lower(trim(text)), '\\s+'), t -> t <> '')) AS tok FROM tr),
+       |qcnt AS (SELECT tok,
+       |           sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1,
+       |           sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0
+       |         FROM qtk GROUP BY tok),
+       |qtot AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM qcnt),
+       |qn AS (SELECT sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n1,
+       |              sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n0 FROM tr),
+       |wt AS (
+       |  SELECT tok,
+       |    CAST(round((ln(CAST(c1 + 1 AS DOUBLE) / (t1 + v)) -
+       |                ln(CAST(c0 + 1 AS DOUBLE) / (t0 + v))) * 1e6, 0)
+       |      AS BIGINT) AS w_fp
+       |  FROM qcnt, qtot
+       |  UNION ALL
+       |  SELECT '__PRIOR__',
+       |    CAST(round(ln(CAST(n1 AS DOUBLE) / n0) * 1e6, 0) AS BIGINT) FROM qn
+       |  UNION ALL
+       |  SELECT '__UNSEEN__',
+       |    CAST(round(ln(CAST(t0 + v AS DOUBLE) / (t1 + v)) * 1e6, 0)
+       |      AS BIGINT) FROM qtot)""".stripMargin
 
   private val wordsCte =
     """words AS (
@@ -499,6 +553,23 @@ object Queries {
     "mc_main_content" -> ((s, dir) =>
       MainContent.mainContent(htmlCorpus(s, dir))
         .select("doc_id", "text_main", "n_blocks_kept")),
+
+    "mc_density_content" -> ((s, dir) =>
+      MainContent.densityContent(htmlCorpus(s, dir))
+        .select("doc_id", "text_density", "n_blocks_kept")),
+
+    // — trained quality classifier (NB log-ratio, fixed-point weights)
+    //   on a corpus with planted low-quality (spam) documents —
+    "qm_weights" -> ((s, dir) =>
+      QualityModel.train(qualityCorpus(s, dir).where(col("doc_id") % 5 < 4))),
+
+    "qm_scores" -> ((s, dir) => {
+      val qc = qualityCorpus(s, dir)
+      val model = QualityModel.train(qc.where(col("doc_id") % 5 < 4))
+      QualityModel.score(qc.where(col("doc_id") % 5 === 4), model)
+        .join(qc.select(col("doc_id"), col("label")), Seq("doc_id"))
+        .select("doc_id", "label", "score_fp", "label_hat")
+    }),
 
     // — multimodal plumbing (payload = utf-8 bytes of text; stub codec) —
     "mm_media_meta" -> ((s, dir) =>
@@ -1781,9 +1852,21 @@ object Queries {
     "mc_block_features" ->
       s"""WITH $mcBlocksCtes
          |SELECT doc_id, block_no, text, CAST(len(text) AS INT) AS n_chars,
-         |  CAST(link_chars AS INT) AS link_chars,
-         |  round(CAST(link_chars AS DOUBLE) / len(text), 4) AS link_density
-         |FROM txt WHERE len(text) > 0""".stripMargin,
+         |  CAST(link_chars AS INT) AS link_chars, CAST(n_tags AS INT) AS n_tags,
+         |  round(CAST(link_chars AS DOUBLE) / len(text), 4) AS link_density,
+         |  round(ttr, 4) AS text_tag_ratio, round(sttr, 4) AS smoothed_ttr
+         |FROM sm WHERE len(text) > 0""".stripMargin,
+
+    "mc_density_content" ->
+      s"""WITH $mcBlocksCtes,
+         |kept AS (SELECT doc_id, block_no, text FROM tt
+         |         WHERE len(text) > 0 AND ttr >= CAST(9.0 AS DOUBLE))
+         |SELECT hc.doc_id,
+         |  coalesce(string_agg(kept.text, chr(10) ORDER BY kept.block_no), '')
+         |    AS text_density,
+         |  CAST(count(kept.text) AS INT) AS n_blocks_kept
+         |FROM hc LEFT JOIN kept ON hc.doc_id = kept.doc_id
+         |GROUP BY hc.doc_id""".stripMargin,
 
     "mc_main_content" ->
       s"""WITH $mcBlocksCtes,
@@ -1796,6 +1879,32 @@ object Queries {
          |  CAST(count(kept.text) AS INT) AS n_blocks_kept
          |FROM hc LEFT JOIN kept ON hc.doc_id = kept.doc_id
          |GROUP BY hc.doc_id""".stripMargin,
+
+    "qm_weights" ->
+      s"""WITH $qmWeightsCtes
+         |SELECT tok, w_fp FROM wt""".stripMargin,
+
+    "qm_scores" ->
+      s"""WITH $qmWeightsCtes,
+         |ev AS (SELECT doc_id, label, text FROM qc WHERE doc_id % 5 = 4),
+         |et AS (SELECT doc_id, unnest(list_filter(string_split_regex(
+         |         lower(trim(text)), '\\s+'), t -> t <> '')) AS tok FROM ev),
+         |ej AS (SELECT et.doc_id,
+         |         coalesce(w.w_fp,
+         |           (SELECT w_fp FROM wt WHERE tok = '__UNSEEN__')) AS w
+         |       FROM et LEFT JOIN
+         |         (SELECT * FROM wt
+         |          WHERE tok NOT IN ('__PRIOR__', '__UNSEEN__')) w
+         |         ON et.tok = w.tok),
+         |es AS (SELECT doc_id, sum(w) AS tok_sum FROM ej GROUP BY doc_id)
+         |SELECT ev.doc_id, ev.label,
+         |  CAST(coalesce(es.tok_sum, 0) +
+         |    (SELECT w_fp FROM wt WHERE tok = '__PRIOR__') AS BIGINT)
+         |    AS score_fp,
+         |  CASE WHEN coalesce(es.tok_sum, 0) +
+         |    (SELECT w_fp FROM wt WHERE tok = '__PRIOR__') > 0
+         |    THEN 1 ELSE 0 END AS label_hat
+         |FROM ev LEFT JOIN es ON ev.doc_id = es.doc_id""".stripMargin,
 
     "f5_size_guard" ->
       s"""WITH $transcriptsCte,

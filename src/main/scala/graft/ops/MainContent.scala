@@ -85,33 +85,73 @@ object MainContent {
     aggregate(regexp_extract_all(block, lit(anchorRe), lit(1)), lit(0),
       (acc, a) => acc + length(stripInner(a)))
 
-  /** Per-block struct array for one document's HTML: (block_no, text,
-   * n_chars, link_chars). Blocks are numbered BEFORE empties are dropped so
-   * numbering is split-stable. */
-  private def blockStructs(html: Column): Column = {
+  /** Per-block struct array for one document's HTML — EMPTY BLOCKS KEPT
+   * (they anchor split-stable numbering and participate in neighbor
+   * smoothing): (block_no, text, n_chars, link_chars, n_tags). `n_tags`
+   * counts raw markup tags inside the block (post whole-element drop) —
+   * the text-density denominator. */
+  private def allBlockStructs(html: Column): Column = {
     val blocks = split(dropNonContent(html), blockSplitRe)
-    filter(
-      zip_with(blocks, sequence(lit(0), greatest(size(blocks) - 1, lit(0))),
-        (b, i) => struct(
-          i.as("block_no"),
-          stripInner(b).as("text"),
-          length(stripInner(b)).as("n_chars"),
-          linkChars(b).as("link_chars"))),
-      s => s.getField("n_chars") > 0)
+    zip_with(blocks, sequence(lit(0), greatest(size(blocks) - 1, lit(0))),
+      (b, i) => struct(
+        i.as("block_no"),
+        stripInner(b).as("text"),
+        length(stripInner(b)).as("n_chars"),
+        linkChars(b).as("link_chars"),
+        size(regexp_extract_all(b, lit(tagRe), lit(0))).as("n_tags")))
+  }
+
+  /** [[allBlockStructs]] with empty blocks dropped (numbering preserved). */
+  private def blockStructs(html: Column): Column =
+    filter(allBlockStructs(html), s => s.getField("n_chars") > 0)
+
+  /** Text-to-tag ratio of a block struct (the CETR-style density signal):
+   * text characters per markup tag; tag-free blocks use denominator 1 so
+   * plain text lines score their own length. */
+  private def ttrOf(s: Column): Column =
+    s.getField("n_chars").cast("double") / greatest(s.getField("n_tags"), lit(1))
+
+  /** Neighbor-smoothed ratios for a full (empties included) block sequence:
+   * mean over blocks i-1..i+1 clipped to the array. Term order is
+   * prev+cur+next to match a windowed AVG frame exactly (adding a 0.0
+   * placeholder first is an IEEE no-op, so parity with the oracle holds). */
+  private def smoothedTtrs(all: Column): Column = {
+    val ttrs = transform(all, ttrOf(_))
+    val n = size(ttrs)
+    transform(sequence(lit(0), greatest(n - 1, lit(0))), i => {
+      val prev = when(i > 0, element_at(ttrs, i)).otherwise(lit(0.0))
+      val next = when(i < n - 1, element_at(ttrs, i + 2)).otherwise(lit(0.0))
+      val cnt = lit(1) + when(i > 0, 1).otherwise(0) +
+        when(i < n - 1, 1).otherwise(0)
+      (prev + element_at(ttrs, i + 1) + next) / cnt
+    })
   }
 
   /**
    * Block grain (for inspection / threshold tuning): one row per non-empty
-   * block with `(block_no, text, n_chars, link_chars, link_density)`.
+   * block with `(block_no, text, n_chars, link_chars, n_tags,
+   * link_density, text_tag_ratio, smoothed_ttr)`. The smoothed ratio is
+   * computed over the FULL block sequence (empties included) before the
+   * non-empty filter, so it matches what a windowed scorer would see.
    * Explodes — use on samples, not the corpus path.
    */
   def blockFeatures(docs: DataFrame, idCol: String = "doc_id",
-      htmlCol: String = "html"): DataFrame =
+      htmlCol: String = "html"): DataFrame = {
+    val all = allBlockStructs(col(htmlCol))
+    val enriched = zip_with(all, smoothedTtrs(all), (s, sm) => struct(
+      s.getField("block_no").as("block_no"), s.getField("text").as("text"),
+      s.getField("n_chars").as("n_chars"),
+      s.getField("link_chars").as("link_chars"),
+      s.getField("n_tags").as("n_tags"), ttrOf(s).as("ttr"), sm.as("sttr")))
     docs
-      .select(col(idCol), explode(blockStructs(col(htmlCol))).as("b"))
+      .select(col(idCol),
+        explode(filter(enriched, s => s.getField("n_chars") > 0)).as("b"))
       .select(col(idCol), col("b.block_no"), col("b.text"), col("b.n_chars"),
-        col("b.link_chars"),
-        round(col("b.link_chars") / col("b.n_chars"), 4).as("link_density"))
+        col("b.link_chars"), col("b.n_tags"),
+        round(col("b.link_chars") / col("b.n_chars"), 4).as("link_density"),
+        round(col("b.ttr"), 4).as("text_tag_ratio"),
+        round(col("b.sttr"), 4).as("smoothed_ttr"))
+  }
 
   /**
    * Main-content extraction: keep blocks with at least `minChars` of text
@@ -127,6 +167,27 @@ object MainContent {
         s.getField("link_chars") <= s.getField("n_chars") * lit(maxLinkDensity))
     docs.withColumn("_kept", kept)
       .withColumn("text_main",
+        array_join(transform(col("_kept"), s => s.getField("text")), "\n"))
+      .withColumn("n_blocks_kept", size(col("_kept")))
+      .drop("_kept")
+  }
+
+  /**
+   * Text-density main-content extraction (the CETR-family heuristic, the
+   * complement of link density): keep blocks whose text-to-tag ratio is at
+   * least `minTtr` — markup-heavy furniture (nav bars, tag-dense sidebars,
+   * footers) scores low, article/entry text scores its character count.
+   * Unlike [[mainContent]] there is no minimum length: a short line inside
+   * an article is tag-free and keeps its full score, so density rescues
+   * the short content lines the length threshold drops. Adds
+   * `text_density` and `n_blocks_kept`. Shuffle-free projection.
+   */
+  def densityContent(docs: DataFrame, minTtr: Double = 9.0,
+      idCol: String = "doc_id", htmlCol: String = "html"): DataFrame = {
+    val kept = filter(allBlockStructs(col(htmlCol)), s =>
+      s.getField("n_chars") > 0 && ttrOf(s) >= lit(minTtr))
+    docs.withColumn("_kept", kept)
+      .withColumn("text_density",
         array_join(transform(col("_kept"), s => s.getField("text")), "\n"))
       .withColumn("n_blocks_kept", size(col("_kept")))
       .drop("_kept")

@@ -35,15 +35,40 @@ class MainContentSpec extends SparkSpec {
     val got = MainContent.blockFeatures(docs(7L -> page))
       .orderBy("block_no")
       .collect()
-      .map(r => (r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4)))
+      .map(r => (r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4),
+        r.getInt(5)))
       .toSeq
     assert(got === Seq(
-      (0, "Doc 7 Home Lots About", 21, 13),
-      (1, "First line of the catalogue entry, quite long indeed", 52, 0),
-      (2, "short line", 10, 0),
-      (3, "Entry text with & ampersand and <tag> plus spaces here", 54, 0),
-      (4, "Related: lot 0 & catalogue index", 32, 20),
-      (5, "Terms Privacy &copy; Lot Catalogue", 34, 12)))
+      (0, "Doc 7 Home Lots About", 21, 13, 13),
+      (1, "First line of the catalogue entry, quite long indeed", 52, 0, 1),
+      (2, "short line", 10, 0, 0),
+      (3, "Entry text with & ampersand and <tag> plus spaces here", 54, 0, 0),
+      (4, "Related: lot 0 & catalogue index", 32, 20, 5),
+      (5, "Terms Privacy &copy; Lot Catalogue", 34, 12, 5)))
+  }
+
+  test("text-tag ratios and neighbor smoothing over the full block sequence") {
+    val rows = MainContent.blockFeatures(docs(7L -> page))
+      .orderBy("block_no")
+      .select("block_no", "text_tag_ratio", "smoothed_ttr")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    // block 0: 21 chars / 13 tags; its smoothed value averages in the
+    // adjacent 52-char tag-light content line.
+    assert(rows(0) === ((0, 1.6154, 26.8077)))
+    assert(rows(1)._2 === 52.0)
+    // footer (block 5) smooths with the sidebar and the empty trailing
+    // block: (6.4 + 6.8 + 0.0) / 3
+    assert(rows(5) === ((5, 6.8, 4.4)))
+  }
+
+  test("densityContent keeps tag-light blocks including short content lines") {
+    val row = MainContent.densityContent(docs(7L -> page))
+      .select("text_density", "n_blocks_kept").head()
+    assert(row.getString(0) ===
+      "First line of the catalogue entry, quite long indeed\n" +
+        "short line\n" +
+        "Entry text with & ampersand and <tag> plus spaces here")
+    assert(row.getInt(1) === 3)
   }
 
   test("mainContent keeps long link-sparse blocks only, in document order") {
