@@ -38,6 +38,22 @@ object Explain {
     dump("extractDocumentsChunked (final segment below last barrier)",
       graft.extract.Pipeline.extractDocumentsChunked(
         turns.select("conv_id", "turn_idx", "text"), chunkTurns = 16))
+    // web-corpus operators: main-content must plan as a bare projection
+    // (0 exchanges); NB scoring = broadcast join + one aggregation exchange
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.range(100).select(col("id").as("doc_id"),
+        concat(lit("<html><body><nav><a href=\"/\">Home</a></nav><p>entry "),
+          col("id").cast("string"),
+          lit(" with plenty of text</p></body></html>")).as("html"),
+        (col("id") % 2).cast("int").as("label"),
+        concat(lit("token text number "), col("id").cast("string")).as("text"))
+      dump("mainContent + densityContent (HTML strip)",
+        graft.ops.MainContent.densityContent(
+          graft.ops.MainContent.mainContent(docs)))
+      val qm = graft.ops.QualityModel.train(docs)
+      dump("qualityScore (NB inference)", graft.ops.QualityModel.score(docs, qm))
+    }
     spark.stop()
   }
 }

@@ -173,6 +173,20 @@ object MainContent {
   }
 
   /**
+   * QoS guard for pathological pages (the reference's F5 size-guard role,
+   * `DatacatSegmenterParser.java` page/block caps, applied to web input):
+   * every regex pass here is single-task work per row, so one unbounded
+   * document would set the straggler floor of the whole stage at 10¹²-doc
+   * scale. Returns (kept, dropped) so the dropped frame can feed lineage
+   * counters instead of vanishing silently.
+   */
+  def sizeGuard(docs: DataFrame, maxChars: Int = 2 * 1024 * 1024,
+      htmlCol: String = "html"): (DataFrame, DataFrame) = {
+    val fits = length(col(htmlCol)) <= maxChars
+    (docs.where(fits), docs.where(!fits))
+  }
+
+  /**
    * Text-density main-content extraction (the CETR-family heuristic, the
    * complement of link density): keep blocks whose text-to-tag ratio is at
    * least `minTtr` — markup-heavy furniture (nav bars, tag-dense sidebars,

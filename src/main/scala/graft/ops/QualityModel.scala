@@ -61,10 +61,16 @@ object QualityModel {
       labelCol: String = "label"): DataFrame = {
     val tok = labeled.select(col(labelCol).as("label"),
       explode(toks(col(textCol))).as("tok"))
+    // Materialize the vocab-sized count table: three consumers below
+    // (weights, totals, sentinels) would otherwise each re-run the
+    // corpus-wide token aggregation — 3 scans of the labeled corpus
+    // instead of 1. localCheckpoint truncates lineage at a small,
+    // minCount-bounded frame (same discipline as Dedup.components).
     val counts = tok.groupBy("tok").agg(
       sum(when(col("label") === 1, 1L).otherwise(0L)).as("c1"),
       sum(when(col("label") === 0, 1L).otherwise(0L)).as("c0"))
       .where(col("c1") + col("c0") >= minCount)
+      .localCheckpoint()
     val tot = counts.agg(sum("c1").as("t1"), sum("c0").as("t0"),
       count(lit(1)).as("v"))
     val nDocs = labeled.agg(

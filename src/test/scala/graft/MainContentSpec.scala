@@ -108,6 +108,14 @@ class MainContentSpec extends SparkSpec {
     assert(!out.contains("layout:"))
   }
 
+  test("sizeGuard splits oversized pages into a counted drop frame") {
+    val (kept, dropped) = graft.ops.MainContent.sizeGuard(
+      docs(1L -> "<p>small</p>", 2L -> ("<p>" + "x" * 100 + "</p>")),
+      maxChars = 50)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(dropped.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("a script element never swallows text up to a later style close") {
     val html = "<script>x</script><p>Kept paragraph with plenty of characters" +
       "</p><style>y</style>"

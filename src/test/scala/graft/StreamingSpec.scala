@@ -119,4 +119,29 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set("d1", "d2"), s"expected d3 dropped, got $kept")
     q.stop()
   }
+
+  test("mainContent is stateless: HTML strip runs inside an append stream") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.MainContent.mainContent(
+        input.toDS().toDF("doc_id", "html"))
+      .select("doc_id", "text_main", "n_blocks_kept")
+      .writeStream.format("memory").queryName("stripped")
+      .outputMode(OutputMode.Append).start()
+
+    input.addData(
+      1L -> ("<nav><a href=\"/\">Home</a> <a href=\"/x\">More</a></nav>" +
+        "<p>A real paragraph with plenty of characters in it</p>"),
+      2L -> "<nav><a href=\"/\">Home navigation only</a></nav>")
+    q.processAllAvailable()
+
+    val got = spark.table("stripped").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got(1L) === (("A real paragraph with plenty of characters in it", 1)))
+    assert(got(2L) === (("", 0)))
+    q.stop()
+  }
 }
