@@ -229,6 +229,72 @@ object Queries {
       |    END) AS shingle
       |  FROM words)""".stripMargin
 
+  /** CTE chain shingles → `dupes(id)`: MinHash-LSH candidates, Jaccard
+   * verification at τ=0.5, big-bucket star edges, recursive components,
+   * non-canonical members — mirroring [[Dedup.verifiedEdges]] (k=8,
+   * rowsPerBand=4) + [[Dedup.keepCanonical]]. Needs `WITH RECURSIVE` and
+   * [[wordsCte]]/[[shinglesCte]] upstream. */
+  private val dedupChainCtes =
+    """d AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+      |seeds AS (SELECT CAST(unnest(range(8)) AS INT) AS seed),
+      |sig AS (
+      |  SELECT doc_id, seed,
+      |    min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+      |  FROM d CROSS JOIN seeds GROUP BY doc_id, seed),
+      |bk AS (
+      |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+      |    md5(string_agg(CAST(seed AS VARCHAR) || '@' || minhash, '|'
+      |      ORDER BY CAST(seed AS VARCHAR) || '@' || minhash)) AS bucket
+      |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)),
+      |bs AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bk),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      |  FROM bs l JOIN bs r ON l.band = r.band AND l.bucket = r.bucket
+      |  WHERE l.doc_id < r.doc_id AND l.bsz <= 1000),
+      |cnts AS (SELECT doc_id, count(*) AS n_sh FROM d GROUP BY 1),
+      |com AS (
+      |  SELECT c.a, c.b, count(*) AS n_common
+      |  FROM cand c JOIN d da ON da.doc_id = c.a
+      |              JOIN d db ON db.doc_id = c.b AND db.shingle = da.shingle
+      |  GROUP BY 1, 2),
+      |vprs AS (
+      |  SELECT com.a, com.b FROM com
+      |  JOIN cnts ca ON ca.doc_id = com.a JOIN cnts cb ON cb.doc_id = com.b
+      |  WHERE round(com.n_common * 1.0
+      |    / (ca.n_sh + cb.n_sh - com.n_common), 4) >= 0.5),
+      |bigstars AS (
+      |  SELECT DISTINCT a, b FROM (
+      |    SELECT min(doc_id) OVER (PARTITION BY band, bucket) AS a, doc_id AS b
+      |    FROM bs WHERE bsz > 1000)
+      |  WHERE b <> a),
+      |prs AS (SELECT * FROM vprs UNION SELECT * FROM bigstars),
+      |edges AS (
+      |  SELECT a AS src, b AS dst FROM prs
+      |  UNION SELECT b AS src, a AS dst FROM prs),
+      |reach(id, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, reach.lbl FROM reach JOIN edges e ON e.src = reach.id),
+      |dupes AS (
+      |  SELECT id FROM (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+      |  WHERE id <> cluster_id)""".stripMargin
+
+  /** DuckDB stopword-hit ratio over the `ws` column (for lang-ID CASEs). */
+  private def stopRatioSql(lang: String): String = {
+    val list = TextStats.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(ws, w -> w IN ($list))) * 1.0 / greatest(len(ws), 1)"
+  }
+
+  /** The langId CASE over text + r_de/r_en/r_es/r_fr ratio columns. */
+  private val langCaseSql =
+    """CASE WHEN length(regexp_replace(text, '[^\p{Han}]', '', 'g')) * 2
+      |       > length(text) THEN 'zh'
+      |     WHEN greatest(r_de, r_en, r_es, r_fr) <= 0.05 THEN 'und'
+      |     WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de THEN 'fr'
+      |     WHEN r_es >= r_en AND r_es >= r_de THEN 'es'
+      |     WHEN r_en >= r_de THEN 'en'
+      |     ELSE 'de' END""".stripMargin
+
   /** n-gram variant of [[shinglesCte]] over the `words` CTE. */
   private def ngramsCte(n: Int, name: String): String =
     s"""$name AS (
@@ -562,6 +628,22 @@ object Queries {
     //   on a corpus with planted low-quality (spam) documents —
     "qm_weights" -> ((s, dir) =>
       QualityModel.train(qualityCorpus(s, dir).where(col("doc_id") % 5 < 4))),
+
+    // the composed prep pass with the TRAINED quality gate in place of the
+    // heuristic floor: dedup first (score only survivors), classifier
+    // keep-decision, lang tag — the full production ordering
+    "prep_corpus_trained" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model =
+        QualityModel.train(qualityCorpus(s, dir).where(col("doc_id") % 5 < 4))
+      val kept = Dedup.keepCanonical(docs,
+        Dedup.verifiedEdges(docs, k = 8, rowsPerBand = 4, tau = 0.5))
+      QualityModel.score(kept, model)
+        .where(col("label_hat") === 1)
+        .join(docs.select(col("doc_id"),
+          TextStats.langId(col("text")).as("lang")), Seq("doc_id"))
+        .select("doc_id", "lang", "score_fp")
+    }),
 
     "qm_scores" -> ((s, dir) => {
       val qc = qualityCorpus(s, dir)
@@ -1367,59 +1449,11 @@ object Queries {
          |SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
     "prep_corpus" -> {
-      def ratio(lang: String): String = {
-        val list = TextStats.stopwords(lang).map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(ws, w -> w IN ($list))) * 1.0 / greatest(len(ws), 1)"
-      }
-      val en = TextStats.stopwords("en").map(w => s"'$w'").mkString(", ")
-      s"""WITH RECURSIVE $wordsCte, $shinglesCte,
-         |d AS (SELECT DISTINCT doc_id, shingle FROM shingles),
-         |seeds AS (SELECT CAST(unnest(range(8)) AS INT) AS seed),
-         |sig AS (
-         |  SELECT doc_id, seed,
-         |    min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
-         |  FROM d CROSS JOIN seeds GROUP BY doc_id, seed),
-         |bk AS (
-         |  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-         |    md5(string_agg(CAST(seed AS VARCHAR) || '@' || minhash, '|'
-         |      ORDER BY CAST(seed AS VARCHAR) || '@' || minhash)) AS bucket
-         |  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)),
-         |bs AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bk),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM bs l JOIN bs r ON l.band = r.band AND l.bucket = r.bucket
-         |  WHERE l.doc_id < r.doc_id AND l.bsz <= 1000),
-         |cnts AS (SELECT doc_id, count(*) AS n_sh FROM d GROUP BY 1),
-         |com AS (
-         |  SELECT c.a, c.b, count(*) AS n_common
-         |  FROM cand c JOIN d da ON da.doc_id = c.a
-         |              JOIN d db ON db.doc_id = c.b AND db.shingle = da.shingle
-         |  GROUP BY 1, 2),
-         |vprs AS (
-         |  SELECT com.a, com.b FROM com
-         |  JOIN cnts ca ON ca.doc_id = com.a JOIN cnts cb ON cb.doc_id = com.b
-         |  WHERE round(com.n_common * 1.0
-         |    / (ca.n_sh + cb.n_sh - com.n_common), 4) >= 0.5),
-         |bigstars AS (
-         |  SELECT DISTINCT a, b FROM (
-         |    SELECT min(doc_id) OVER (PARTITION BY band, bucket) AS a, doc_id AS b
-         |    FROM bs WHERE bsz > 1000)
-         |  WHERE b <> a),
-         |prs AS (SELECT * FROM vprs UNION SELECT * FROM bigstars),
-         |edges AS (
-         |  SELECT a AS src, b AS dst FROM prs
-         |  UNION SELECT b AS src, a AS dst FROM prs),
-         |reach(id, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, reach.lbl FROM reach JOIN edges e ON e.src = reach.id),
-         |dupes AS (
-         |  SELECT id FROM (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
-         |  WHERE id <> cluster_id),
+      s"""WITH RECURSIVE $wordsCte, $shinglesCte, $dedupChainCtes,
          |q AS (
          |  SELECT doc_id, text, ws,
-         |    ${ratio("de")} AS r_de, ${ratio("en")} AS r_en,
-         |    ${ratio("es")} AS r_es, ${ratio("fr")} AS r_fr,
+         |    ${stopRatioSql("de")} AS r_de, ${stopRatioSql("en")} AS r_en,
+         |    ${stopRatioSql("es")} AS r_es, ${stopRatioSql("fr")} AS r_fr,
          |    round(CASE WHEN len(ws) = 0 THEN 0 ELSE 1.0
          |      - least(0.4, (length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0
          |          / greatest(length(text), 1)) * 2)
@@ -1883,6 +1917,30 @@ object Queries {
     "qm_weights" ->
       s"""WITH $qmWeightsCtes
          |SELECT tok, w_fp FROM wt""".stripMargin,
+
+    "prep_corpus_trained" ->
+      s"""WITH RECURSIVE $wordsCte, $shinglesCte, $dedupChainCtes, $qmWeightsCtes,
+         |lr AS (
+         |  SELECT doc_id, text, ws,
+         |    ${stopRatioSql("de")} AS r_de, ${stopRatioSql("en")} AS r_en,
+         |    ${stopRatioSql("es")} AS r_es, ${stopRatioSql("fr")} AS r_fr
+         |  FROM words WHERE doc_id NOT IN (SELECT id FROM dupes)),
+         |sct AS (SELECT doc_id, unnest(ws) AS tok FROM lr),
+         |scj AS (SELECT sct.doc_id,
+         |          coalesce(w.w_fp,
+         |            (SELECT w_fp FROM wt WHERE tok = '__UNSEEN__')) AS wv
+         |        FROM sct LEFT JOIN
+         |          (SELECT * FROM wt
+         |           WHERE tok NOT IN ('__PRIOR__', '__UNSEEN__')) w
+         |          ON sct.tok = w.tok),
+         |scs AS (SELECT doc_id, sum(wv) AS tok_sum FROM scj GROUP BY doc_id)
+         |SELECT lr.doc_id, $langCaseSql AS lang,
+         |  CAST(coalesce(scs.tok_sum, 0) +
+         |    (SELECT w_fp FROM wt WHERE tok = '__PRIOR__') AS BIGINT)
+         |    AS score_fp
+         |FROM lr LEFT JOIN scs ON lr.doc_id = scs.doc_id
+         |WHERE coalesce(scs.tok_sum, 0) +
+         |  (SELECT w_fp FROM wt WHERE tok = '__PRIOR__') > 0""".stripMargin,
 
     "qm_scores" ->
       s"""WITH $qmWeightsCtes,
