@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.extract.{Assemble, Features, Labeler, Pipeline, Structure}
-import graft.ops.{CorpusClean, Decontam, Dedup, MainContent, QualityModel, Similarity, TextStats}
+import graft.ops.{CorpusClean, Decontam, Dedup, LangModel, MainContent, QualityModel, Similarity, TextStats}
 import graft.text.TextCols
 
 /**
@@ -215,6 +215,36 @@ object Queries {
        |  SELECT '__UNSEEN__',
        |    CAST(round(ln(CAST(t0 + v AS DOUBLE) / (t1 + v)) * 1e6, 0)
        |      AS BIGINT) FROM qtot)""".stripMargin
+
+  /** CTE chain qc → bigram-LM weights `lwt(prev, w, w_fp)` incl. the
+   * per-context and global `__UNSEEN__` backoff tiers, mirroring
+   * [[LangModel.train]] (minCount=2) on the trusted split (label=1,
+   * train ids). Micro-nat fixed point. */
+  private val lmModelCtes =
+    s"""$qualityCorpusCte,
+       |ltr AS (SELECT doc_id, list_filter(string_split_regex(
+       |          lower(trim(text)), '\\s+'), t -> t <> '') AS ws
+       |        FROM qc WHERE label = 1 AND doc_id % 5 < 4),
+       |lbg AS (SELECT unnest(ws[1:len(ws)-1]) AS prev,
+       |               unnest(ws[2:len(ws)]) AS w FROM ltr),
+       |lcb AS (SELECT prev, w, count(*) AS c FROM lbg GROUP BY 1, 2),
+       |lcu AS (SELECT prev, sum(c) AS cp FROM lcb GROUP BY 1),
+       |lv AS (SELECT count(DISTINCT tok) AS v
+       |       FROM (SELECT unnest(ws) AS tok FROM ltr)),
+       |lwt AS (
+       |  SELECT lcb.prev, lcb.w,
+       |    CAST(round(ln(CAST(c + 1 AS DOUBLE) / (cp + v)) * 1e6, 0)
+       |      AS BIGINT) AS w_fp
+       |  FROM lcb JOIN lcu ON lcb.prev = lcu.prev, lv
+       |  WHERE c >= 2
+       |  UNION ALL
+       |  SELECT prev, '__UNSEEN__',
+       |    CAST(round(ln(CAST(1 AS DOUBLE) / (cp + v)) * 1e6, 0) AS BIGINT)
+       |  FROM lcu, lv
+       |  UNION ALL
+       |  SELECT '__UNSEEN__', '__UNSEEN__',
+       |    CAST(round(ln(CAST(1 AS DOUBLE) / v) * 1e6, 0) AS BIGINT)
+       |  FROM lv)""".stripMargin
 
   private val wordsCte =
     """words AS (
@@ -651,6 +681,21 @@ object Queries {
       QualityModel.score(qc.where(col("doc_id") % 5 === 4), model)
         .join(qc.select(col("doc_id"), col("label")), Seq("doc_id"))
         .select("doc_id", "label", "score_fp", "label_hat")
+    }),
+
+    // — bigram-LM cross-entropy (the perplexity-filter role): trained on
+    //   the trusted real-text split, scoring the spam-planted corpus —
+    "lm_model" -> ((s, dir) =>
+      LangModel.train(qualityCorpus(s, dir)
+        .where(col("label") === 1 && col("doc_id") % 5 < 4), minCount = 2)),
+
+    "lm_xent" -> ((s, dir) => {
+      val qc = qualityCorpus(s, dir)
+      val model = LangModel.train(
+        qc.where(col("label") === 1 && col("doc_id") % 5 < 4), minCount = 2)
+      LangModel.xent(qc, model)
+        .join(qc.select("doc_id", "label"), Seq("doc_id"))
+        .select("doc_id", "label", "n_bigrams", "sum_fp", "xent")
     }),
 
     // — multimodal plumbing (payload = utf-8 bytes of text; stub codec) —
@@ -1917,6 +1962,36 @@ object Queries {
     "qm_weights" ->
       s"""WITH $qmWeightsCtes
          |SELECT tok, w_fp FROM wt""".stripMargin,
+
+    "lm_model" ->
+      s"""WITH $lmModelCtes
+         |SELECT prev, w, w_fp FROM lwt""".stripMargin,
+
+    "lm_xent" ->
+      s"""WITH $lmModelCtes,
+         |dws AS (SELECT doc_id, label, list_filter(string_split_regex(
+         |          lower(trim(text)), '\\s+'), t -> t <> '') AS ws FROM qc),
+         |dbg AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS prev,
+         |               unnest(ws[2:len(ws)]) AS w FROM dws),
+         |dj AS (SELECT dbg.doc_id,
+         |         coalesce(bw.w_fp, bo.w_fp,
+         |           (SELECT w_fp FROM lwt
+         |            WHERE prev = '__UNSEEN__' AND w = '__UNSEEN__')) AS wv
+         |       FROM dbg
+         |       LEFT JOIN (SELECT * FROM lwt WHERE w <> '__UNSEEN__') bw
+         |         ON dbg.prev = bw.prev AND dbg.w = bw.w
+         |       LEFT JOIN (SELECT prev, w_fp FROM lwt
+         |                  WHERE w = '__UNSEEN__' AND prev <> '__UNSEEN__') bo
+         |         ON dbg.prev = bo.prev),
+         |ds AS (SELECT doc_id, count(*) AS n_bigrams, sum(wv) AS sum_fp
+         |       FROM dj GROUP BY 1)
+         |SELECT dws.doc_id, dws.label,
+         |  coalesce(ds.n_bigrams, 0) AS n_bigrams,
+         |  CAST(coalesce(ds.sum_fp, 0) AS BIGINT) AS sum_fp,
+         |  CASE WHEN coalesce(ds.n_bigrams, 0) > 0
+         |       THEN round(-ds.sum_fp / 1e6 / ds.n_bigrams, 4)
+         |       ELSE 0.0 END AS xent
+         |FROM dws LEFT JOIN ds ON dws.doc_id = ds.doc_id""".stripMargin,
 
     "prep_corpus_trained" ->
       s"""WITH RECURSIVE $wordsCte, $shinglesCte, $dedupChainCtes, $qmWeightsCtes,

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Bigram language-model cross-entropy scoring — the perplexity-filter
+ * stage of a web-scale training-data pipeline (the CCNet/KenLM role):
+ * train a word-bigram LM on a trusted corpus, score candidate documents
+ * by average negative log-likelihood, drop the tail. Complements
+ * [[QualityModel]] (supervised keep/drop) with an UNSUPERVISED fluency
+ * signal: no labels needed, only a clean reference corpus.
+ *
+ * Model: add-one-smoothed bigram probabilities with two-level backoff —
+ * P(w|prev) = (c(prev,w)+1)/(c(prev)+V) for seen bigrams, 1/(c(prev)+V)
+ * for an unseen word after a seen context, 1/V for an unseen context.
+ * All three tiers live in ONE weights table `(prev, w, w_fp)`: backoff
+ * rows use the `__UNSEEN__` sentinel in `w` (per-context tier) or in
+ * both columns (global tier). Corpus tokens are lowercased, so the
+ * uppercase sentinel cannot collide.
+ *
+ * Numerics: same micro-nat fixed-point discipline as [[QualityModel]] —
+ * `ln` runs once per model row at train time; document sums are exact
+ * integer arithmetic, immune to aggregation-order drift; the final
+ * per-token cross-entropy is one double division over two exact integers.
+ *
+ * Scale: training is two chained aggregations (bigram counts, then
+ * context counts over the vocab-bounded count table — materialized once
+ * via localCheckpoint); `minCount` collapses rare bigrams into the
+ * backoff tier, bounding the broadcast model. Scoring is explode → two
+ * broadcast joins → one map-side-combinable aggregation per document.
+ */
+object LangModel {
+
+  /** Sentinel marking backoff rows; see the class doc for the two tiers. */
+  val unseenTok = "__UNSEEN__"
+
+  /** Adjacent-token bigram structs of a token array (empty under 2 tokens). */
+  private def bigramsOf(ws: Column): Column =
+    when(size(ws) < 2, array().cast("array<struct<prev:string,w:string>>"))
+      .otherwise(transform(sequence(lit(0), size(ws) - 2), i => struct(
+        element_at(ws, i + 1).as("prev"), element_at(ws, i + 2).as("w"))))
+
+  private def fp(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+
+  /**
+   * Train on a trusted corpus. Returns the weights table
+   * `(prev, w, w_fp)`: seen-bigram rows (those with at least `minCount`
+   * occurrences), one `(prev, __UNSEEN__)` backoff row per context, and
+   * the single global `(__UNSEEN__, __UNSEEN__)` row.
+   */
+  def train(corpus: DataFrame, minCount: Long = 1,
+      textCol: String = "text"): DataFrame = {
+    val ws = TextStats.words(col(textCol))
+    // Materialized once: three consumers (context counts, kept bigrams,
+    // and nothing re-scans the corpus for them).
+    val cb = corpus.select(explode(bigramsOf(ws)).as("b"))
+      .groupBy(col("b.prev").as("prev"), col("b.w").as("w"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cu = cb.groupBy("prev").agg(sum("c").as("cp"))
+    val vocab = corpus.select(explode(ws).as("tok"))
+      .agg(countDistinct("tok").as("v"))
+    val big = cb.where(col("c") >= minCount)
+      .join(cu, Seq("prev")).crossJoin(broadcast(vocab))
+      .select(col("prev"), col("w"),
+        fp(log((col("c") + 1).cast("double") / (col("cp") + col("v"))))
+          .as("w_fp"))
+    val backoff = cu.crossJoin(broadcast(vocab))
+      .select(col("prev"), lit(unseenTok).as("w"),
+        fp(log(lit(1.0) / (col("cp") + col("v")))).as("w_fp"))
+    val global = vocab.select(lit(unseenTok).as("prev"),
+      lit(unseenTok).as("w"), fp(log(lit(1.0) / col("v"))).as("w_fp"))
+    big.unionByName(backoff).unionByName(global)
+  }
+
+  /**
+   * Score documents: `n_bigrams`, the exact integer log-likelihood
+   * `sum_fp` (micro-nats), and `xent` = −sum/n in nats rounded to 4
+   * places (0.0 for documents under two tokens). Lower is more fluent
+   * under the training distribution.
+   */
+  def xent(docs: DataFrame, model: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val big = model.where(col("w") =!= unseenTok)
+    val backoff = model.where(col("w") === unseenTok &&
+      col("prev") =!= unseenTok).select(col("prev"), col("w_fp").as("u_fp"))
+    val global = model.where(col("w") === unseenTok &&
+      col("prev") === unseenTok).select(col("w_fp").as("g_fp"))
+    docs.select(col(idCol),
+        explode_outer(bigramsOf(TextStats.words(col(textCol)))).as("b"))
+      .select(col(idCol), col("b.prev").as("prev"), col("b.w").as("w"))
+      .join(broadcast(big), Seq("prev", "w"), "left")
+      .join(broadcast(backoff), Seq("prev"), "left")
+      .crossJoin(broadcast(global))
+      .groupBy(col(idCol))
+      .agg(count(col("prev")).as("n_bigrams"),
+        sum(when(col("prev").isNull, 0L)
+          .otherwise(coalesce(col("w_fp"), col("u_fp"), col("g_fp"))))
+          .as("sum_fp"))
+      .select(col(idCol), col("n_bigrams"), col("sum_fp"),
+        when(col("n_bigrams") > 0,
+          round(-col("sum_fp") / lit(1e6) / col("n_bigrams"), 4))
+          .otherwise(lit(0.0)).as("xent"))
+  }
+}
