@@ -683,6 +683,16 @@ object Queries {
         .select("doc_id", "label", "score_fp", "label_hat")
     }),
 
+    // — sequence packing: fixed token-budget pack assignment, no global
+    //   sort (per-bucket prefix-sum windows) —
+    "pack_sequences" -> ((s, dir) =>
+      graft.ops.Pack.packSequences(t(s, dir, "documents"),
+        budget = 120, nBuckets = 8)),
+
+    "pack_stats" -> ((s, dir) =>
+      graft.ops.Pack.packStats(graft.ops.Pack.packSequences(
+        t(s, dir, "documents"), budget = 120, nBuckets = 8))),
+
     // — bigram-LM cross-entropy (the perplexity-filter role): trained on
     //   the trusted real-text split, scoring the spam-planted corpus —
     "lm_model" -> ((s, dir) =>
@@ -1962,6 +1972,37 @@ object Queries {
     "qm_weights" ->
       s"""WITH $qmWeightsCtes
          |SELECT tok, w_fp FROM wt""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH pw AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS bucket,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
+        |      '\s+'), t -> t <> '')) AS INT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, bucket, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+        |    PRECEDING), 0) AS BIGINT) AS start_tok,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+        |    PRECEDING), 0) AS BIGINT) // 120 AS pack_in_bucket
+        |FROM pw""".stripMargin,
+
+    "pack_stats" ->
+      """WITH pw AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS bucket,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
+        |      '\s+'), t -> t <> '')) AS INT) AS n_tokens
+        |  FROM documents),
+        |pp AS (
+        |  SELECT bucket, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+        |      PRECEDING), 0) AS BIGINT) // 120 AS pack_in_bucket
+        |  FROM pw)
+        |SELECT bucket, pack_in_bucket, count(*) AS n_docs,
+        |  sum(n_tokens) AS tok_fill
+        |FROM pp GROUP BY 1, 2""".stripMargin,
 
     "lm_model" ->
       s"""WITH $lmModelCtes
