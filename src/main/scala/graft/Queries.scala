@@ -1976,8 +1976,8 @@ object Queries {
     "pack_sequences" ->
       """WITH pw AS (
         |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS bucket,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
-        |      '\s+'), t -> t <> '')) AS INT) AS n_tokens
+        |    CAST(coalesce(len(list_filter(string_split_regex(lower(trim(text)),
+        |      '\s+'), t -> t <> '')), 0) AS INT) AS n_tokens
         |  FROM documents)
         |SELECT doc_id, bucket, n_tokens,
         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
@@ -1991,8 +1991,8 @@ object Queries {
     "pack_stats" ->
       """WITH pw AS (
         |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS bucket,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
-        |      '\s+'), t -> t <> '')) AS INT) AS n_tokens
+        |    CAST(coalesce(len(list_filter(string_split_regex(lower(trim(text)),
+        |      '\s+'), t -> t <> '')), 0) AS INT) AS n_tokens
         |  FROM documents),
         |pp AS (
         |  SELECT bucket, n_tokens,

@@ -91,7 +91,9 @@ object MainContent {
    * counts raw markup tags inside the block (post whole-element drop) —
    * the text-density denominator. */
   private def allBlockStructs(html: Column): Column = {
-    val blocks = split(dropNonContent(html), blockSplitRe)
+    // null html behaves as an empty page (one empty block, zero kept) —
+    // a null would otherwise propagate NULL through every output column
+    val blocks = split(dropNonContent(coalesce(html, lit(""))), blockSplitRe)
     zip_with(blocks, sequence(lit(0), greatest(size(blocks) - 1, lit(0))),
       (b, i) => struct(
         i.as("block_no"),

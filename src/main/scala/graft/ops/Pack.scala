@@ -32,7 +32,8 @@ object Pack {
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .withColumn("bucket", (col(idCol) % nBuckets).cast("int"))
-      .withColumn("n_tokens", size(TextStats.words(col(textCol))))
+      .withColumn("n_tokens",
+        coalesce(size(TextStats.words(col(textCol))), lit(0)))
       .withColumn("start_tok",
         coalesce(sum("n_tokens").over(w), lit(0L)))
       .withColumn("pack_in_bucket", expr(s"start_tok div ${budget}L"))

@@ -108,6 +108,18 @@ class MainContentSpec extends SparkSpec {
     assert(!out.contains("layout:"))
   }
 
+  test("null html behaves as an empty page, not a NULL-propagating row") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = Seq((1L, null: String), (2L, "<p>ok text here plenty chars</p>"))
+      .toDF("doc_id", "html")
+    val got = MainContent.mainContent(docs)
+      .select("doc_id", "text_main", "n_blocks_kept").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got(1L) === (("", 0)))
+    assert(got(2L) === (("ok text here plenty chars", 1)))
+  }
+
   test("sizeGuard splits oversized pages into a counted drop frame") {
     val (kept, dropped) = graft.ops.MainContent.sizeGuard(
       docs(1L -> "<p>small</p>", 2L -> ("<p>" + "x" * 100 + "</p>")),

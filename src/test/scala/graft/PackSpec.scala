@@ -29,6 +29,16 @@ class PackSpec extends SparkSpec {
     assert(stats((0, 1L)) === ((2L, 130L)))
   }
 
+  test("null text packs as zero tokens") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = Seq((0L, null: String), (2L, docOf(5))).toDF("doc_id", "text")
+    val got = Pack.packSequences(docs, budget = 10, nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got(0L) === 0)
+    assert(got(2L) === 5)
+  }
+
   test("buckets pack independently and deterministically") {
     val sparkS = spark
     import sparkS.implicits._
