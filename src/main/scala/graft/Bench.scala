@@ -78,7 +78,9 @@ object Bench {
     "dedup_minhash_pairs", "dedup_simhash", "dedup_jaccard",
     "sim_topk_brute", "sim_topk_lsh",
     "text_quality", "text_lang_id", "decon_overlap", "clean_boiler_strip",
-    "mc_main_content", "w11_zones_content", "pipeline_doc_spans")
+    "mc_main_content", "w11_zones_content", "pipeline_doc_spans",
+    "bpe_roundtrip_diff", "search_bm25", "sem_dedup_keep", "url_quota_sample",
+    "passage_strip", "kmeans_centroids", "gopher_keep", "chunk_text")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.extract.{Assemble, Features, Labeler, Pipeline, Structure}
-import graft.ops.{CorpusClean, Decontam, Dedup, LangModel, MainContent, QualityModel, Similarity, TextStats}
+import graft.ops.{Bpe, Chunker, CorpusClean, Decontam, Dedup, Gopher, LangModel, MainContent, Passage, QualityModel, Search, Similarity, TextStats, UrlOps}
 import graft.text.TextCols
 
 /**
@@ -71,6 +71,45 @@ object Queries {
       |         CAST(doc_id % 5 AS VARCHAR) AS text
       |  FROM documents)""".stripMargin
 
+  /** Embeddings with planted semantic twins: every vec_id < 20 appears
+   * again as vec_id + 10000 with the identical vector. */
+  private def dupEmbCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    e.unionByName(e.where(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+  }
+
+  private val dupEmbCte =
+    """emb AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000 AS vec_id, embedding
+      |  FROM embeddings WHERE vec_id < 20)""".stripMargin
+
+  /** DuckDB mirror of [[graft.ops.Similarity.cellAssignments]] over `emb`
+   * (size-windowed, maxCell 1000). */
+  private val semAssignCte =
+    """cents AS (
+      |  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+      |  FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |assign AS (
+      |  SELECT vec_id, embedding, cell FROM (
+      |    SELECT e.vec_id, e.embedding, ct.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_cosine_similarity(e.embedding::DOUBLE[], ct.cv), 4) DESC,
+      |        ct.cell DESC) AS rn
+      |    FROM emb e CROSS JOIN cents ct)
+      |  WHERE rn = 1),
+      |sz AS (SELECT *, count(*) OVER (PARTITION BY cell) AS csz FROM assign),
+      |sempairs AS (
+      |  SELECT l.vec_id AS a, r.vec_id AS b,
+      |    round(list_cosine_similarity(l.embedding::DOUBLE[],
+      |                                 r.embedding::DOUBLE[]), 4) AS cosine
+      |  FROM sz l JOIN sz r ON l.cell = r.cell AND l.vec_id < r.vec_id
+      |  WHERE l.csz <= 1000
+      |    AND round(list_cosine_similarity(l.embedding::DOUBLE[],
+      |                                     r.embedding::DOUBLE[]), 4) >= 0.95)""".stripMargin
+
   /** Documents with one email, one IPv4, and one phone number planted. */
   private def piiCorpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
@@ -84,6 +123,84 @@ object Queries {
       |         '@example.com from 10.0.0.' || CAST(doc_id % 200 AS VARCHAR) ||
       |         ' call 555-123-4567' AS text
       |  FROM documents)""".stripMargin
+
+  /** Ten deterministic hosts over five registrable domains (incl. a
+   * co.uk second-level case and bare two-label hosts) — the URL-ops corpus. */
+  private val urlHosts = Seq(
+    "www.alpha.com", "m.alpha.com", "news.beta.co.uk", "www.beta.co.uk",
+    "gamma.org", "blog.gamma.org", "a.b.delta.net", "delta.net",
+    "cdn.epsilon.io", "epsilon.io")
+
+  private def urlCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://"),
+        element_at(array(urlHosts.map(lit): _*), (col("doc_id") % 10 + 1).cast("int")),
+        lit("/page/"), col("doc_id").cast("string")).as("url"))
+
+  private val urlCorpusCte =
+    s"""urls AS (
+       |  SELECT doc_id, 'https://' ||
+       |    [${urlHosts.map("'" + _ + "'").mkString(", ")}]
+       |      [CAST(doc_id % 10 AS INT) + 1] ||
+       |    '/page/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents)""".stripMargin
+
+  /** DuckDB mirror of [[graft.ops.UrlOps.host]]+[[graft.ops.UrlOps.registrableDomain]]. */
+  private val urlDomainsCte =
+    """doms AS (
+      |  SELECT doc_id, host,
+      |    CASE WHEN len(p) <= 2 THEN host
+      |         WHEN p[len(p)-1] IN ('ac','co','com','edu','gov','net','org')
+      |           THEN array_to_string(p[len(p)-2: len(p)], '.')
+      |         ELSE array_to_string(p[len(p)-1: len(p)], '.') END AS domain
+      |  FROM (
+      |    SELECT doc_id, host, string_split(host, '.') AS p FROM (
+      |      SELECT doc_id, lower(regexp_extract(url,
+      |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host
+      |      FROM urls)))""".stripMargin
+
+  /** Documents with planted repeated passages: every doc_id % 7 == 3 doc
+   * repeats its own text (within-doc duplicate), and every doc_id < 20 doc
+   * appears again verbatim at doc_id + 10000 (cross-doc duplicate). */
+  private def passageCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 7 === 3, concat(col("text"), lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+    d.unionByName(d.where(col("doc_id") < 20)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  private val passageCte =
+    """pdocs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 3 THEN text || ' ' || text ELSE text END AS text
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id,
+      |    CASE WHEN doc_id % 7 = 3 THEN text || ' ' || text ELSE text END AS text
+      |  FROM documents WHERE doc_id < 20)""".stripMargin
+
+  /** DuckDB mirror of [[graft.ops.Passage.repeated]] over `pdocs` (n=8). */
+  private val passageRepCtes =
+    """pw AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+      |                w -> w <> '') AS ws
+      |  FROM pdocs),
+      |og AS (
+      |  SELECT doc_id, start_idx,
+      |    md5(lower(array_to_string(ws[start_idx+1 : start_idx+8], ' '))) AS gram
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(0, len(ws) - 8)) AS start_idx
+      |        FROM pw WHERE len(ws) >= 8)),
+      |dup AS (SELECT gram, count(*) AS n_occ FROM og GROUP BY gram
+      |        HAVING count(*) > 1),
+      |rep AS (
+      |  SELECT og.doc_id, og.start_idx, og.gram, dup.n_occ,
+      |    (row_number() OVER (PARTITION BY og.gram
+      |                        ORDER BY og.doc_id, og.start_idx) = 1)
+      |      AS is_canonical
+      |  FROM og JOIN dup USING (gram))""".stripMargin
 
   /** Documents wrapped in deterministic HTML (head with script/style, a
    * link-dense nav, an HTML comment, the text as `<br/>`-separated content
@@ -571,6 +688,17 @@ object Queries {
     "sim_near_dups" -> ((s, dir) =>
       Similarity.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.9, planes = 8)),
 
+    // — semantic dedup over embeddings with planted twins (vec_id < 20
+    //   duplicated at +10000) —
+    "sem_dedup_edges" -> ((s, dir) =>
+      Similarity.semDedupEdges(dupEmbCorpus(s, dir),
+        nCentroids = 16, threshold = 0.95)),
+
+    "sem_dedup_keep" -> ((s, dir) =>
+      Similarity.semDedupKeep(dupEmbCorpus(s, dir),
+        nCentroids = 16, threshold = 0.95)
+        .select("vec_id")),
+
     "sim_near_dup_stars" -> ((s, dir) =>
       // the components feed at scale: O(d) verified edges per SRP bucket
       // instead of the capped all-pairs form above
@@ -593,6 +721,91 @@ object Queries {
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextStats.fingerprint(col("text")).as("fp"))),
+
+    // — BPE tokenizer (train on the corpus dict, encode as mapPartitions) —
+    "bpe_word_counts" -> ((s, dir) =>
+      Bpe.wordCounts(t(s, dir, "documents"), minCount = 2, maxWords = 5000)),
+
+    "bpe_char_tokens" -> ((s, dir) =>
+      // encode with ZERO merges: token count must equal (non-ws code
+      // points + whitespace runs) — pins the pre-tokenizer segmentation
+      // against an independent SQL computation
+      Bpe.tokenStats(Bpe.encode(t(s, dir, "documents"), Nil))
+        .select("doc_id", "n_tokens")),
+
+    "bpe_roundtrip_diff" -> ((s, dir) =>
+      // lossless-encoding invariant as a constant-empty oracle: after
+      // training 200 merges on the corpus dict, concat(tokens) must equal
+      // the source text for EVERY document
+      Bpe.trainAndEncode(t(s, dir, "documents"), nMerges = 200,
+          minCount = 2, maxWords = 5000)
+        .where(array_join(col("tokens"), "") =!= coalesce(col("text"), lit("")))
+        .agg(count(lit(1)).as("n_mismatch"))),
+
+    // — URL / domain balancing over the planted URL corpus —
+    "url_domains" -> ((s, dir) =>
+      UrlOps.withDomains(urlCorpus(s, dir))
+        .select("doc_id", "host", "domain")),
+
+    "url_domain_stats" -> ((s, dir) =>
+      UrlOps.domainStats(urlCorpus(s, dir))),
+
+    "url_quota_sample" -> ((s, dir) =>
+      UrlOps.domainQuotaSample(urlCorpus(s, dir), quota = 30)
+        .select("doc_id", "domain")),
+
+    "url_top_n" -> ((s, dir) =>
+      UrlOps.domainTopN(urlCorpus(s, dir), n = 20)
+        .select("domain", "doc_id", "rnk")),
+
+    // — BM25 keyword retrieval (three fixed probe queries) —
+    "search_bm25" -> ((s, dir) =>
+      Search.bm25TopK(t(s, dir, "documents"),
+        s.createDataFrame(Seq((0, "hash join spark"), (1, "window sort merge"),
+          (2, "customer query table"))).toDF("query_id", "query"),
+        k = 10)),
+
+    // — Gopher quality rules —
+    "gopher_stats" -> ((s, dir) =>
+      Gopher.stats(t(s, dir, "documents"))
+        .select("doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+          "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+          "n_stop_hits")),
+
+    "gopher_keep" -> ((s, dir) =>
+      // minWords 30 splits the 10-99-word corpus so both verdicts appear
+      Gopher.withKeep(t(s, dir, "documents"), minWords = 30, minStopHits = 0,
+          minAlphaFrac = 0.5)
+        .select("doc_id", "gopher_keep")),
+
+    // — context-window chunking —
+    "chunk_text" -> ((s, dir) =>
+      Chunker.chunk(t(s, dir, "documents"), maxChars = 64, overlap = 16)
+        .select("doc_id", "chunk_idx", "chunk_start", "chunk_text", "n_chunks")),
+
+    "chunk_concat_diff" -> ((s, dir) =>
+      // overlap=0 ⇒ chunks partition the text exactly: constant-zero oracle
+      Chunker.chunk(t(s, dir, "documents"), maxChars = 50, overlap = 0)
+        .groupBy("doc_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          c => c.getField("chunk_text")), "").as("rejoined"))
+        .join(t(s, dir, "documents"), Seq("doc_id"))
+        .where(col("rejoined") =!= coalesce(col("text"), lit("")))
+        .agg(count(lit(1)).as("n_mismatch"))),
+
+    // — Lloyd-refined k-means codebook over the embeddings —
+    "kmeans_centroids" -> ((s, dir) =>
+      Similarity.kmeans(t(s, dir, "embeddings"), nCentroids = 4, iters = 2)),
+
+    // — exact repeated-passage dedup over the planted corpus —
+    "passage_repeats" -> ((s, dir) =>
+      Passage.repeated(passageCorpus(s, dir), n = 8)
+        .select("doc_id", "start_idx", "gram", "n_occ", "is_canonical")),
+
+    "passage_strip" -> ((s, dir) =>
+      Passage.strip(passageCorpus(s, dir), n = 8)
+        .select("doc_id", "was_stripped", "text_stripped")),
 
     // — decontamination & corpus mixing (benchmark = docs with id%50=3,
     //   a deterministic stand-in for a held-out eval suite) —
@@ -1649,6 +1862,25 @@ object Queries {
         |  FROM s)
         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
 
+    "sem_dedup_edges" ->
+      s"""WITH $dupEmbCte, $semAssignCte
+         |SELECT a, b, cosine FROM sempairs""".stripMargin,
+
+    "sem_dedup_keep" ->
+      s"""WITH RECURSIVE $dupEmbCte, $semAssignCte,
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM sempairs
+         |  UNION SELECT b AS src, a AS dst FROM sempairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.lbl FROM reach JOIN edges e ON e.src = reach.id),
+         |dupes AS (
+         |  SELECT id FROM (SELECT id, min(lbl) AS cl FROM reach GROUP BY id)
+         |  WHERE id <> cl)
+         |SELECT vec_id FROM emb
+         |WHERE vec_id NOT IN (SELECT id FROM dupes)""".stripMargin,
+
     "sim_near_dups" -> {
       val b = bucketSql("e.embedding", 8)
       s"""WITH bk AS (SELECT e.vec_id, e.embedding, $b AS bucket FROM embeddings e),
@@ -1811,6 +2043,219 @@ object Queries {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    "bpe_word_counts" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word
+        |      HAVING count(*) >= 2)
+        |SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 5000""".stripMargin,
+
+    "bpe_char_tokens" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(coalesce(text, ''), '\s', '', 'g'))
+        |       + len(regexp_extract_all(coalesce(text, ''), '\s+')) AS INT)
+        |    AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "bpe_roundtrip_diff" ->
+      "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+
+    "url_domains" ->
+      s"""WITH $urlCorpusCte, $urlDomainsCte
+         |SELECT doc_id, host, domain FROM doms""".stripMargin,
+
+    "url_domain_stats" ->
+      s"""WITH $urlCorpusCte, $urlDomainsCte
+         |SELECT domain, count(*) AS n_pages,
+         |       count(DISTINCT host) AS n_hosts
+         |FROM doms GROUP BY domain""".stripMargin,
+
+    "url_quota_sample" ->
+      s"""WITH $urlCorpusCte, $urlDomainsCte,
+         |rates AS (
+         |  SELECT domain, least(1.0, 30.0 / count(*)) AS keep_rate
+         |  FROM doms GROUP BY domain)
+         |SELECT doc_id, domain FROM doms JOIN rates USING (domain)
+         |WHERE ('0x' || substr(md5('dq:' || CAST(doc_id AS VARCHAR)), 1, 6))::INT
+         |      / 16777216.0 < keep_rate""".stripMargin,
+
+    "url_top_n" ->
+      s"""WITH $urlCorpusCte, $urlDomainsCte,
+         |r AS (
+         |  SELECT domain, doc_id, row_number() OVER (
+         |    PARTITION BY domain
+         |    ORDER BY md5('dq:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+         |  FROM doms)
+         |SELECT domain, doc_id, rnk FROM r WHERE rnk <= 20""".stripMargin,
+
+    "search_bm25" ->
+      s"""WITH $wordsCte,
+         |post AS (
+         |  SELECT doc_id, unnest(ws) AS term FROM words),
+         |p AS (SELECT doc_id, term, count(*) AS tf FROM post GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, len(ws) AS dl FROM words),
+         |stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM words),
+         |q(query_id, term) AS (VALUES
+         |  (0, 'hash'), (0, 'join'), (0, 'spark'),
+         |  (1, 'window'), (1, 'sort'), (1, 'merge'),
+         |  (2, 'customer'), (2, 'query'), (2, 'table')),
+         |matched AS (
+         |  SELECT p.* FROM p WHERE term IN (SELECT DISTINCT term FROM q)),
+         |dfreq AS (SELECT term, count(*) AS df FROM matched GROUP BY 1),
+         |scored AS (
+         |  SELECT q.query_id, m.doc_id,
+         |    round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+         |      AS score
+         |  FROM matched m JOIN dfreq USING (term) JOIN dl USING (doc_id)
+         |       CROSS JOIN stats JOIN q ON q.term = m.term
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, doc_id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    "gopher_stats" ->
+      s"""WITH $wordsCte,
+         |lt AS (
+         |  SELECT doc_id, ws, text,
+         |    list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+         |                               l -> trim(l)), l -> l <> '') AS ls
+         |  FROM words)
+         |SELECT doc_id,
+         |  CAST(len(ws) AS INT) AS n_words,
+         |  CASE WHEN len(ws) > 0 THEN round(
+         |    length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) / len(ws), 4)
+         |    ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN len(ws) > 0 THEN round(
+         |    (len(regexp_extract_all(coalesce(text, ''), '#'))
+         |     + len(regexp_extract_all(coalesce(text, ''), '\\.{3}|…'))) / len(ws), 4)
+         |    ELSE 0.0 END AS symbol_word_ratio,
+         |  CASE WHEN len(ls) > 0 THEN round(
+         |    len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) / len(ls), 4)
+         |    ELSE 0.0 END AS bullet_line_frac,
+         |  CASE WHEN len(ls) > 0 THEN round(
+         |    len(list_filter(ls, l -> regexp_matches(l, '(\\.{3}|…)$$'))) / len(ls), 4)
+         |    ELSE 0.0 END AS ellipsis_line_frac,
+         |  CASE WHEN len(ws) > 0 THEN round(
+         |    len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) / len(ws), 4)
+         |    ELSE 0.0 END AS alpha_word_frac,
+         |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         |                       s -> list_contains(ws, s))) AS INT) AS n_stop_hits
+         |FROM lt""".stripMargin,
+
+    "gopher_keep" ->
+      s"""WITH $wordsCte,
+         |st AS (
+         |  SELECT doc_id,
+         |    len(ws) AS n_words,
+         |    CASE WHEN len(ws) > 0 THEN round(
+         |      length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) / len(ws), 4)
+         |      ELSE 0.0 END AS mwl,
+         |    CASE WHEN len(ws) > 0 THEN round(
+         |      (len(regexp_extract_all(coalesce(text, ''), '#'))
+         |       + len(regexp_extract_all(coalesce(text, ''), '\\.{3}|…'))) / len(ws), 4)
+         |      ELSE 0.0 END AS swr,
+         |    CASE WHEN len(ws) > 0 THEN round(
+         |      len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) / len(ws), 4)
+         |      ELSE 0.0 END AS awf
+         |  FROM words)
+         |SELECT doc_id,
+         |  (n_words BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+         |   AND swr <= 0.1 AND awf >= 0.5) AS gopher_keep
+         |FROM st""".stripMargin,
+
+    "chunk_text" ->
+      """WITH c AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |    CASE WHEN length(coalesce(text, '')) <= 64 THEN 1
+        |         ELSE CAST(floor((length(coalesce(text, '')) - 17) / 48.0) AS INT) + 1
+        |    END AS n_chunks
+        |  FROM documents),
+        |e AS (SELECT doc_id, t, n_chunks,
+        |        unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        |      FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(chunk_idx * 48 AS INT) AS chunk_start,
+        |  substr(t, CAST(chunk_idx * 48 + 1 AS INT), 64) AS chunk_text, n_chunks
+        |FROM e""".stripMargin,
+
+    "chunk_concat_diff" ->
+      "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+
+    "kmeans_centroids" ->
+      """WITH cents0 AS (
+        |  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+        |a1 AS (
+        |  SELECT vec_id, embedding FROM embeddings),
+        |as1 AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT a.vec_id, a.embedding, c.cell, row_number() OVER (
+        |      PARTITION BY a.vec_id ORDER BY
+        |        round(list_cosine_similarity(a.embedding::DOUBLE[], c.cv), 4) DESC,
+        |        c.cell DESC) AS rn
+        |    FROM a1 a CROSS JOIN cents0 c) WHERE rn = 1),
+        |d1 AS (
+        |  SELECT cell, embedding, unnest(generate_series(1, len(embedding))) AS i
+        |  FROM as1),
+        |m1 AS (
+        |  SELECT cell, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 6) AS m,
+        |         count(*) AS n
+        |  FROM d1 GROUP BY 1, 2),
+        |cents1 AS (
+        |  SELECT cell, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cell),
+        |as2 AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT a.vec_id, a.embedding, c.cell, row_number() OVER (
+        |      PARTITION BY a.vec_id ORDER BY
+        |        round(list_cosine_similarity(a.embedding::DOUBLE[], c.cv), 4) DESC,
+        |        c.cell DESC) AS rn
+        |    FROM a1 a CROSS JOIN cents1 c) WHERE rn = 1),
+        |d2 AS (
+        |  SELECT cell, embedding, unnest(generate_series(1, len(embedding))) AS i
+        |  FROM as2),
+        |m2 AS (
+        |  SELECT cell, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 6) AS m,
+        |         count(*) AS n
+        |  FROM d2 GROUP BY 1, 2)
+        |SELECT cell, CAST(dim AS INT) AS dim, m AS centroid_val,
+        |       n AS n_members
+        |FROM m2""".stripMargin,
+
+    "passage_repeats" ->
+      s"""WITH $passageCte, $passageRepCtes
+         |SELECT doc_id, CAST(start_idx AS INT) AS start_idx, gram, n_occ,
+         |       is_canonical
+         |FROM rep""".stripMargin,
+
+    "passage_strip" ->
+      s"""WITH $passageCte, $passageRepCtes,
+         |covered AS (
+         |  SELECT DISTINCT doc_id, w_idx FROM (
+         |    SELECT doc_id,
+         |      unnest(generate_series(start_idx, start_idx + 7)) AS w_idx
+         |    FROM rep WHERE NOT is_canonical)),
+         |affected AS (SELECT DISTINCT doc_id FROM covered),
+         |widx AS (
+         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+         |  FROM pw WHERE doc_id IN (SELECT doc_id FROM affected)),
+         |kept AS (
+         |  SELECT w.doc_id, w.i - 1 AS w_idx, w.ws[w.i] AS w
+         |  FROM widx w ANTI JOIN covered c
+         |    ON w.doc_id = c.doc_id AND w.i - 1 = c.w_idx),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(w, ' ' ORDER BY w_idx) AS rb
+         |  FROM kept GROUP BY doc_id)
+         |SELECT p.doc_id, coalesce(a.wasf, FALSE) AS was_stripped,
+         |  CASE WHEN a.wasf THEN coalesce(r.rb, '')
+         |       ELSE coalesce(p.text, '') END AS text_stripped
+         |FROM pdocs p
+         |LEFT JOIN (SELECT doc_id, TRUE AS wasf FROM affected) a USING (doc_id)
+         |LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
 
     "decon_overlap" ->
       s"""WITH $wordsCte, $ngrams13Cte,

@@ -173,22 +173,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nCentroids: Int = 16, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // bounded deterministic sample: order by md5(id) = uniform-ish draw
-    val cents = corpus
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(nCentroids)
-      .select(col(idCol).cast("long").as("cell"),
-        col(vecCol).cast("array<double>").as("cv"))
-    // one broadcast row carrying all centroids; downstream sorts by
-    // (cosine, cell) so collect_list's order never matters
-    val centsRow = broadcast(
-      cents.agg(collect_list(struct(col("cell"), col("cv"))).as("cents")))
-
-    // best = max over struct(cosine4, cell_id): highest cosine, tie → higher id
-    def bestCells(vec: Column, n: Int): Column =
-      slice(reverse(array_sort(transform(col("cents"), c =>
-        struct(round(cosine(vec, c.getField("cv")), 4).as("c"),
-          c.getField("cell").as("cell"))))), 1, n)
+    val centsRow = centroidsRow(corpus, nCentroids, idCol, vecCol)
 
     val assigned = Par.spread(corpus).crossJoin(centsRow).select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -206,6 +191,118 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Bounded deterministic centroid frame, aggregated into ONE broadcast
+   * row (never collected to the driver): a hash-ordered LIMIT sample —
+   * the oracle-expressible stand-in for k-means‖ training shared by
+   * [[ivfTopK]] and [[semDedupStarEdges]]. */
+  private def centroidsRow(corpus: DataFrame, nCentroids: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val cents = corpus
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nCentroids)
+      .select(col(idCol).cast("long").as("cell"),
+        col(vecCol).cast("array<double>").as("cv"))
+    // downstream sorts by (cosine, cell) so collect_list's order never matters
+    broadcast(cents.agg(collect_list(struct(col("cell"), col("cv"))).as("cents")))
+  }
+
+  /** best = max over struct(cosine4, cell_id): highest cosine, tie → higher
+   * id. Expects the [[centroidsRow]] `cents` column in scope. */
+  private def bestCells(vec: Column, n: Int): Column =
+    slice(reverse(array_sort(transform(col("cents"), c =>
+      struct(round(cosine(vec, c.getField("cv")), 4).as("c"),
+        c.getField("cell").as("cell"))))), 1, n)
+
+  /** Every corpus vector with its best-centroid cell id — the clustering
+   * half of semantic dedup, also usable as a corpus partitioner. */
+  def cellAssignments(corpus: DataFrame, nCentroids: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Par.spread(corpus).crossJoin(centroidsRow(corpus, nCentroids, idCol, vecCol))
+      .select(col(idCol), col(vecCol),
+        get(bestCells(col(vecCol), 1), lit(0)).getField("cell").as("cell"))
+
+  /**
+   * Lloyd-refined spherical k-means over the embedding column: the
+   * deterministic hash-sample init ([[cellAssignments]]' centroids), then
+   * `iters` rounds of assign-to-best-cosine-centroid / recompute
+   * per-dimension means. Each round is ONE narrow crossJoin against a
+   * broadcast centroid row plus ONE (cell, dim)-grain shuffle with partial
+   * aggregation — no driver collect anywhere; the refreshed centroids
+   * re-aggregate into a single broadcast row (the [[centroidsRow]] shape).
+   * Centroid components round to 6dp each iteration so distributed
+   * float-sum ordering cannot drift the next round's assignments — the
+   * device that keeps the DuckDB oracle in exact lockstep. Cells that lose
+   * every member drop out (standard Lloyd). Returns per-dimension rows
+   * (cell, dim, centroid_val, n_members) — the trained codebook for
+   * [[ivfTopK]]-style probing or corpus partitioning.
+   */
+  def kmeans(corpus: DataFrame, nCentroids: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val base = Par.spread(corpus)
+      .select(col(vecCol).cast("array<double>").as("v"))
+    var cents = centroidsRow(corpus, nCentroids, idCol, vecCol)
+    var byDim: DataFrame = null
+    for (_ <- 1 to iters) {
+      val assigned = base.crossJoin(cents).select(
+        get(bestCells(col("v"), 1), lit(0)).getField("cell").as("cell"),
+        col("v"))
+      byDim = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("n"))
+      cents = broadcast(byDim
+        .groupBy("cell")
+        .agg(collect_list(struct(col("dim"), col("m"))).as("dm"))
+        .select(col("cell"),
+          transform(array_sort(col("dm")), s => s.getField("m")).as("cv"))
+        .agg(collect_list(struct(col("cell"), col("cv"))).as("cents")))
+    }
+    byDim.select(col("cell"), col("dim"), col("m").as("centroid_val"),
+      col("n").as("n_members"))
+  }
+
+  /**
+   * SemDeDup-style semantic near-duplicate edges: cluster by bounded
+   * deterministic centroids, then verify ALL pairs within a cell (a < b,
+   * cosine ≥ threshold). Unlike the SRP paths, cell membership is the
+   * semantic neighborhood itself, so pairwise-inside-the-cluster is the
+   * operator's actual contract (the published SemDeDup algorithm) — which
+   * is exactly why `nCentroids` must SCALE WITH THE CORPUS (k ≈ N /
+   * target-cell-size keeps cells bounded; the paper's 50k clusters for
+   * 100M docs is this rule). `maxCell` is the guard rail: cells that
+   * exceed it are excluded from pairwise verification rather than
+   * detonating quadratically — the same discipline as
+   * [[cosineNearDups]]'s `maxBucket`. Feed edges to
+   * [[Dedup.components]] or use [[semDedupKeep]] directly.
+   *
+   * (At 10^9+-vector scale the single-row centroid broadcast also stops
+   * fitting; the documented growth path is two-level assignment — coarse
+   * centroids then per-coarse-cell fine centroids — which composes this
+   * same operator twice.)
+   */
+  def semDedupEdges(corpus: DataFrame, nCentroids: Int = 16,
+      threshold: Double = 0.95, maxCell: Int = 1000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = cellAssignments(corpus, nCentroids, idCol, vecCol)
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy("cell")))
+      .where(col("csz") <= maxCell)
+    val l = assigned.select(col(idCol).as("a"), col(vecCol).as("va"), col("cell"))
+    val r = assigned.select(col(idCol).as("b"), col(vecCol).as("vb"), col("cell"))
+    l.join(r, Seq("cell")).where(col("a") < col("b"))
+      .withColumn("cosine", round(cosine(col("va"), col("vb")), 4))
+      .where(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+
+  /** The kept corpus after semantic dedup: the canonical (min-id) member
+   * of every semantic-duplicate component survives, the rest drop. */
+  def semDedupKeep(corpus: DataFrame, nCentroids: Int = 16,
+      threshold: Double = 0.95, maxCell: Int = 1000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Dedup.keepCanonical(corpus,
+      semDedupEdges(corpus, nCentroids, threshold, maxCell, idCol, vecCol), idCol)
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via SRP
    * buckets (a < b ordering, exact cosine verification inside buckets).

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * URL / domain operators for web-corpus curation: host + registrable-domain
+ * extraction and per-domain balancing (quota sampling). A web-scale crawl
+ * is dominated by a few giant domains; training-data pipelines cap each
+ * domain's contribution so the corpus is not 40% one boilerplate farm.
+ *
+ * Scale contracts:
+ *  - host/domain extraction is a pure projection (shared RE2-compatible
+ *    regex + array ops, mirrored verbatim in the DuckDB oracles);
+ *  - [[domainQuotaSample]] is the scale path: one map-side-combinable
+ *    domain-count aggregate, a domain-keyed join of the (small) rate table
+ *    back, and a deterministic md5-unit filter — no window over the
+ *    (possibly enormous, always skewed) domain partitions, stable under
+ *    retries/repartitioning, expected kept ≈ quota per domain;
+ *  - [[domainTopN]] is the exact-N variant via a per-domain window: correct
+ *    for moderate domains, but ONE task owns a domain — at crawl scale use
+ *    the quota sampler (this is the same exact-vs-scale split as
+ *    [[Similarity.cosineNearDups]] vs [[Similarity.cosineStarEdges]]).
+ */
+object UrlOps {
+
+  /** Host capture: scheme://HOST — stops at /, ?, #, : (port). RE2-safe. */
+  val hostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)"
+
+  /** Lower-cased host of a URL column ('' when the URL does not parse). */
+  def host(url: Column): Column = lower(regexp_extract(url, hostRe, 1))
+
+  /** ccTLD-style second-level labels under which the registrable domain
+   * keeps THREE labels (news.bbc.co.uk → bbc.co.uk). A pragmatic public-
+   * suffix subset — the full PSL is a data file, not an algorithm change. */
+  val secondLevelTlds: Seq[String] =
+    Seq("ac", "co", "com", "edu", "gov", "net", "org")
+
+  /**
+   * Registrable-domain heuristic from a host: last two labels, or last
+   * three when the penultimate label is a known ccTLD second level.
+   * Hosts with ≤2 labels (or IPs/localhost) pass through unchanged.
+   */
+  def registrableDomain(hostCol: Column): Column = {
+    val parts = split(hostCol, "\\.")
+    val n = size(parts)
+    when(n <= 2, hostCol)
+      .when(element_at(parts, -2).isInCollection(secondLevelTlds),
+        concat_ws(".", slice(parts, -3, 3)))
+      .otherwise(concat_ws(".", slice(parts, -2, 2)))
+  }
+
+  /** Adds `host` and `domain` columns. Pure projection. */
+  def withDomains(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val h = host(col(urlCol))
+    docs.withColumn("host", h).withColumn("domain", registrableDomain(h))
+  }
+
+  /** Per-domain corpus census: page count and distinct-host count. */
+  def domainStats(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    withDomains(docs, urlCol)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_pages"), countDistinct(col("host")).as("n_hosts"))
+
+  /** The deterministic [0,1) unit used by every sampler here: first 6 md5
+   * hex digits of `seed:id` over 16^6 (the [[Decontam.hashSample]] unit). */
+  private def hashUnit(id: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 6), 16, 10)
+      .cast("double") / (1 << 24).toDouble
+
+  /**
+   * Deterministic per-domain quota sampling: every domain keeps each page
+   * with probability `min(1, quota / n_pages(domain))`, decided by the
+   * page's md5 unit — expected kept ≈ quota for big domains, everything
+   * for small ones. Reproducible under retries and repartitioning (no
+   * `rand()`), skew-free (no per-domain window/sort).
+   */
+  def domainQuotaSample(docs: DataFrame, quota: Int,
+      urlCol: String = "url", idCol: String = "doc_id",
+      seed: String = "dq"): DataFrame = {
+    val d = withDomains(docs, urlCol)
+    val rates = d.groupBy("domain").agg(count(lit(1)).as("n_pages"))
+      .withColumn("keep_rate",
+        least(lit(1.0), lit(quota.toDouble) / col("n_pages")))
+    d.join(rates, Seq("domain"))
+      .where(hashUnit(col(idCol), seed) < col("keep_rate"))
+  }
+
+  /**
+   * Exact top-N pages per domain, ranked by deterministic md5 unit (a
+   * reproducible uniform draw), ties on id. One window per domain — see
+   * the object doc for when to prefer [[domainQuotaSample]].
+   */
+  def domainTopN(docs: DataFrame, n: Int, urlCol: String = "url",
+      idCol: String = "doc_id", seed: String = "dq"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain")
+      .orderBy(md5(concat(lit(seed + ":"), col(idCol).cast("string"))), col(idCol))
+    withDomains(docs, urlCol)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= n)
+  }
+}

@@ -141,4 +141,76 @@ class SimilaritySpec extends SparkSpec {
     val r = benchRecall("ivf")
     assert(r >= 0.6, f"IVF recall@5 = $r%.2f < 0.6")
   }
+
+  test("cellAssignments puts every vector in exactly one cell; twins share") {
+    val c = corpus()
+    val assigned = Similarity.cellAssignments(c, nCentroids = 4)
+    assert(assigned.count() === c.count())
+    // identical geometry ⇒ identical cell: members of a planted 3-cluster
+    // sit within cosine 0.999 of each other — they must co-locate
+    val cells = assigned.where(col("vec_id") < 12)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0) / 3, r.getLong(1))).groupBy(_._1)
+    cells.foreach { case (g, rows) =>
+      assert(rows.map(_._2).distinct.length === 1, s"cluster $g split cells")
+    }
+  }
+
+  test("semDedup collapses planted twin clusters and keeps the lones") {
+    val c = corpus() // ids 0-11: four 3-clusters; 12-31: lone vectors
+    val edges = Similarity.semDedupEdges(c, nCentroids = 8, threshold = 0.98)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 4).flatMap { g =>
+      val ids = (g * 3 until g * 3 + 3).map(_.toLong)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    // within-cell pairwise is exhaustive: every planted pair is found
+    // (co-location proven above) and nothing else crosses 0.98
+    assert(edges === planted)
+    val kept = Similarity.semDedupKeep(c, nCentroids = 8, threshold = 0.98)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === (Set(0L, 3L, 6L, 9L) ++ (12L until 32L)))
+  }
+
+  test("kmeans iteration 1 equals the mean of cellAssignments members") {
+    val c = corpus()
+    val got = Similarity.kmeans(c, nCentroids = 6, iters = 1)
+      .select("cell", "dim", "centroid_val", "n_members")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    // independent recomputation: assignment op + per-dim average
+    val want = Similarity.cellAssignments(c, nCentroids = 6)
+      .select(col("cell"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(got === want)
+    val members = got.collect { case ((_, 0), (_, n)) => n }.sum
+    assert(members === c.count())
+  }
+
+  test("kmeans refinement is deterministic and tightens planted clusters") {
+    val c = corpus()
+    val a = Similarity.kmeans(c, nCentroids = 4, iters = 2).collect().toSet
+    val b = Similarity.kmeans(c.repartition(5), nCentroids = 4, iters = 2)
+      .collect().toSet
+    assert(a === b)
+    assert(a.map(_.getLong(0)).size <= 4) // cells can drop, never appear
+  }
+
+  test("semDedupEdges excludes cells over maxCell instead of exploding") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val base = Array.fill(8)(0.5f)
+    val pile = (0L until 300L).map(i => (i, base)) // one giant identical pile
+    val c = pile.toDF("vec_id", "embedding")
+    val capped = Similarity.semDedupEdges(c, nCentroids = 2,
+      threshold = 0.9, maxCell = 100)
+    assert(capped.count() === 0L)
+    val uncapped = Similarity.semDedupEdges(c, nCentroids = 2,
+      threshold = 0.9, maxCell = 1000)
+    assert(uncapped.count() === 300L * 299L / 2)
+  }
 }
