@@ -180,27 +180,47 @@ object Queries {
       |    CASE WHEN doc_id % 7 = 3 THEN text || ' ' || text ELSE text END AS text
       |  FROM documents WHERE doc_id < 20)""".stripMargin
 
-  /** DuckDB mirror of [[graft.ops.Passage.repeated]] over `pdocs` (n=8). */
-  private val passageRepCtes =
-    """pw AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-      |                w -> w <> '') AS ws
-      |  FROM pdocs),
-      |og AS (
-      |  SELECT doc_id, start_idx,
-      |    md5(lower(array_to_string(ws[start_idx+1 : start_idx+8], ' '))) AS gram
-      |  FROM (SELECT doc_id, ws,
-      |          unnest(generate_series(0, len(ws) - 8)) AS start_idx
-      |        FROM pw WHERE len(ws) >= 8)),
-      |dup AS (SELECT gram, count(*) AS n_occ FROM og GROUP BY gram
-      |        HAVING count(*) > 1),
-      |rep AS (
-      |  SELECT og.doc_id, og.start_idx, og.gram, dup.n_occ,
-      |    (row_number() OVER (PARTITION BY og.gram
-      |                        ORDER BY og.doc_id, og.start_idx) = 1)
-      |      AS is_canonical
-      |  FROM og JOIN dup USING (gram))""".stripMargin
+  /** DuckDB mirror of [[graft.ops.Passage.repeated]] over a `pdocs` CTE. */
+  private def passageRepCtes(n: Int): String =
+    s"""pw AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+       |                w -> w <> '') AS ws
+       |  FROM pdocs),
+       |og AS (
+       |  SELECT doc_id, start_idx,
+       |    md5(lower(array_to_string(ws[start_idx+1 : start_idx+$n], ' '))) AS gram
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(0, len(ws) - $n)) AS start_idx
+       |        FROM pw WHERE len(ws) >= $n)),
+       |dup AS (SELECT gram, count(*) AS n_occ FROM og GROUP BY gram
+       |        HAVING count(*) > 1),
+       |rep AS (
+       |  SELECT og.doc_id, og.start_idx, og.gram, dup.n_occ,
+       |    (row_number() OVER (PARTITION BY og.gram
+       |                        ORDER BY og.doc_id, og.start_idx) = 1)
+       |      AS is_canonical
+       |  FROM og JOIN dup USING (gram))""".stripMargin
+
+  /** DuckDB mirror of [[graft.ops.Passage.strip]]'s rebuild over `rep`/`pw`:
+   * yields `affected` (doc_id, wasf) and `rebuilt` (doc_id, rb). */
+  private def passageStripCtes(n: Int): String =
+    s"""covered AS (
+       |  SELECT DISTINCT doc_id, w_idx FROM (
+       |    SELECT doc_id,
+       |      unnest(generate_series(start_idx, start_idx + ${n - 1})) AS w_idx
+       |    FROM rep WHERE NOT is_canonical)),
+       |affected AS (SELECT DISTINCT doc_id, TRUE AS wasf FROM covered),
+       |widx AS (
+       |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+       |  FROM pw WHERE doc_id IN (SELECT doc_id FROM affected)),
+       |kept AS (
+       |  SELECT w.doc_id, w.i - 1 AS w_idx, w.ws[w.i] AS w
+       |  FROM widx w ANTI JOIN covered c
+       |    ON w.doc_id = c.doc_id AND w.i - 1 = c.w_idx),
+       |rebuilt AS (
+       |  SELECT doc_id, string_agg(w, ' ' ORDER BY w_idx) AS rb
+       |  FROM kept GROUP BY doc_id)""".stripMargin
 
   /** Documents wrapped in deterministic HTML (head with script/style, a
    * link-dense nav, an HTML comment, the text as `<br/>`-separated content
@@ -806,6 +826,23 @@ object Queries {
     "passage_strip" -> ((s, dir) =>
       Passage.strip(passageCorpus(s, dir), n = 8)
         .select("doc_id", "was_stripped", "text_stripped")),
+
+    // — the full modern curation cascade as ONE composed operator:
+    //   Gopher gate (cheap projection prunes first) → exact dedup
+    //   (canonical keep) → repeated-passage strip → lang + token census —
+    "curate_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val gated = Gopher.withKeep(docs, minWords = 30, minStopHits = 0,
+          minAlphaFrac = 0.5)
+        .where(col("gopher_keep")).select("doc_id", "text")
+      val deduped = Dedup.exact(gated).where(!col("is_dup"))
+        .select("doc_id").join(gated, Seq("doc_id"))
+      Passage.strip(deduped, n = 5)
+        .select(col("doc_id"),
+          TextStats.langId(col("text_stripped")).as("lang"),
+          size(TextStats.words(col("text_stripped"))).as("n_tokens"),
+          col("was_stripped"))
+    }),
 
     // — decontamination & corpus mixing (benchmark = docs with id%50=3,
     //   a deterministic stand-in for a held-out eval suite) —
@@ -2227,35 +2264,72 @@ object Queries {
         |FROM m2""".stripMargin,
 
     "passage_repeats" ->
-      s"""WITH $passageCte, $passageRepCtes
+      s"""WITH $passageCte, ${passageRepCtes(8)}
          |SELECT doc_id, CAST(start_idx AS INT) AS start_idx, gram, n_occ,
          |       is_canonical
          |FROM rep""".stripMargin,
 
     "passage_strip" ->
-      s"""WITH $passageCte, $passageRepCtes,
-         |covered AS (
-         |  SELECT DISTINCT doc_id, w_idx FROM (
-         |    SELECT doc_id,
-         |      unnest(generate_series(start_idx, start_idx + 7)) AS w_idx
-         |    FROM rep WHERE NOT is_canonical)),
-         |affected AS (SELECT DISTINCT doc_id FROM covered),
-         |widx AS (
-         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
-         |  FROM pw WHERE doc_id IN (SELECT doc_id FROM affected)),
-         |kept AS (
-         |  SELECT w.doc_id, w.i - 1 AS w_idx, w.ws[w.i] AS w
-         |  FROM widx w ANTI JOIN covered c
-         |    ON w.doc_id = c.doc_id AND w.i - 1 = c.w_idx),
-         |rebuilt AS (
-         |  SELECT doc_id, string_agg(w, ' ' ORDER BY w_idx) AS rb
-         |  FROM kept GROUP BY doc_id)
+      s"""WITH $passageCte, ${passageRepCtes(8)}, ${passageStripCtes(8)}
          |SELECT p.doc_id, coalesce(a.wasf, FALSE) AS was_stripped,
          |  CASE WHEN a.wasf THEN coalesce(r.rb, '')
          |       ELSE coalesce(p.text, '') END AS text_stripped
          |FROM pdocs p
-         |LEFT JOIN (SELECT doc_id, TRUE AS wasf FROM affected) a USING (doc_id)
+         |LEFT JOIN affected a USING (doc_id)
          |LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+
+    "curate_corpus" ->
+      s"""WITH gws AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                w -> w <> '') AS ws
+         |  FROM documents),
+         |gst AS (
+         |  SELECT doc_id, text, len(ws) AS n_words,
+         |    CASE WHEN len(ws) > 0 THEN round(
+         |      length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) / len(ws), 4)
+         |      ELSE 0.0 END AS mwl,
+         |    CASE WHEN len(ws) > 0 THEN round(
+         |      (len(regexp_extract_all(coalesce(text, ''), '#'))
+         |       + len(regexp_extract_all(coalesce(text, ''), '\\.{3}|…'))) / len(ws), 4)
+         |      ELSE 0.0 END AS swr,
+         |    CASE WHEN len(ws) > 0 THEN round(
+         |      len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) / len(ws), 4)
+         |      ELSE 0.0 END AS awf
+         |  FROM gws),
+         |g AS (
+         |  SELECT doc_id, text FROM gst
+         |  WHERE n_words BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+         |    AND swr <= 0.1 AND awf >= 0.5),
+         |fp AS (
+         |  SELECT doc_id, text,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |  FROM g),
+         |pdocs AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY f) AS keeper FROM fp)
+         |  WHERE doc_id = keeper),
+         |${passageRepCtes(5)}, ${passageStripCtes(5)},
+         |res AS (
+         |  SELECT p.doc_id, coalesce(a.wasf, FALSE) AS was_stripped,
+         |    CASE WHEN a.wasf THEN coalesce(r.rb, '')
+         |         ELSE coalesce(p.text, '') END AS text
+         |  FROM pdocs p
+         |  LEFT JOIN affected a USING (doc_id)
+         |  LEFT JOIN rebuilt r USING (doc_id)),
+         |lr AS (
+         |  SELECT doc_id, was_stripped, text,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                w -> w <> '') AS ws
+         |  FROM res),
+         |l2 AS (
+         |  SELECT doc_id, was_stripped, text, ws,
+         |    ${stopRatioSql("de")} AS r_de, ${stopRatioSql("en")} AS r_en,
+         |    ${stopRatioSql("es")} AS r_es, ${stopRatioSql("fr")} AS r_fr
+         |  FROM lr)
+         |SELECT doc_id, $langCaseSql AS lang, CAST(len(ws) AS INT) AS n_tokens,
+         |       was_stripped
+         |FROM l2""".stripMargin,
 
     "decon_overlap" ->
       s"""WITH $wordsCte, $ngrams13Cte,

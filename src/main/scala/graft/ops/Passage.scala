@@ -76,12 +76,17 @@ object Passage {
    */
   def strip(docs: DataFrame, n: Int = 15, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val covered = repeated(docs, n, idCol, textCol)
-      .where(!col("is_canonical"))
-      .select(col(idCol),
-        explode(sequence(col("start_idx"), col("start_idx") + (n - 1)))
-          .as("w_idx"))
-      .distinct()
+    // plan-barrier the covered frame: three consumers below (affected ids,
+    // the anti-join, the final flag join) would otherwise each re-plan —
+    // and re-COMPUTE — the whole gram-count cascade; the barrier makes
+    // them share one RDD lineage so the shuffle stages run once
+    val covered = graft.extract.Chunked.barrier(
+      repeated(docs, n, idCol, textCol)
+        .where(!col("is_canonical"))
+        .select(col(idCol),
+          explode(sequence(col("start_idx"), col("start_idx") + (n - 1)))
+            .as("w_idx"))
+        .distinct())
     val affected = covered.select(idCol).distinct()
       .withColumn("was_stripped", lit(true))
     val rebuilt = docs.join(affected.drop("was_stripped"), Seq(idCol), "left_semi")
