@@ -159,6 +159,47 @@ object Queries {
       |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host
       |      FROM urls)))""".stripMargin
 
+  /** DuckDB replay of [[graft.ops.Similarity.kmeans]] (k=4, 2 Lloyd
+   * iterations) over `embeddings`: deterministic hash-sample init, best
+   * cell by (round(cosine,4), cell) descending, per-dimension means
+   * rounded to 6dp each round. */
+  private val kmeansCtes =
+    """cents0 AS (
+      |  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+      |a1 AS (
+      |  SELECT vec_id, embedding FROM embeddings),
+      |as1 AS (
+      |  SELECT vec_id, embedding, cell FROM (
+      |    SELECT a.vec_id, a.embedding, c.cell, row_number() OVER (
+      |      PARTITION BY a.vec_id ORDER BY
+      |        round(list_cosine_similarity(a.embedding::DOUBLE[], c.cv), 4) DESC,
+      |        c.cell DESC) AS rn
+      |    FROM a1 a CROSS JOIN cents0 c) WHERE rn = 1),
+      |d1 AS (
+      |  SELECT cell, embedding, unnest(generate_series(1, len(embedding))) AS i
+      |  FROM as1),
+      |m1 AS (
+      |  SELECT cell, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 6) AS m,
+      |         count(*) AS n
+      |  FROM d1 GROUP BY 1, 2),
+      |cents1 AS (
+      |  SELECT cell, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cell),
+      |as2 AS (
+      |  SELECT vec_id, embedding, cell FROM (
+      |    SELECT a.vec_id, a.embedding, c.cell, row_number() OVER (
+      |      PARTITION BY a.vec_id ORDER BY
+      |        round(list_cosine_similarity(a.embedding::DOUBLE[], c.cv), 4) DESC,
+      |        c.cell DESC) AS rn
+      |    FROM a1 a CROSS JOIN cents1 c) WHERE rn = 1),
+      |d2 AS (
+      |  SELECT cell, embedding, unnest(generate_series(1, len(embedding))) AS i
+      |  FROM as2),
+      |m2 AS (
+      |  SELECT cell, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 6) AS m,
+      |         count(*) AS n
+      |  FROM d2 GROUP BY 1, 2)""".stripMargin
+
   /** Documents with planted repeated passages: every doc_id % 7 == 3 doc
    * repeats its own text (within-doc duplicate), and every doc_id < 20 doc
    * appears again verbatim at doc_id + 10000 (cross-doc duplicate). */
@@ -817,6 +858,17 @@ object Queries {
     // — Lloyd-refined k-means codebook over the embeddings —
     "kmeans_centroids" -> ((s, dir) =>
       Similarity.kmeans(t(s, dir, "embeddings"), nCentroids = 4, iters = 2)),
+
+    "kmeans_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.kmeansAssign(emb,
+        Similarity.kmeans(emb, nCentroids = 4, iters = 2))
+    }),
+
+    // — PCA self-check: constant-row oracle (the fitted basis must be
+    //   orthonormal, eigen-ordered, and variance-consistent on live data) —
+    "pca_invariants" -> ((s, dir) =>
+      graft.ops.Pca.invariants(t(s, dir, "embeddings"), k = 8)),
 
     // — exact repeated-passage dedup over the planted corpus —
     "passage_repeats" -> ((s, dir) =>
@@ -2224,44 +2276,30 @@ object Queries {
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
 
     "kmeans_centroids" ->
-      """WITH cents0 AS (
-        |  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings
-        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
-        |a1 AS (
-        |  SELECT vec_id, embedding FROM embeddings),
-        |as1 AS (
-        |  SELECT vec_id, embedding, cell FROM (
-        |    SELECT a.vec_id, a.embedding, c.cell, row_number() OVER (
-        |      PARTITION BY a.vec_id ORDER BY
-        |        round(list_cosine_similarity(a.embedding::DOUBLE[], c.cv), 4) DESC,
-        |        c.cell DESC) AS rn
-        |    FROM a1 a CROSS JOIN cents0 c) WHERE rn = 1),
-        |d1 AS (
-        |  SELECT cell, embedding, unnest(generate_series(1, len(embedding))) AS i
-        |  FROM as1),
-        |m1 AS (
-        |  SELECT cell, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 6) AS m,
-        |         count(*) AS n
-        |  FROM d1 GROUP BY 1, 2),
-        |cents1 AS (
-        |  SELECT cell, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cell),
-        |as2 AS (
-        |  SELECT vec_id, embedding, cell FROM (
-        |    SELECT a.vec_id, a.embedding, c.cell, row_number() OVER (
-        |      PARTITION BY a.vec_id ORDER BY
-        |        round(list_cosine_similarity(a.embedding::DOUBLE[], c.cv), 4) DESC,
-        |        c.cell DESC) AS rn
-        |    FROM a1 a CROSS JOIN cents1 c) WHERE rn = 1),
-        |d2 AS (
-        |  SELECT cell, embedding, unnest(generate_series(1, len(embedding))) AS i
-        |  FROM as2),
-        |m2 AS (
-        |  SELECT cell, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 6) AS m,
-        |         count(*) AS n
-        |  FROM d2 GROUP BY 1, 2)
-        |SELECT cell, CAST(dim AS INT) AS dim, m AS centroid_val,
-        |       n AS n_members
-        |FROM m2""".stripMargin,
+      s"""WITH $kmeansCtes
+         |SELECT cell, CAST(dim AS INT) AS dim, m AS centroid_val,
+         |       n AS n_members
+         |FROM m2""".stripMargin,
+
+    "kmeans_assign" ->
+      s"""WITH $kmeansCtes,
+         |cents2 AS (
+         |  SELECT cell, list(m ORDER BY dim) AS cv, max(n) AS n_members
+         |  FROM m2 GROUP BY cell),
+         |as3 AS (
+         |  SELECT vec_id, cell, cosine, n_members FROM (
+         |    SELECT a.vec_id, c.cell, c.n_members,
+         |      round(list_cosine_similarity(a.embedding::DOUBLE[], c.cv), 4)
+         |        AS cosine,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        round(list_cosine_similarity(a.embedding::DOUBLE[], c.cv), 4) DESC,
+         |        c.cell DESC) AS rn
+         |    FROM a1 a CROSS JOIN cents2 c) WHERE rn = 1)
+         |SELECT vec_id, cell, cosine, n_members FROM as3""".stripMargin,
+
+    "pca_invariants" ->
+      """SELECT TRUE AS orthonormal, TRUE AS eigen_ordered,
+        |       TRUE AS variance_matches""".stripMargin,
 
     "passage_repeats" ->
       s"""WITH $passageCte, ${passageRepCtes(8)}

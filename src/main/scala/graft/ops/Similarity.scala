@@ -223,6 +223,33 @@ object Similarity {
         get(bestCells(col(vecCol), 1), lit(0)).getField("cell").as("cell"))
 
   /**
+   * Assign every corpus vector to its nearest centroid from a TRAINED
+   * codebook (the per-dimension frame [[kmeans]] returns): the inference
+   * half of k-means, one broadcast crossJoin, no shuffle on the corpus.
+   * Output: (id, cell, cosine to the centroid, n_members of that cell).
+   */
+  def kmeansAssign(corpus: DataFrame, codebook: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(codebook
+      .groupBy("cell")
+      .agg(collect_list(struct(col("dim"), col("centroid_val"))).as("dm"),
+        max(col("n_members")).as("n_members"))
+      .select(col("cell"),
+        transform(array_sort(col("dm")), s => s.getField("centroid_val")).as("cv"),
+        col("n_members"))
+      .agg(collect_list(struct(col("cell"), col("cv"), col("n_members")))
+        .as("cbook")))
+    Par.spread(corpus).crossJoin(cents).select(col(idCol), col(vecCol),
+      get(slice(reverse(array_sort(transform(col("cbook"), c =>
+        struct(round(cosine(col(vecCol), c.getField("cv")), 4).as("c"),
+          c.getField("cell").as("cell"),
+          c.getField("n_members").as("n_members"))))), 1, 1), lit(0)).as("best"))
+      .select(col(idCol), col("best").getField("cell").as("cell"),
+        col("best").getField("c").as("cosine"),
+        col("best").getField("n_members").as("n_members"))
+  }
+
+  /**
    * Lloyd-refined spherical k-means over the embedding column: the
    * deterministic hash-sample init ([[cellAssignments]]' centroids), then
    * `iters` rounds of assign-to-best-cosine-centroid / recompute

@@ -200,6 +200,32 @@ class SimilaritySpec extends SparkSpec {
     assert(a.map(_.getLong(0)).size <= 4) // cells can drop, never appear
   }
 
+  test("kmeansAssign is the argmax over the trained codebook") {
+    val c = corpus()
+    val codebook = Similarity.kmeans(c, nCentroids = 4, iters = 2)
+    val cents = codebook.collect()
+      .groupBy(_.getLong(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    val vecs = c.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map(p => p._1 * p._2).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = Similarity.kmeansAssign(c, codebook)
+      .select("vec_id", "cell", "cosine").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.size === vecs.size)
+    vecs.foreach { case (id, v) =>
+      val best = cents.map { case (cell, cv) =>
+        (math.rint(cos(v, cv) * 1e4) / 1e4, cell)
+      }.maxBy(identity)
+      assert(got(id) === ((best._2, best._1)), s"vec $id")
+    }
+  }
+
   test("semDedupEdges excludes cells over maxCell instead of exploding") {
     val sparkS = spark
     import sparkS.implicits._
