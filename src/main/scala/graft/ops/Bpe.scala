@@ -203,6 +203,24 @@ object Bpe {
     encode(docs, train(wordCounts(docs, textCol, minCount, maxWords), nMerges),
       textCol)
 
+  /** Persist a merge list as a parquet table (rank, left, right) — the
+   * tokenizer artifact a production pipeline trains once and ships to
+   * every downstream job. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge list saved by [[saveMerges]], rank order restored. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("rank")
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
   /** Per-document token statistics of an encoded frame: token count and
    * the compression ratio vs code points (tokens per 100 code points). */
   def tokenStats(encoded: DataFrame, idCol: String = "doc_id",

@@ -77,6 +77,13 @@ class BpeSpec extends SparkSpec {
     assert(n(1L) === 2)
   }
 
+  test("merge artifact round-trips through parquet with rank order intact") {
+    val merges = Bpe.train(Bpe.wordCounts(classicCorpus, minCount = 1), 5)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-merges").toString
+    Bpe.saveMerges(spark, merges, s"$dir/merges")
+    assert(Bpe.loadMerges(spark, s"$dir/merges") === merges)
+  }
+
   test("encoding is invariant under physical repartitioning and memo limits") {
     val docs = classicCorpus.union(Seq((5L, "hug pugs bun punt")).toDF("doc_id", "text"))
     val merges = Bpe.train(Bpe.wordCounts(docs, minCount = 1), nMerges = 5)
