@@ -859,6 +859,16 @@ object Queries {
     "kmeans_centroids" -> ((s, dir) =>
       Similarity.kmeans(t(s, dir, "embeddings"), nCentroids = 4, iters = 2)),
 
+    // — corpus audit census: every (lang, source) rollup level in one
+    //   pass (partial-aggregated; the rollup only multiplies the tiny
+    //   group frame, never the scan) —
+    "corpus_report" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          round(avg(col("n_chars")), 2).as("avg_chars"))),
+
     "kmeans_assign" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.kmeansAssign(emb,
@@ -2274,6 +2284,11 @@ object Queries {
 
     "chunk_concat_diff" ->
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+
+    "corpus_report" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |       round(avg(n_chars), 2) AS avg_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
 
     "kmeans_centroids" ->
       s"""WITH $kmeansCtes
