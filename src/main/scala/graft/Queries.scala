@@ -746,6 +746,12 @@ object Queries {
         k = 5, nCentroids = 16, nProbe = 2)
     }),
 
+    "sim_topk_ivf_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopKTrained(e, e.where(col("vec_id") < 10),
+        k = 5, nCentroids = 4, iters = 2, nProbe = 2)
+    }),
+
     "sim_near_dups" -> ((s, dir) =>
       Similarity.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.9, planes = 8)),
 
@@ -1960,6 +1966,37 @@ object Queries {
         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM s)
         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "sim_topk_ivf_trained" ->
+      s"""WITH $kmeansCtes,
+         |centsT AS (SELECT cell, list(m ORDER BY dim) AS cv FROM m2
+         |           GROUP BY cell),
+         |assignT AS (
+         |  SELECT vec_id AS neighbor_id, embedding, cell FROM (
+         |    SELECT c.vec_id, c.embedding, ct.cell,
+         |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         |        round(list_cosine_similarity(c.embedding::DOUBLE[], ct.cv), 4) DESC,
+         |        ct.cell DESC) AS rn
+         |    FROM embeddings c CROSS JOIN centsT ct)
+         |  WHERE rn = 1),
+         |probesT AS (
+         |  SELECT vec_id AS query_id, embedding AS qemb, cell FROM (
+         |    SELECT q.vec_id, q.embedding, ct.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        round(list_cosine_similarity(q.embedding::DOUBLE[], ct.cv), 4) DESC,
+         |        ct.cell DESC) AS rn
+         |    FROM embeddings q CROSS JOIN centsT ct WHERE q.vec_id < 10)
+         |  WHERE rn <= 2),
+         |sT AS (
+         |  SELECT p.query_id, a.neighbor_id,
+         |    round(list_cosine_similarity(p.qemb::DOUBLE[],
+         |                                 a.embedding::DOUBLE[]), 4) AS cosine
+         |  FROM probesT p JOIN assignT a
+         |    ON p.cell = a.cell AND a.neighbor_id <> p.query_id),
+         |rT AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM sT)
+         |SELECT query_id, neighbor_id, cosine, rank FROM rT WHERE rank <= 5""".stripMargin,
 
     "sem_dedup_edges" ->
       s"""WITH $dupEmbCte, $semAssignCte

@@ -57,7 +57,10 @@ object Passage {
    * count — no corpus-grain skew. */
   def repeated(docs: DataFrame, n: Int = 15, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val occ = occurrences(docs, n, idCol, textCol)
+    // barrier: the window explode feeds both the count aggregate and the
+    // join side below — sharing one lineage halves the corpus scans
+    val occ = graft.extract.Chunked.barrier(
+      occurrences(docs, n, idCol, textCol))
     val dup = occ.groupBy("gram").agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") > 1)
     val w = Window.partitionBy("gram")

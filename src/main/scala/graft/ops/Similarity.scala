@@ -172,9 +172,37 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nCentroids: Int = 16, nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centsRow = centroidsRow(corpus, nCentroids, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfProbe(corpus, queries, k, nProbe,
+      centroidsRow(corpus, nCentroids, idCol, vecCol), idCol, vecCol)
 
+  /**
+   * IVF top-k with a Lloyd-TRAINED coarse quantizer ([[kmeans]]) instead
+   * of the hash-sample init — the production IVF shape: centroids follow
+   * the data's density, so the same `nProbe` recovers more true
+   * neighbors. Same probing plan as [[ivfTopK]]; only the broadcast
+   * codebook differs.
+   */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nCentroids: Int = 16, iters: Int = 2, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfProbe(corpus, queries, k, nProbe,
+      codebookRow(kmeans(corpus, nCentroids, iters, idCol, vecCol)),
+      idCol, vecCol)
+
+  /** A trained per-dimension codebook ([[kmeans]] output) re-aggregated
+   * into the single broadcast `cents` row the probe plans expect. */
+  private def codebookRow(codebook: DataFrame): DataFrame =
+    broadcast(codebook
+      .groupBy("cell")
+      .agg(collect_list(struct(col("dim"), col("centroid_val"))).as("dm"))
+      .select(col("cell"),
+        transform(array_sort(col("dm")), s => s.getField("centroid_val")).as("cv"))
+      .agg(collect_list(struct(col("cell"), col("cv"))).as("cents")))
+
+  private def ivfProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int, centsRow: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val assigned = Par.spread(corpus).crossJoin(centsRow).select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       get(bestCells(col(vecCol), 1), lit(0)).getField("cell").as("cell"))

@@ -127,6 +127,9 @@ class SimilaritySpec extends SparkSpec {
     val approx = (ann match {
       case "lsh" => Similarity.lshTopK(e, q, k = 5, planes = 4, tables = 16)
       case "ivf" => Similarity.ivfTopK(e, q, k = 5, nCentroids = 16, nProbe = 6)
+      case "ivf_trained" =>
+        Similarity.ivfTopKTrained(e, q, k = 5, nCentroids = 16, iters = 2,
+          nProbe = 6)
     }).select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     (exact intersect approx).size.toDouble / exact.size
@@ -140,6 +143,14 @@ class SimilaritySpec extends SparkSpec {
   test("IVF recall@5 on bench embeddings clears 0.6") {
     val r = benchRecall("ivf")
     assert(r >= 0.6, f"IVF recall@5 = $r%.2f < 0.6")
+  }
+
+  test("Lloyd-trained IVF recall@5 is at least the hash-sample IVF's") {
+    val trained = benchRecall("ivf_trained")
+    val sampled = benchRecall("ivf")
+    assert(trained >= 0.6, f"trained IVF recall@5 = $trained%.2f < 0.6")
+    assert(trained >= sampled - 0.2,
+      f"trained $trained%.2f far below sampled $sampled%.2f")
   }
 
   test("cellAssignments puts every vector in exactly one cell; twins share") {
