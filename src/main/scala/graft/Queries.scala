@@ -865,6 +865,18 @@ object Queries {
     "kmeans_centroids" -> ((s, dir) =>
       Similarity.kmeans(t(s, dir, "embeddings"), nCentroids = 4, iters = 2)),
 
+    "search_bm25_indexed" -> ((s, dir) => {
+      // build-once/serve-many: persist the index, then answer the same
+      // probe batch from it — must hash-equal the inline search_bm25 oracle
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-bm25-index").toString
+      Search.buildIndex(t(s, dir, "documents"), path)
+      Search.bm25TopKIndexed(s, path,
+        s.createDataFrame(Seq((0, "hash join spark"), (1, "window sort merge"),
+          (2, "customer query table"))).toDF("query_id", "query"),
+        k = 10)
+    }),
+
     // — corpus audit census: every (lang, source) rollup level in one
     //   pass (partial-aggregated; the rollup only multiplies the tiny
     //   group frame, never the scan) —
@@ -2227,6 +2239,36 @@ object Queries {
          |SELECT domain, doc_id, rnk FROM r WHERE rnk <= 20""".stripMargin,
 
     "search_bm25" ->
+      s"""WITH $wordsCte,
+         |post AS (
+         |  SELECT doc_id, unnest(ws) AS term FROM words),
+         |p AS (SELECT doc_id, term, count(*) AS tf FROM post GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, len(ws) AS dl FROM words),
+         |stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM words),
+         |q(query_id, term) AS (VALUES
+         |  (0, 'hash'), (0, 'join'), (0, 'spark'),
+         |  (1, 'window'), (1, 'sort'), (1, 'merge'),
+         |  (2, 'customer'), (2, 'query'), (2, 'table')),
+         |matched AS (
+         |  SELECT p.* FROM p WHERE term IN (SELECT DISTINCT term FROM q)),
+         |dfreq AS (SELECT term, count(*) AS df FROM matched GROUP BY 1),
+         |scored AS (
+         |  SELECT q.query_id, m.doc_id,
+         |    round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+         |      AS score
+         |  FROM matched m JOIN dfreq USING (term) JOIN dl USING (doc_id)
+         |       CROSS JOIN stats JOIN q ON q.term = m.term
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, doc_id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    // identical semantics by construction: the indexed path persists the
+    // same postings/doclen/stats frames the inline path derives
+    "search_bm25_indexed" ->
       s"""WITH $wordsCte,
          |post AS (
          |  SELECT doc_id, unnest(ws) AS term FROM words),

@@ -34,6 +34,34 @@ object Search {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
 
   /**
+   * Persist the retrieval index (postings + doc lengths + corpus stats)
+   * as parquet tables: build ONCE, then serve any number of query
+   * batches without re-scanning the corpus ([[bm25TopKIndexed]]). The
+   * three tables are exactly the frames [[bm25TopK]] derives inline.
+   */
+  def buildIndex(docs: DataFrame, path: String, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    postings(docs, idCol, textCol).write.mode("overwrite")
+      .parquet(s"$path/postings")
+    docs.select(col(idCol), size(terms(col(textCol))).as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclen")
+    docs.agg(count(lit(1)).as("n_docs"),
+        avg(size(terms(col(textCol)))).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k over a persisted [[buildIndex]] — identical results to
+   * [[bm25TopK]] on the indexed corpus, zero corpus scans at query time. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id",
+      queryIdCol: String = "query_id", queryCol: String = "query"): DataFrame =
+    score(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/doclen"),
+      spark.read.parquet(s"$path/stats"),
+      queries, k, k1, b, idCol, queryIdCol, queryCol)
+
+  /**
    * BM25 top-k: for each query row (query_id, query) return the k best
    * documents. Scores rounded to 4dp, ties broken by doc id — fully
    * deterministic and engine-independent.
@@ -48,10 +76,18 @@ object Search {
       avg(size(terms(col(textCol)))).as("avgdl"))
     // doc length from the scan projection — no shuffle
     val dl = docs.select(col(idCol), size(terms(col(textCol))).as("dl"))
+    score(postings(docs, idCol, textCol), dl, stats, queries, k, k1, b,
+      idCol, queryIdCol, queryCol)
+  }
+
+  /** The scoring tail shared by the inline and indexed paths. */
+  private def score(postings: DataFrame, dl: DataFrame, stats: DataFrame,
+      queries: DataFrame, k: Int, k1: Double, b: Double,
+      idCol: String, queryIdCol: String, queryCol: String): DataFrame = {
     val qterms = broadcast(queries.select(col(queryIdCol),
       explode(array_distinct(terms(col(queryCol)))).as("term")))
 
-    val matched = postings(docs, idCol, textCol)
+    val matched = postings
       .join(broadcast(qterms.select("term").distinct()), Seq("term"))
     // df per query term over the matched slice ((doc, term) rows are unique)
     val dfreq = matched.groupBy("term").agg(count(lit(1)).as("df"))

@@ -40,6 +40,18 @@ class SearchSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("persisted index serves identical results to the inline path") {
+    val q = Seq((0, "apple cherry"), (1, "banana durian")).toDF("query_id", "query")
+    val dir = java.nio.file.Files.createTempDirectory("bm25-index").toString
+    Search.buildIndex(corpus, dir)
+    val inline = Search.bm25TopK(corpus, q)
+      .as[(Int, Long, Double, Int)].collect().toSet
+    val indexed = Search.bm25TopKIndexed(spark, dir, q)
+      .as[(Int, Long, Double, Int)].collect().toSet
+    assert(indexed === inline)
+    assert(indexed.nonEmpty)
+  }
+
   test("k caps results per query independently") {
     val q = Seq((0, "cherry"), (1, "banana")).toDF("query_id", "query")
     val got = Search.bm25TopK(corpus, q, k = 1)
