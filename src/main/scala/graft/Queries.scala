@@ -881,11 +881,13 @@ object Queries {
     //   pass (partial-aggregated; the rollup only multiplies the tiny
     //   group frame, never the scan) —
     "corpus_report" -> ((s, dir) =>
+      // avg is fixed-point (chars*100 per doc, exact integer division) so
+      // the oracle row hash carries no float bits at all
       t(s, dir, "documents")
         .rollup("lang", "source")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("sum_chars"),
-          round(avg(col("n_chars")), 2).as("avg_chars"))),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("avg_chars_fp", expr("(sum_chars * 100L) div n_docs"))),
 
     "kmeans_assign" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2339,12 +2341,24 @@ object Queries {
          |      ELSE 0.0 END AS swr,
          |    CASE WHEN len(ws) > 0 THEN round(
          |      len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) / len(ws), 4)
-         |      ELSE 0.0 END AS awf
-         |  FROM words)
+         |      ELSE 0.0 END AS awf,
+         |    list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+         |                               l -> trim(l)), l -> l <> '') AS ls
+         |  FROM words),
+         |st2 AS (
+         |  SELECT doc_id, n_words, mwl, swr, awf,
+         |    CASE WHEN len(ls) > 0 THEN round(
+         |      len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) / len(ls), 4)
+         |      ELSE 0.0 END AS blf,
+         |    CASE WHEN len(ls) > 0 THEN round(
+         |      len(list_filter(ls, l -> regexp_matches(l, '(\\.{3}|…)$$'))) / len(ls), 4)
+         |      ELSE 0.0 END AS elf
+         |  FROM st)
          |SELECT doc_id,
          |  (n_words BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
-         |   AND swr <= 0.1 AND awf >= 0.5) AS gopher_keep
-         |FROM st""".stripMargin,
+         |   AND swr <= 0.1 AND blf <= 0.9 AND elf <= 0.3
+         |   AND awf >= 0.5) AS gopher_keep
+         |FROM st2""".stripMargin,
 
     "chunk_text" ->
       """WITH c AS (
@@ -2365,8 +2379,9 @@ object Queries {
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
 
     "corpus_report" ->
-      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-        |       round(avg(n_chars), 2) AS avg_chars
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(n_chars) AS BIGINT) * 100 // count(*) AS avg_chars_fp
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
 
     "kmeans_centroids" ->
@@ -2427,12 +2442,23 @@ object Queries {
          |      ELSE 0.0 END AS swr,
          |    CASE WHEN len(ws) > 0 THEN round(
          |      len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) / len(ws), 4)
-         |      ELSE 0.0 END AS awf
+         |      ELSE 0.0 END AS awf,
+         |    list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+         |                               l -> trim(l)), l -> l <> '') AS gls
          |  FROM gws),
+         |gst2 AS (
+         |  SELECT *,
+         |    CASE WHEN len(gls) > 0 THEN round(
+         |      len(list_filter(gls, l -> regexp_matches(l, '^[-*•]'))) / len(gls), 4)
+         |      ELSE 0.0 END AS blf,
+         |    CASE WHEN len(gls) > 0 THEN round(
+         |      len(list_filter(gls, l -> regexp_matches(l, '(\\.{3}|…)$$'))) / len(gls), 4)
+         |      ELSE 0.0 END AS elf
+         |  FROM gst),
          |g AS (
-         |  SELECT doc_id, text FROM gst
+         |  SELECT doc_id, text FROM gst2
          |  WHERE n_words BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
-         |    AND swr <= 0.1 AND awf >= 0.5),
+         |    AND swr <= 0.1 AND blf <= 0.9 AND elf <= 0.3 AND awf >= 0.5),
          |fp AS (
          |  SELECT doc_id, text,
          |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
@@ -2652,7 +2678,7 @@ object Queries {
         |      PRECEDING), 0) AS BIGINT) // 120 AS pack_in_bucket
         |  FROM pw)
         |SELECT bucket, pack_in_bucket, count(*) AS n_docs,
-        |  sum(n_tokens) AS tok_fill
+        |  CAST(sum(n_tokens) AS BIGINT) AS tok_fill
         |FROM pp GROUP BY 1, 2""".stripMargin,
 
     "lm_model" ->

@@ -187,9 +187,13 @@ object Bpe {
         val text = if (r.isNullAt(idx)) "" else r.getString(idx)
         val toks = runsOf(text).flatMap { run =>
           if (isWs(run.charAt(0))) Vector(run)
-          else if (memo.size < memoMax)
-            memo.getOrElseUpdate(run, encodeWord(run, rk))
-          else encodeWord(run, rk)
+          else memo.get(run).getOrElse {
+            // only the INSERT is gated by the cap — a full memo must keep
+            // serving the Zipf head it already holds, not bypass itself
+            val enc = encodeWord(run, rk)
+            if (memo.size < memoMax) memo.update(run, enc)
+            enc
+          }
         }
         Row.fromSeq(r.toSeq :+ toks)
       }

@@ -53,20 +53,24 @@ object Passage {
 
   /** Duplicated windows only, with their global occurrence count and a
    * canonical flag (first occurrence by (doc_id, start_idx) survives
-   * stripping). The per-gram window is bounded by that gram's occurrence
-   * count — no corpus-grain skew. */
+   * stripping). The canonical pick is a `min(struct)` folded into the SAME
+   * partial-aggregable count pass — not a `row_number() over (partition by
+   * gram)` window, which would serialize a 10^6-occurrence boilerplate
+   * gram onto one task at corpus scale. The join back is skew-splittable
+   * by AQE; a window partition never is. */
   def repeated(docs: DataFrame, n: Int = 15, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // barrier: the window explode feeds both the count aggregate and the
     // join side below — sharing one lineage halves the corpus scans
     val occ = graft.extract.Chunked.barrier(
       occurrences(docs, n, idCol, textCol))
-    val dup = occ.groupBy("gram").agg(count(lit(1)).as("n_occ"))
+    val dup = occ.groupBy("gram").agg(count(lit(1)).as("n_occ"),
+        min(struct(col(idCol), col("start_idx"))).as("_first"))
       .where(col("n_occ") > 1)
-    val w = Window.partitionBy("gram")
-      .orderBy(col(idCol), col("start_idx"))
     occ.join(dup, Seq("gram"))
-      .withColumn("is_canonical", row_number().over(w) === 1)
+      .withColumn("is_canonical",
+        col(idCol) === col("_first")(idCol) &&
+          col("start_idx") === col("_first")("start_idx"))
       .select(col(idCol), col("start_idx"), col("gram"), col("n_occ"),
         col("is_canonical"))
   }

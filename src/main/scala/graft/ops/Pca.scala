@@ -42,6 +42,14 @@ object Pca {
       .collect()
     require(cells.nonEmpty, "PCA fit on an empty corpus")
     val d = math.sqrt(cells.length.toDouble).round.toInt
+    // ragged/null-width vectors would skew the covariance silently: with a
+    // uniform width every (i,j) cell sees every vector exactly once, so
+    // d*d == #cells and all per-cell counts agree — fail loudly otherwise
+    require(d.toLong * d == cells.length,
+      s"ragged embedding widths: ${cells.length} moment cells is not a square")
+    val counts = cells.iterator.map(_.getLong(4)).toSet
+    require(counts.size == 1,
+      s"ragged embedding widths: per-cell counts differ (${counts.toSeq.sorted.take(5)}…)")
     val n = cells.head.getLong(4).toDouble
     val mean = new Array[Double](d)
     val cov = DenseMatrix.zeros[Double](d, d)

@@ -303,10 +303,15 @@ object Similarity {
       val assigned = base.crossJoin(cents).select(
         get(bestCells(col("v"), 1), lit(0)).getField("cell").as("cell"),
         col("v"))
-      byDim = assigned
+      // per-round plan barrier: without it every iteration nests the whole
+      // prior plan inside the next crossJoin and Catalyst analysis cost
+      // grows combinatorially past ~10 Lloyd rounds (the chunked-cascade
+      // failure mode). The barrier caps each round's plan at one join +
+      // one agg; the k×d centroid frame it materializes is model-sized.
+      byDim = graft.extract.Chunked.barrier(assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
-        .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("n"))
+        .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("n")))
       cents = broadcast(byDim
         .groupBy("cell")
         .agg(collect_list(struct(col("dim"), col("m"))).as("dm"))

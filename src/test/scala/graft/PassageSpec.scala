@@ -49,6 +49,25 @@ class PassageSpec extends SparkSpec {
     assert(got._2 === "a b c d e f g h")
   }
 
+  test("a 10^4-occurrence gram plans without a single-partition window") {
+    // one boilerplate 6-gram planted in 10^4 docs: at 100 TB this gram
+    // would serialize onto one task under row_number() over (partition by
+    // gram) — the canonical pick must be a partial-aggregable min(struct)
+    val boiler = spark.range(10000)
+      .select(col("id").as("doc_id"),
+        concat(lit("shared boiler plate gram here now uniq"), col("id"))
+          .as("text"))
+    val rep = Passage.repeated(boiler, n = 6)
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    val got = rep.select("doc_id", "n_occ", "is_canonical")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length === 10000)
+    assert(got.forall(_._2 === 10000L))
+    assert(got.count(_._3) === 1)
+    assert(got.find(_._3).get._1 === 0L)
+  }
+
   test("a full duplicate is stripped to nothing; matching is case-insensitive") {
     val df = Seq(
       (0L, "The Quick Brown Fox Jumps Over The Lazy Dog"),

@@ -211,6 +211,21 @@ class SimilaritySpec extends SparkSpec {
     assert(a.map(_.getLong(0)).size <= 4) // cells can drop, never appear
   }
 
+  test("kmeans runs 10 Lloyd rounds inside a time bound (per-round barrier)") {
+    // before the per-iteration plan barrier, each round nested the whole
+    // prior plan inside the next crossJoin — analysis cost exploded
+    // combinatorially past ~10 rounds. 10 rounds must now plan + execute
+    // comfortably; the bound is generous for VM noise but far below the
+    // minutes-scale blowup this guards against.
+    val c = corpus()
+    val t0 = System.nanoTime()
+    val got = Similarity.kmeans(c, nCentroids = 4, iters = 10).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.nonEmpty)
+    assert(got.map(_.getLong(3)).sum % c.count() === 0) // n_members per dim
+    assert(secs < 120.0, s"10-iteration kmeans took ${secs}s — plan blowup?")
+  }
+
   test("kmeansAssign is the argmax over the trained codebook") {
     val c = corpus()
     val codebook = Similarity.kmeans(c, nCentroids = 4, iters = 2)
