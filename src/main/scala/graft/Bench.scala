@@ -29,19 +29,70 @@ object Bench {
     } catch { case _: java.io.IOException => () } // taskset not installed
   }
 
-  /** Measured-rep protocol: keep running full-size reps until the last
-   * `window` are within `tol` relative spread ((max-min)/min), so the
-   * reported window is steady-state rather than tail-of-warmup; capped at
-   * `maxReps` with the honest (possibly wider) final window reported. */
+  /** Measured-rep protocol, round-4 form: the budget is WALL-CLOCK, not a
+   * rep count — a throttled VM whose reps are still falling (199→131→24 s
+   * happened in round 3) gets as many reps as the budget allows instead of
+   * stopping at an arbitrary rep cap with an unconverged series. Returns
+   * (all reps, best window, stable): `best window` is the lowest-MEAN
+   * consecutive `window`-rep slice whose relative spread ((max-min)/min)
+   * is within `tol` — the fastest steady state observed — falling back to
+   * the lowest-spread slice if none converged; `stable` says whether any
+   * slice converged. Headline = best window's min; a reader combines
+   * `stable` with the calibration probes to normalize any run. */
   def stableReps(run: () => Double, window: Int = 3, tol: Double = 0.10,
-                 maxReps: Int = 8): Vector[Double] = {
+                 maxWallSec: Double = 900.0): (Vector[Double], Vector[Double], Boolean) = {
     var runs = Vector.empty[Double]
     def spread(w: Seq[Double]): Double = (w.max - w.min) / w.min
-    while (runs.size < window ||
-           (spread(runs.takeRight(window)) > tol && runs.size < maxReps)) {
+    val t0 = System.nanoTime()
+    def elapsed = (System.nanoTime() - t0) / 1e9
+    var done = false
+    while (!done) {
       runs :+= run()
+      val converged = runs.size >= window && spread(runs.takeRight(window)) <= tol
+      done = converged || elapsed > maxWallSec
     }
-    runs
+    val slices = runs.sliding(window).toVector.filter(_.size == window)
+    val good = slices.filter(spread(_) <= tol)
+    val best =
+      if (good.nonEmpty) good.minBy(_.sum)
+      else if (slices.nonEmpty) slices.minBy(spread)
+      else runs
+    (runs, best, good.nonEmpty)
+  }
+
+  /** Single-thread CPU calibration probe: a fixed 2*10^8-step LCG whose
+   * healthy-VM time on this class of hardware is ~150-250 ms. Emitted with
+   * every bench line so a reader can normalize a throttled run (round-3's
+   * driver bench was 6x-inflated by the VM with no way to tell from the
+   * JSON). Min of 3 after one warmup. */
+  @volatile private var calSink = 0L
+  def calibrationMs(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 1234567891L
+      var i = 0
+      while (i < 200000000) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        i += 1
+      }
+      calSink = x // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }
+    once()
+    (1 to 3).map(_ => once()).min
+  }
+
+  /** Tiny fixed Spark job (a 5*10^7-row range sum, no shuffle): the
+   * cluster-side half of the calibration pair — scheduler + codegen +
+   * multi-core health in one number. Min of 3 after one warmup. */
+  def sparkProbeMs(spark: SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(50000000L).selectExpr("bit_xor(id * 2654435761)").collect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    once()
+    (1 to 3).map(_ => once()).min
   }
 
   def mkSpark(cpus: String): SparkSession = SparkSession.builder()
@@ -90,20 +141,25 @@ object Bench {
     val spark = mkSpark(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
-    // steady-state measurement: deep JIT/codegen warmup first (the cold-start
+    // steady-state measurement: calibration probes first (so any reader can
+    // normalize a throttled run), deep JIT/codegen warmup (the cold-start
     // cost is fixed and irrelevant at the 10^12-turn design scale; short
-    // warmups leave C2 cold and measure ~3x slow), then run full-size reps
-    // until the trailing 3 are within 10% of each other (stableReps) — this
-    // sandbox VM's effective-CPU cap gives ±30% run-to-run variance at high
-    // thread counts, and the steady-state window (its minimum as headline)
-    // is the honest number for a dedicated executor
+    // warmups leave C2 cold and measure ~3x slow), then full-size reps on a
+    // wall-clock budget until a 3-rep window converges within 10% — this
+    // sandbox VM's effective-CPU cap gives ±30%-to-10x run-to-run variance
+    // at high thread counts; the headline is the best converged window's
+    // minimum, and `stable:false` flags a run that never converged
+    val calMs = calibrationMs()
+    val probeMs = sparkProbeMs(spark)
     Seq(1000L, 10000L, nConvs / 2).foreach(e2e(spark, _))
     var nTurns = 0L
-    val allReps = stableReps(() => { val (t, s) = e2e(spark, nConvs); nTurns = t; s })
-    val reps = allReps.takeRight(3)
-    val e2eSec = reps.min
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "600").toDouble
+    val (allReps, bestWindow, stable) = stableReps(
+      () => { val (t, s) = e2e(spark, nConvs); nTurns = t; s },
+      maxWallSec = budget)
+    val e2eSec = bestWindow.min
     val tps = nTurns / e2eSec
-    val repsJson = reps.map(r => f"$r%.3f").mkString("[", ",", "]")
+    def vec(v: Seq[Double]) = v.map(r => f"$r%.3f").mkString("[", ",", "]")
 
     val qTimes = benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
@@ -116,7 +172,10 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","turns":$nTurns,"turns_per_sec":${f"$tps%.1f"},""" +
-        s""""e2e_reps_sec":$repsJson,"e2e_total_reps":${allReps.size},"cpus":"$cpus"}"""
+        s""""e2e_reps_sec":${vec(allReps)},"e2e_total_reps":${allReps.size},""" +
+        s""""best_window":${vec(bestWindow)},"stable":$stable,""" +
+        s""""calibration_ms":${f"$calMs%.1f"},"spark_probe_ms":${f"$probeMs%.1f"},""" +
+        s""""cpus":"$cpus"}"""
     // bare stdout (run/outputStrategy strips the sbt prefix) + a file copy,
     // so the metrics survive any log-capture the driver applies
     println(json)

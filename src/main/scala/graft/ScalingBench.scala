@@ -23,11 +23,15 @@ object ScalingBench {
     spark.sparkContext.setLogLevel("ERROR")
     // deep JIT/codegen warmup: short runs alone leave C2 cold and measure 3x slow
     Seq(1000L, 10000L, 20000L).foreach(Bench.e2e(spark, _))
+    val calMs = Bench.calibrationMs()
     var turns = 0L
-    val reps = Bench.stableReps(() => { val (t, s) = Bench.e2e(spark, nConvs); turns = t; s })
-    val sec = reps.takeRight(3).min
-    val repsJson = reps.takeRight(3).map(r => f"$r%.3f").mkString("[", ",", "]")
-    println(f"""{"metric":"e2e_extract","cpus":$cpus,"sec":$sec%.2f,"turns":$turns,"turns_per_sec":${turns / sec}%.1f,"reps_sec":$repsJson,"total_reps":${reps.size}}""")
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "600").toDouble
+    val (allReps, bestWindow, stable) = Bench.stableReps(
+      () => { val (t, s) = Bench.e2e(spark, nConvs); turns = t; s },
+      maxWallSec = budget)
+    val sec = bestWindow.min
+    val repsJson = allReps.map(r => f"$r%.3f").mkString("[", ",", "]")
+    println(f"""{"metric":"e2e_extract","cpus":$cpus,"sec":$sec%.2f,"turns":$turns,"turns_per_sec":${turns / sec}%.1f,"reps_sec":$repsJson,"total_reps":${allReps.size},"stable":$stable,"calibration_ms":$calMs%.1f}""")
     spark.stop()
   }
 }
