@@ -1056,6 +1056,32 @@ object Queries {
         everyMs = 5000)
         .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))),
 
+    // — real header parse: PNG IHDR / JPEG SOF0 / GIF89a containers are
+    //   built byte-for-byte from doc_id, and the probe must recover the
+    //   true dimensions from the binary payload alone (the oracle derives
+    //   the expected dims independently from doc_id) —
+    "mm_header_probe" -> ((s, dir) => {
+      val w = (col("doc_id") % 640 + 1).cast("int")
+      val h = (col("doc_id") % 480 + 1).cast("int")
+      val wBe4 = lpad(hex(w), 8, "0"); val hBe4 = lpad(hex(h), 8, "0")
+      val wBe2 = lpad(hex(w), 4, "0"); val hBe2 = lpad(hex(h), 4, "0")
+      def le2(be2: Column) = concat(substring(be2, 3, 2), substring(be2, 1, 2))
+      val png = concat(lit("89504E470D0A1A0A0000000D49484452"), wBe4, hBe4,
+        lit("0806000000000000"))
+      val jpeg = concat(lit("FFD8FFC0001108"), hBe2, wBe2,
+        lit("03010000020000030000"))
+      val gif = concat(lit("474946383961"), le2(wBe2), le2(hBe2), lit("000000"))
+      val payload = when(col("doc_id") % 4 === 0, unhex(png))
+        .when(col("doc_id") % 4 === 1, unhex(jpeg))
+        .when(col("doc_id") % 4 === 2, unhex(gif))
+        .otherwise(encode(col("text"), "UTF-8"))
+      graft.ops.Multimodal.withMediaMeta(
+        t(s, dir, "documents").select(col("doc_id"), payload.as("payload")))
+        .select(col("doc_id"), col("media_meta.format").as("format"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"))
+    }),
+
     // — full-pipeline surfaces (not SQL-expressible: rows-only checks) —
     "f5_size_guard" -> ((s, dir) =>
       Structure.sizeGuard(Structure.keptLines(transcripts(s, dir)),
@@ -1109,6 +1135,57 @@ object Queries {
           array_sort(collect_list(struct(col("shard_idx"), col("tei")))),
           s => s.getField("tei")), "").as("tei"))
       whole.exceptAll(glued).union(glued.exceptAll(whole))
+        .agg(count(lit(1)).as("n_mismatch"))
+    }),
+
+    "tei_doc_sharded_diff" -> ((s, dir) => {
+      // document-mode sibling of tei_sharded_diff: the same shard-vs-
+      // monolith byte-equality, but over the DOCUMENT-mode cascade
+      // (trained stage-1 zoning, no role signal). Documents are split into
+      // sentence-grain turns so shardTurns=2 genuinely fragments every
+      // conversation. Constant-empty oracle; independent plan
+      // constructions per branch (see tei_sharded_diff note).
+      def docs = t(s, dir, "documents")
+        .select(concat(lit("doc"), col("doc_id")).as("conv_id"),
+          posexplode(split(col("text"), "\\.\\s+")).as(Seq("turn_idx", "text")))
+      val whole = Assemble.teiDocuments(Pipeline.extractDocuments(docs))
+      val glued = Assemble.teiDocumentsSharded(
+        Pipeline.extractDocuments(docs), shardTurns = 2)
+        .groupBy("conv_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("shard_idx"), col("tei")))),
+          x => x.getField("tei")), "").as("tei"))
+      whole.exceptAll(glued).union(glued.exceptAll(whole))
+        .agg(count(lit(1)).as("n_mismatch"))
+    }),
+
+    "pipeline_rebuild_diff" -> ((s, dir) => {
+      // spans-rebuild invariant for the rows-only pipeline_spans: the
+      // extracted span texts — XML-unescaped, concatenated in segment
+      // order, whitespace stripped — must reproduce the body-zone source
+      // lines' non-whitespace characters EXACTLY, per conversation. This
+      // pins tokenize → features → FSM → assembly as lossless against the
+      // source text, independently of the declarative/chunked twins.
+      def unescape(c: Column): Column =
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(c, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+          "&apos;", "'"), "&amp;", "&")
+      val trns = transcripts(s, dir)
+      val lhs = Pipeline.extract(trns)
+        .groupBy("conv_id")
+        .agg(regexp_replace(unescape(array_join(transform(
+          array_sort(collect_list(struct(col("segment_id"), col("text")))),
+          x => x.getField("text")), "")), "\\s+", "").as("chars"))
+        .where(col("chars") =!= "")
+      val rhs = Labeler.zones(Features.segmenter(Structure.keptLines(trns)))
+        .where(col("zone") === "<body>")
+        .groupBy("conv_id")
+        .agg(regexp_replace(array_join(transform(
+          array_sort(collect_list(struct(col("turn_idx"), col("line_in_turn"),
+            col("line")))),
+          x => x.getField("line")), ""), "\\s+", "").as("chars"))
+        .where(col("chars") =!= "")
+      lhs.exceptAll(rhs).union(rhs.exceptAll(lhs))
         .agg(count(lit(1)).as("n_mismatch"))
     }),
 
@@ -1247,6 +1324,12 @@ object Queries {
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
 
     "tei_sharded_diff" ->
+      "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+
+    "tei_doc_sharded_diff" ->
+      "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+
+    "pipeline_rebuild_diff" ->
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
 
     "pipeline_declarative_diff" ->
@@ -2777,6 +2860,16 @@ object Queries {
     "mm_frames" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) * 10 // 5000 + 1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
+
+    "mm_header_probe" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       WHEN 2 THEN 'gif' ELSE NULL END AS format,
+        |  CASE WHEN doc_id % 4 <= 2 THEN CAST(doc_id % 640 + 1 AS INT)
+        |       ELSE NULL END AS width,
+        |  CASE WHEN doc_id % 4 <= 2 THEN CAST(doc_id % 480 + 1 AS INT)
+        |       ELSE NULL END AS height
         |FROM documents""".stripMargin
   )
 }
