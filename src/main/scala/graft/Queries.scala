@@ -503,6 +503,72 @@ object Queries {
       |     WHEN r_en >= r_de THEN 'en'
       |     ELSE 'de' END""".stripMargin
 
+  /** Planted lang-ID probes: ids 0-3 are stopword-free sentences the
+   * heuristic langId scores 'und' (LangIdSpec pins that miss), 4-7 are
+   * ordinary en/fr/de/es text. Expected langs: en fr de es en fr de es. */
+  val langIdTests: Seq[(Long, String)] = Seq(
+    0L -> "extraordinary archaeological discovery revealed beneath crumbling medieval castle walls yesterday",
+    1L -> "découverte archéologique extraordinaire annoncée hier près du château médiéval en ruine",
+    2L -> "außergewöhnliche archäologische entdeckung gestern nahe verfallenem mittelalterlichem schloss bekanntgegeben",
+    3L -> "descubrimiento arqueológico extraordinario anunciado ayer cerca del castillo medieval en ruinas",
+    4L -> "the children were reading quietly in the library before dinner",
+    5L -> "les voyageurs attendaient patiemment le train sur le quai froid",
+    6L -> "die reisenden warteten geduldig auf dem kalten bahnsteig auf den zug",
+    7L -> "los viajeros esperaban pacientemente el tren en el andén frío")
+
+  private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB replay of [[graft.ops.LangId]] training on the SAME resource
+   * sentences the Spark side trains on, plus scoring of [[langIdTests]] —
+   * the whole trigram-NB lifecycle closed-form in SQL. */
+  private lazy val langTriCtes: String = {
+    val trainValues = graft.ops.LangId.builtinCorpus
+      .map { case (l, t) => s"(${sqlStr(l)}, ${sqlStr(t)})" }.mkString(",\n  ")
+    val testValues = langIdTests
+      .map { case (i, t) => s"($i, ${sqlStr(t)})" }.mkString(",\n  ")
+    s"""ltr(lang, text) AS (VALUES
+       |  $trainValues),
+       |lte(doc_id, text) AS (VALUES
+       |  $testValues),
+       |ltn AS (SELECT lang,
+       |          ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS t
+       |        FROM ltr),
+       |ltg AS (SELECT lang, t, unnest(generate_series(1, len(t) - 2)) AS i
+       |        FROM ltn WHERE len(t) >= 3),
+       |lcn AS (SELECT lang, substr(t, CAST(i AS INT), 3) AS tri, count(*) AS c
+       |        FROM ltg GROUP BY 1, 2),
+       |ltl AS (SELECT lang, sum(c) AS t FROM lcn GROUP BY 1),
+       |lv AS (SELECT count(DISTINCT tri) AS v FROM lcn),
+       |lw AS (SELECT lang, tri,
+       |         CAST(round(ln((c + 1.0) / (t + v)) * 1e6) AS BIGINT) AS w_fp
+       |       FROM lcn JOIN ltl USING (lang) CROSS JOIN lv),
+       |lu AS (SELECT lang,
+       |         CAST(round(ln(1.0 / (t + v)) * 1e6) AS BIGINT) AS unseen_fp
+       |       FROM ltl CROSS JOIN lv),
+       |lp AS (SELECT n.lang,
+       |         CAST(round(ln(n.n / a.n_all) * 1e6) AS BIGINT) AS prior_fp
+       |       FROM (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM ltr GROUP BY 1) n,
+       |            (SELECT CAST(count(*) AS DOUBLE) AS n_all FROM ltr) a),
+       |lten AS (SELECT doc_id,
+       |           ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS t
+       |         FROM lte),
+       |ldg AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+       |        FROM lten WHERE len(t) >= 3),
+       |ldc AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri, count(*) AS n
+       |        FROM ldg GROUP BY 1, 2),
+       |ldtot AS (SELECT doc_id, sum(n) AS n_tot FROM ldc GROUP BY 1),
+       |lpres AS (SELECT ldc.doc_id, lw.lang, sum(ldc.n * lw.w_fp) AS s1,
+       |            sum(ldc.n) AS n_present
+       |          FROM ldc JOIN lw ON ldc.tri = lw.tri GROUP BY 1, 2),
+       |lsc AS (SELECT dt.doc_id, sc.lang,
+       |          sc.prior_fp + coalesce(p.s1, 0)
+       |            + (dt.n_tot - coalesce(p.n_present, 0)) * sc.unseen_fp AS score_fp
+       |        FROM ldtot dt
+       |        CROSS JOIN (SELECT lu.lang, lu.unseen_fp, lp.prior_fp
+       |                    FROM lu JOIN lp ON lu.lang = lp.lang) sc
+       |        LEFT JOIN lpres p ON p.doc_id = dt.doc_id AND p.lang = sc.lang)""".stripMargin
+  }
+
   /** n-gram variant of [[shinglesCte]] over the `words` CTE. */
   private def ngramsCte(n: Int, name: String): String =
     s"""$name AS (
@@ -775,6 +841,22 @@ object Queries {
     "text_lang_id" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))),
+
+    // — trained char-trigram NB language ID (the langdetect role): the
+    //   model trains on the shipped multilingual resource sample and the
+    //   oracle replays training + scoring from the SAME sentences (VALUES
+    //   below), closed-form in SQL like qm_weights/lm_model —
+    "lang_trigram_model" -> ((s, dir) =>
+      graft.ops.LangId.builtinModel(s)),
+
+    "lang_trigram_id" -> ((s, dir) => {
+      import s.implicits._
+      // planted probes include stopword-free sentences the heuristic
+      // langId cannot place (LangIdSpec asserts the floor)
+      graft.ops.LangId.classify(
+        langIdTests.toDF("doc_id", "text"),
+        graft.ops.LangId.builtinModel(s))
+    }),
 
     "text_quality" -> ((s, dir) =>
       TextStats.quality(t(s, dir, "documents"))
@@ -2243,6 +2325,19 @@ object Queries {
          |       ELSE 'de' END AS lang_pred
          |FROM sc""".stripMargin
     },
+
+    "lang_trigram_model" ->
+      s"""WITH $langTriCtes
+         |SELECT lang, tri, w_fp FROM lw
+         |UNION ALL SELECT lang, '__UNSEEN__' AS tri, unseen_fp AS w_fp FROM lu
+         |UNION ALL SELECT lang, '__PRIOR__' AS tri, prior_fp AS w_fp FROM lp""".stripMargin,
+
+    "lang_trigram_id" ->
+      s"""WITH $langTriCtes
+         |SELECT doc_id, lang, CAST(score_fp AS BIGINT) AS score_fp FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score_fp DESC, lang DESC) AS rn FROM lsc)
+         |WHERE rn = 1""".stripMargin,
 
     "text_quality" -> {
       val en = TextStats.stopwords("en").map(w => s"'$w'").mkString(", ")
