@@ -124,40 +124,52 @@ object Queries {
       |         ' call 555-123-4567' AS text
       |  FROM documents)""".stripMargin
 
-  /** Ten deterministic hosts over five registrable domains (incl. a
-   * co.uk second-level case and bare two-label hosts) — the URL-ops corpus. */
+  /** Sixteen deterministic hosts over eight registrable domains — the
+   * URL-ops corpus. Includes the planted multi-level public-suffix cases
+   * (com.au, co.jp, gouv.fr and the three-level k12.ca.us) the pre-PSL
+   * heuristic got wrong, plus bare two-label hosts. */
   private val urlHosts = Seq(
     "www.alpha.com", "m.alpha.com", "news.beta.co.uk", "www.beta.co.uk",
     "gamma.org", "blog.gamma.org", "a.b.delta.net", "delta.net",
-    "cdn.epsilon.io", "epsilon.io")
+    "cdn.epsilon.io", "epsilon.io",
+    "shop.zeta.com.au", "zeta.com.au", "blog.eta.co.jp",
+    "portal.theta.gouv.fr", "dist.k12.ca.us", "school.dist.k12.ca.us")
 
   private def urlCorpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       concat(lit("https://"),
-        element_at(array(urlHosts.map(lit): _*), (col("doc_id") % 10 + 1).cast("int")),
+        element_at(array(urlHosts.map(lit): _*),
+          (col("doc_id") % urlHosts.size + 1).cast("int")),
         lit("/page/"), col("doc_id").cast("string")).as("url"))
 
   private val urlCorpusCte =
     s"""urls AS (
        |  SELECT doc_id, 'https://' ||
        |    [${urlHosts.map("'" + _ + "'").mkString(", ")}]
-       |      [CAST(doc_id % 10 AS INT) + 1] ||
+       |      [CAST(doc_id % ${urlHosts.size} AS INT) + 1] ||
        |    '/page/' || CAST(doc_id AS VARCHAR) AS url
        |  FROM documents)""".stripMargin
 
-  /** DuckDB mirror of [[graft.ops.UrlOps.host]]+[[graft.ops.UrlOps.registrableDomain]]. */
-  private val urlDomainsCte =
-    """doms AS (
-      |  SELECT doc_id, host,
-      |    CASE WHEN len(p) <= 2 THEN host
-      |         WHEN p[len(p)-1] IN ('ac','co','com','edu','gov','net','org')
-      |           THEN array_to_string(p[len(p)-2: len(p)], '.')
-      |         ELSE array_to_string(p[len(p)-1: len(p)], '.') END AS domain
-      |  FROM (
-      |    SELECT doc_id, host, string_split(host, '.') AS p FROM (
-      |      SELECT doc_id, lower(regexp_extract(url,
-      |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host
-      |      FROM urls)))""".stripMargin
+  /** DuckDB mirror of [[graft.ops.UrlOps.host]]+[[graft.ops.UrlOps.registrableDomain]]
+   * — the suffix IN-lists come from the SAME resource the Spark side loads. */
+  private val urlDomainsCte = {
+    val s2 = graft.ops.UrlOps.publicSuffixes2.map("'" + _ + "'").mkString(", ")
+    val s3 = graft.ops.UrlOps.publicSuffixes3.map("'" + _ + "'").mkString(", ")
+    s"""doms AS (
+       |  SELECT doc_id, host,
+       |    CASE WHEN len(p) <= 2 THEN host
+       |         WHEN len(p) >= 4
+       |              AND array_to_string(p[len(p)-2: len(p)], '.') IN ($s3)
+       |           THEN array_to_string(p[len(p)-3: len(p)], '.')
+       |         WHEN array_to_string(p[len(p)-1: len(p)], '.') IN ($s2)
+       |           THEN array_to_string(p[len(p)-2: len(p)], '.')
+       |         ELSE array_to_string(p[len(p)-1: len(p)], '.') END AS domain
+       |  FROM (
+       |    SELECT doc_id, host, string_split(host, '.') AS p FROM (
+       |      SELECT doc_id, lower(regexp_extract(url,
+       |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host
+       |      FROM urls)))""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.ops.Similarity.kmeans]] (k=4, 2 Lloyd
    * iterations) over `embeddings`: deterministic hash-sample init, best

@@ -30,24 +30,44 @@ object UrlOps {
   /** Lower-cased host of a URL column ('' when the URL does not parse). */
   def host(url: Column): Column = lower(regexp_extract(url, hostRe, 1))
 
-  /** ccTLD-style second-level labels under which the registrable domain
-   * keeps THREE labels (news.bbc.co.uk → bbc.co.uk). A pragmatic public-
-   * suffix subset — the full PSL is a data file, not an algorithm change. */
-  val secondLevelTlds: Seq[String] =
-    Seq("ac", "co", "com", "edu", "gov", "net", "org")
+  /** Public-suffix subset shipped as a resource
+   * (`graft/urlops/public_suffix.tsv`, curated from the public PSL;
+   * replace with a full dump in production — rule unchanged). Split by
+   * suffix label count: the registrable domain is ONE label more than the
+   * longest matching suffix. The sets ride the plan as `InSet` literals
+   * (a few hundred strings — cheaper than a broadcast join for a pure
+   * projection, and mirrorable 1:1 in the DuckDB oracle). */
+  lazy val (publicSuffixes2: Seq[String], publicSuffixes3: Seq[String]) = {
+    val in = getClass.getResourceAsStream("/graft/urlops/public_suffix.tsv")
+    require(in != null, "missing resource graft/urlops/public_suffix.tsv")
+    val r = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      val all = Iterator.continually(r.readLine()).takeWhile(_ != null)
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toVector
+      val byLen = all.groupBy(_.count(_ == '.'))
+      require(byLen.keySet.subsetOf(Set(1, 2)),
+        s"unsupported suffix label depth: ${byLen.keySet}")
+      (byLen.getOrElse(1, Vector.empty), byLen.getOrElse(2, Vector.empty))
+    } finally r.close()
+  }
 
   /**
-   * Registrable-domain heuristic from a host: last two labels, or last
-   * three when the penultimate label is a known ccTLD second level.
-   * Hosts with ≤2 labels (or IPs/localhost) pass through unchanged.
+   * Registrable domain from a host: longest-matching public suffix plus
+   * one label (news.bbc.co.uk → bbc.co.uk, school.dist.k12.ca.us →
+   * dist.k12.ca.us); plain TLDs keep two labels. Hosts with ≤2 labels
+   * (or IPs/localhost) pass through unchanged.
    */
   def registrableDomain(hostCol: Column): Column = {
     val parts = split(hostCol, "\\.")
     val n = size(parts)
+    val last2 = concat_ws(".", slice(parts, -2, 2))
+    val last3 = concat_ws(".", slice(parts, -3, 3))
     when(n <= 2, hostCol)
-      .when(element_at(parts, -2).isInCollection(secondLevelTlds),
-        concat_ws(".", slice(parts, -3, 3)))
-      .otherwise(concat_ws(".", slice(parts, -2, 2)))
+      .when(n >= 4 && last3.isInCollection(publicSuffixes3),
+        concat_ws(".", slice(parts, -4, 4)))
+      .when(last2.isInCollection(publicSuffixes2), last3)
+      .otherwise(last2)
   }
 
   /** Adds `host` and `domain` columns. Pure projection. */

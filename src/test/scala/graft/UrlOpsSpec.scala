@@ -21,7 +21,7 @@ class UrlOpsSpec extends SparkSpec {
       "files.site.org", "host", "", ""))
   }
 
-  test("registrable domain: 2-label pass-through, ccTLD second levels") {
+  test("registrable domain: 2-label pass-through, PSL longest-suffix match") {
     val cases = Seq(
       "www.example.com" -> "example.com",
       "a.b.c.example.com" -> "example.com",
@@ -30,11 +30,30 @@ class UrlOpsSpec extends SparkSpec {
       "co.uk" -> "co.uk", // 2 labels pass through
       "example.org" -> "example.org",
       "localhost" -> "localhost",
-      "cdn.epsilon.io" -> "epsilon.io")
+      "cdn.epsilon.io" -> "epsilon.io",
+      // multi-level public suffixes the pre-PSL heuristic missed
+      "shop.zeta.com.au" -> "zeta.com.au",
+      "blog.eta.co.jp" -> "eta.co.jp",
+      "portal.theta.gouv.fr" -> "theta.gouv.fr",
+      "media.iota.me.uk" -> "iota.me.uk",
+      "www.kappa.or.jp" -> "kappa.or.jp",
+      // three-level suffix: k12.ca.us keeps FOUR labels
+      "school.dist.k12.ca.us" -> "dist.k12.ca.us",
+      "dist.k12.ca.us" -> "dist.k12.ca.us",
+      "k12.ca.us" -> "k12.ca.us", // the suffix itself passes through
+      // ca.us is itself a suffix -> three labels
+      "www.city.ca.us" -> "city.ca.us",
+      // amazon.co is a plain .co (Colombia) domain, NOT a suffix hit
+      "shop.amazon.co" -> "amazon.co")
     val got = cases.map(_._1).toDF("host")
       .select(col("host"), UrlOps.registrableDomain(col("host")))
       .as[(String, String)].collect().toMap
     cases.foreach { case (h, want) => assert(got(h) === want, s"host=$h") }
+    // resource loads: two-level and three-level suffix sets both non-empty
+    assert(UrlOps.publicSuffixes2.size > 100)
+    assert(UrlOps.publicSuffixes3.nonEmpty)
+    assert(UrlOps.publicSuffixes2.contains("com.au"))
+    assert(UrlOps.publicSuffixes3.contains("k12.ca.us"))
   }
 
   test("quota sample keeps everything under quota, ~quota over it; deterministic") {
