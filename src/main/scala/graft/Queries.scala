@@ -530,6 +530,30 @@ object Queries {
 
   private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
 
+  private def xmlUnescape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(c, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+      "&apos;", "'"), "&amp;", "&")
+
+  /** Per-conv non-whitespace characters of the extracted spans, in segment
+   * order (the rebuild-invariant LHS shared by the *_rebuild_diff pins). */
+  private def spanChars(spans: DataFrame): DataFrame =
+    spans.groupBy("conv_id")
+      .agg(regexp_replace(xmlUnescape(array_join(transform(
+        array_sort(collect_list(struct(col("segment_id"), col("text")))),
+        x => x.getField("text")), "")), "\\s+", "").as("chars"))
+      .where(col("chars") =!= "")
+
+  /** Per-conv non-whitespace characters of the source body lines, in line
+   * order (the rebuild-invariant RHS). */
+  private def lineChars(bodyLines: DataFrame): DataFrame =
+    bodyLines.groupBy("conv_id")
+      .agg(regexp_replace(array_join(transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("line_in_turn"),
+          col("line")))),
+        x => x.getField("line")), ""), "\\s+", "").as("chars"))
+      .where(col("chars") =!= "")
+
   /** DuckDB replay of [[graft.ops.LangId]] training on the SAME resource
    * sentences the Spark side trains on, plus scoring of [[langIdTests]] —
    * the whole trigram-NB lifecycle closed-form in SQL. */
@@ -848,6 +872,19 @@ object Queries {
       // the components feed at scale: O(d) verified edges per SRP bucket
       // instead of the capped all-pairs form above
       Similarity.cosineStarEdges(t(s, dir, "embeddings"), threshold = 0.9, planes = 8)),
+
+    "sim_two_level_diff" -> ((s, dir) => {
+      // 10^9-vector growth path pinned as an invariant: with one coarse
+      // cell, two-level assignment must equal single-level cellAssignments
+      // exactly (same hash-ordered centroid rule). Constant-empty oracle.
+      val emb = t(s, dir, "embeddings")
+      val two = Similarity.cellAssignmentsTwoLevel(emb, nCoarse = 1,
+        nFinePerCell = 4).select("vec_id", "cell")
+      val one = Similarity.cellAssignments(emb, nCentroids = 4)
+        .select("vec_id", "cell")
+      two.exceptAll(one).union(one.exceptAll(two))
+        .agg(count(lit(1)).as("n_mismatch"))
+    }),
 
     // — text analysis —
     "text_lang_id" -> ((s, dir) =>
@@ -1213,6 +1250,13 @@ object Queries {
       // createBlankTrainingFromPDF): wrapper + escaped raw text, no labels
       Assemble.blankTrainingTei(transcripts(s, dir))),
 
+    "blank_body_tei" -> ((s, dir) =>
+      // body-grain twin (reference createTrainingBlankBody): only the
+      // stage-1 body-zone text, escaped, unlabeled, same wrapper
+      Assemble.blankTrainingBodyTei(
+        Labeler.zones(Features.segmenter(Structure.keptLines(transcripts(s, dir))))
+          .where(col("zone") === "<body>"))),
+
     "tei_sharded_diff" -> ((s, dir) => {
       // sharded-TEI contract as a driver-checked invariant: concatenating
       // the (conv_id, shard_idx, tei) fragments in shard order must be
@@ -1260,25 +1304,25 @@ object Queries {
       // lines' non-whitespace characters EXACTLY, per conversation. This
       // pins tokenize → features → FSM → assembly as lossless against the
       // source text, independently of the declarative/chunked twins.
-      def unescape(c: Column): Column =
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          regexp_replace(c, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
-          "&apos;", "'"), "&amp;", "&")
       val trns = transcripts(s, dir)
-      val lhs = Pipeline.extract(trns)
-        .groupBy("conv_id")
-        .agg(regexp_replace(unescape(array_join(transform(
-          array_sort(collect_list(struct(col("segment_id"), col("text")))),
-          x => x.getField("text")), "")), "\\s+", "").as("chars"))
-        .where(col("chars") =!= "")
-      val rhs = Labeler.zones(Features.segmenter(Structure.keptLines(trns)))
-        .where(col("zone") === "<body>")
-        .groupBy("conv_id")
-        .agg(regexp_replace(array_join(transform(
-          array_sort(collect_list(struct(col("turn_idx"), col("line_in_turn"),
-            col("line")))),
-          x => x.getField("line")), ""), "\\s+", "").as("chars"))
-        .where(col("chars") =!= "")
+      val lhs = spanChars(Pipeline.extract(trns))
+      val rhs = lineChars(
+        Labeler.zones(Features.segmenter(Structure.keptLines(trns)))
+          .where(col("zone") === "<body>"))
+      lhs.exceptAll(rhs).union(rhs.exceptAll(lhs))
+        .agg(count(lit(1)).as("n_mismatch"))
+    }),
+
+    "doc_rebuild_diff" -> ((s, dir) => {
+      // document-mode sibling of pipeline_rebuild_diff: the doc-mode span
+      // texts must reproduce exactly the characters of the body lines the
+      // trained stage-1 zoner keeps — second independent pin for the
+      // rows-only pipeline_doc_spans (with doc_chunked_diff).
+      def docs = t(s, dir, "documents")
+        .select(concat(lit("doc"), col("doc_id")).as("conv_id"),
+          lit(0).as("turn_idx"), col("text"))
+      val lhs = spanChars(Pipeline.extractDocuments(docs))
+      val rhs = lineChars(Pipeline.documentBodyLines(docs))
       lhs.exceptAll(rhs).union(rhs.exceptAll(lhs))
         .agg(count(lit(1)).as("n_mismatch"))
     }),
@@ -1312,6 +1356,20 @@ object Queries {
       // at least one constant-empty invariant.
       val a = Pipeline.extract(transcripts(s, dir))
       val b = Pipeline.extractDeclarative(transcripts(s, dir))
+      a.exceptAll(b).union(b.exceptAll(a))
+        .agg(count(lit(1)).as("n_mismatch"))
+    }),
+
+    "w10_chunked_diff" -> ((s, dir) => {
+      // second independent pin for the rows-only w10_body_labels: the
+      // TOKEN-LABEL stream (not just the spans) must be row-identical
+      // between the monolith FSM and the chunk-parallel FSM. chunkTurns=8
+      // so sf conversations really split. Constant-empty oracle.
+      val trns = transcripts(s, dir)
+      val cols = Seq("conv_id", "turn_idx", "tok_idx", "tok", "label")
+      val a = Pipeline.labeledBodyTokens(trns).select(cols.map(col): _*)
+      val b = Pipeline.labeledBodyTokensChunked(trns, chunkTurns = 8,
+        materialize = false).select(cols.map(col): _*)
       a.exceptAll(b).union(b.exceptAll(a))
         .agg(count(lit(1)).as("n_mismatch"))
     }),
@@ -1417,13 +1475,22 @@ object Queries {
     "doc_chunked_diff" ->
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
 
+    "w10_chunked_diff" ->
+      "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+
     "tei_sharded_diff" ->
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
 
     "tei_doc_sharded_diff" ->
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
 
+    "sim_two_level_diff" ->
+      "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+
     "pipeline_rebuild_diff" ->
+      "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+
+    "doc_rebuild_diff" ->
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
 
     "pipeline_declarative_diff" ->
@@ -1761,6 +1828,19 @@ object Queries {
          |    '''', '&apos;') ||
          |  e'\\n\\t</text>\\n</tei>\\n' AS tei
          |FROM transcripts GROUP BY conv_id""".stripMargin,
+
+    "blank_body_tei" ->
+      s"""WITH $zoneCte
+         |SELECT conv_id,
+         |  e'<?xml version="1.0" ?>\\n<tei xml:space="preserve">\\n\\t<teiHeader>' ||
+         |  e'\\n\\t\\t<fileDesc xml:id="' || conv_id ||
+         |  e'"/>\\n\\t</teiHeader>\\n\\t<text xml:lang="fr">\\n' ||
+         |  replace(replace(replace(replace(replace(
+         |    string_agg(text, chr(10) ORDER BY turn_idx),
+         |    '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'),
+         |    '''', '&apos;') ||
+         |  e'\\n\\t</text>\\n</tei>\\n' AS tei
+         |FROM segs WHERE zone = '<body>' GROUP BY conv_id""".stripMargin,
 
     "tei_documents" -> {
       def ratio(lang: String): String = {

@@ -199,12 +199,36 @@ object Assemble {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("turn_idx"), col("text")))),
         x => x.getField("text")), "\n").as("rawtext"))
-      .select(col("conv_id"), concat(
-        lit("<?xml version=\"1.0\" ?>\n<tei xml:space=\"preserve\">\n\t<teiHeader>\n\t\t<fileDesc xml:id=\""),
-        col("conv_id"),
-        lit("\"/>\n\t</teiHeader>\n\t<text xml:lang=\"" + lang + "\">\n"),
-        TextCols.htmlEncode(col("rawtext")),
-        lit("\n\t</text>\n</tei>\n")).as("tei"))
+      .select(col("conv_id"),
+        blankSkeleton(col("conv_id"), col("rawtext"), lang).as("tei"))
+
+  /** The blank-training wrapper bytes shared by the segmenter-level and
+   * body-level skeletons (reference `:736-743`: hardcoded lang, single
+   * newline before `</text>`). */
+  private def blankSkeleton(convId: Column, rawtext: Column, lang: String): Column =
+    concat(
+      lit("<?xml version=\"1.0\" ?>\n<tei xml:space=\"preserve\">\n\t<teiHeader>\n\t\t<fileDesc xml:id=\""),
+      convId,
+      lit("\"/>\n\t</teiHeader>\n\t<text xml:lang=\"" + lang + "\">\n"),
+      TextCols.htmlEncode(rawtext),
+      lit("\n\t</text>\n</tei>\n"))
+
+  /**
+   * Body-grain blank-training skeleton — the reference's
+   * `createTrainingBlankBody` (`EngineDatacat.java:60`,
+   * `DatacatBodySegmentationParser.java:675-758`): the stage-1 BODY-zone
+   * text alone, escaped, unlabeled, in the same wrapper — what an
+   * annotator marks up to train the body model from scratch. Input is the
+   * zoned line frame filtered to `<body>`.
+   */
+  def blankTrainingBodyTei(bodyLines: DataFrame, lang: String = "fr"): DataFrame =
+    bodyLines.groupBy("conv_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("line_in_turn"),
+          col("line")))),
+        x => x.getField("line")), "\n").as("rawtext"))
+      .select(col("conv_id"),
+        blankSkeleton(col("conv_id"), col("rawtext"), lang).as("tei"))
 
   /**
    * Turn-range-sharded TEI for giant conversations (SURVEY §8.1 residual

@@ -67,6 +67,14 @@ object Pipeline {
       case None => extractDocumentsHeuristic(docs)
     }
 
+  /** Stage-1 body lines with the same artifact dispatch as
+   * [[extractDocuments]] — the frame its stage-2 tail consumes. */
+  def documentBodyLines(docs: DataFrame): DataFrame =
+    ZoneModelArtifact.load(docs.sparkSession) match {
+      case Some(model) => documentBodyLinesModeled(docs, model)
+      case None => documentBodyLinesHeuristic(docs)
+    }
+
   /**
    * Document-mode extraction with the heuristic stage-1: content-based
    * [[Labeler.zonesContent]] (front matter, price-list annexes and OCR junk
@@ -75,18 +83,17 @@ object Pipeline {
    * absent. Same single-exchange shape: zonesContent's windows are all
    * keyed on conv_id.
    */
-  def extractDocumentsHeuristic(docs: DataFrame): DataFrame = {
+  def extractDocumentsHeuristic(docs: DataFrame): DataFrame =
+    graft.plans.BodySpans.spans(docBodyFeats(documentBodyLinesHeuristic(docs)))
+
+  /** Heuristic twin of [[documentBodyLinesModeled]]. */
+  def documentBodyLinesHeuristic(docs: DataFrame): DataFrame = {
     val turns = withNullRoleCols(docs)
     val lines = Structure.keptLines(turns.repartition(col("conv_id")))
-    val bodyLines = Labeler.zonesContent(lines)
+    Labeler.zonesContent(lines)
       .where(col("zone") === "<body>")
       .select("conv_id", "turn_idx", "role", "tool", "block_idx",
         "line_in_turn", "line_idx", "line")
-    val toks = Structure.tokensFromLines(bodyLines)
-    val feats = Features.body(toks)
-      .select("conv_id", "turn_idx", "line_in_turn", "tok_idx",
-        "tok", "sep_before", "line_trailing", "f_capitalisation")
-    graft.plans.BodySpans.spans(feats)
   }
 
   /**
@@ -96,7 +103,14 @@ object Pipeline {
    * 86.4%, ZoneModelSpec). The model side is a broadcast join; the plan
    * still has a single conv_id exchange.
    */
-  def extractDocumentsModeled(docs: DataFrame, model: ZoneModel.Model): DataFrame = {
+  def extractDocumentsModeled(docs: DataFrame, model: ZoneModel.Model): DataFrame =
+    graft.plans.BodySpans.spans(docBodyFeats(
+      documentBodyLinesModeled(docs, model)))
+
+  /** Document-mode stage-1 output: the body lines the trained zoner keeps.
+   * Public so invariant oracles can pin the stage-2 tail against the text
+   * entering it (doc_rebuild_diff). */
+  def documentBodyLinesModeled(docs: DataFrame, model: ZoneModel.Model): DataFrame = {
     val turns = withNullRoleCols(docs)
     val lines = Structure.keptLines(turns.repartition(col("conv_id")))
     val hinted = Labeler.zonesContent(lines)
@@ -105,16 +119,18 @@ object Pipeline {
     // ZoneModelSpec) but blurs single-line zone BOUNDARIES — a smoothed
     // annex header gets outvoted by its body neighbors and leaks into the
     // extracted spans (DocumentPipelineSpec pins this)
-    val bodyLines = ZoneModel.apply(hinted, model)
+    ZoneModel.apply(hinted, model)
       .where(col("zone_pred") === "<body>")
       .select("conv_id", "turn_idx", "role", "tool", "block_idx",
         "line_in_turn", "line_idx", "line")
-    val toks = Structure.tokensFromLines(bodyLines)
-    val feats = Features.body(toks)
+  }
+
+  /** Stage-2 head shared by the document-mode paths: tokens → narrowed
+   * FSM feature projection. */
+  private def docBodyFeats(bodyLines: DataFrame): DataFrame =
+    Features.body(Structure.tokensFromLines(bodyLines))
       .select("conv_id", "turn_idx", "line_in_turn", "tok_idx",
         "tok", "sep_before", "line_trailing", "f_capitalisation")
-    graft.plans.BodySpans.spans(feats)
-  }
 
   /**
    * Chunk-parallel twin of [[extractDocuments]] — row-identical output

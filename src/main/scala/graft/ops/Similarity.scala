@@ -251,6 +251,44 @@ object Similarity {
         get(bestCells(col(vecCol), 1), lit(0)).getField("cell").as("cell"))
 
   /**
+   * Two-level cell assignment — the documented 10⁹-vector growth path for
+   * [[semDedupEdges]]/[[ivfTopK]], now built: one bounded broadcast of
+   * `nCoarse` coarse centroids assigns every vector a coarse cell; FINE
+   * centroids are a per-coarse-cell hash-ordered member sample (the same
+   * deterministic rule as [[centroidsRow]]) carried on an
+   * nCoarse-row frame and joined back BY `coarse_cell` — the fine codebook
+   * never rides one broadcast row, so total centroid count scales as
+   * nCoarse × nFinePerCell (past any single-broadcast budget) while
+   * per-row work stays nFinePerCell × d. The fine-selection window
+   * partitions by coarse cell (≈ N/nCoarse rows per task — level 1 is the
+   * skew bound). With nCoarse = 1 this degenerates to EXACTLY
+   * [[cellAssignments]]: SimilaritySpec pins the equality and the
+   * sim_two_level_diff driver oracle re-pins it every round.
+   * Output: (id, vec, coarse_cell, cell) — `cell` ids are globally unique
+   * (they are member vec_ids).
+   */
+  def cellAssignmentsTwoLevel(corpus: DataFrame, nCoarse: Int,
+      nFinePerCell: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // barrier: the fine-centroid selection and the join back both consume
+    // the coarse assignment — share one lineage, one coarse pass
+    val coarse = graft.extract.Chunked.barrier(
+      cellAssignments(corpus, nCoarse, idCol, vecCol)
+        .withColumnRenamed("cell", "coarse_cell"))
+    val w = Window.partitionBy("coarse_cell")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val fine = coarse
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= nFinePerCell)
+      .groupBy("coarse_cell")
+      .agg(collect_list(struct(col(idCol).cast("long").as("cell"),
+        col(vecCol).cast("array<double>").as("cv"))).as("cents"))
+    coarse.join(fine, Seq("coarse_cell"))
+      .select(col(idCol), col(vecCol), col("coarse_cell"),
+        get(bestCells(col(vecCol), 1), lit(0)).getField("cell").as("cell"))
+  }
+
+  /**
    * Assign every corpus vector to its nearest centroid from a TRAINED
    * codebook (the per-dimension frame [[kmeans]] returns): the inference
    * half of k-means, one broadcast crossJoin, no shuffle on the corpus.
@@ -337,10 +375,10 @@ object Similarity {
    * [[cosineNearDups]]'s `maxBucket`. Feed edges to
    * [[Dedup.components]] or use [[semDedupKeep]] directly.
    *
-   * (At 10^9+-vector scale the single-row centroid broadcast also stops
-   * fitting; the documented growth path is two-level assignment — coarse
-   * centroids then per-coarse-cell fine centroids — which composes this
-   * same operator twice.)
+   * (At 10^9+-vector scale the single-row centroid broadcast stops
+   * fitting; [[cellAssignmentsTwoLevel]] is that growth path — coarse
+   * centroids then per-coarse-cell fine centroids, the fine codebook
+   * joined by coarse cell instead of broadcast.)
    */
   def semDedupEdges(corpus: DataFrame, nCentroids: Int = 16,
       threshold: Double = 0.95, maxCell: Int = 1000,

@@ -14,6 +14,14 @@ class PcaSpec extends SparkSpec {
     (2L, Array(-2f, 1f, 0f, 0f)), (3L, Array(-2f, -1f, 0f, 0f)))
     .toDF("vec_id", "embedding")
 
+  test("ragged embedding widths fail loudly, not with a skewed covariance") {
+    val ragged = Seq(
+      (0L, Array(1f, 2f)), (1L, Array(1f, 2f, 3f)), (2L, Array(4f, 5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] { Pca.fit(ragged, k = 1) }
+    assert(e.getMessage.contains("ragged"), e.getMessage)
+  }
+
   test("fit recovers the planted axes with canonical signs") {
     val m = Pca.fit(planted, k = 2)
     assert(m.mean.forall(math.abs(_) < 1e-12))

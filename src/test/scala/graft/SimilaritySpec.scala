@@ -252,6 +252,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("two-level assignment: nCoarse=1 equals single-level; fine state bounded") {
+    val c = corpus()
+    // differential: with one coarse cell the fine sample IS centroidsRow's
+    // global hash-ordered sample, so assignments must match exactly
+    val single = Similarity.cellAssignments(c, nCentroids = 6)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = Similarity.cellAssignmentsTwoLevel(c, nCoarse = 1, nFinePerCell = 6)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two === single)
+    // bounded state at nCoarse > 1: the fine codebook frame is one row per
+    // coarse cell with ≤ nFinePerCell centroids — never a corpus-sized or
+    // all-centroids broadcast
+    val multi = Similarity.cellAssignmentsTwoLevel(c, nCoarse = 4, nFinePerCell = 3)
+    val got = multi.collect()
+    assert(got.length === c.count())
+    val byCoarse = got.groupBy(_.getLong(2))
+    assert(byCoarse.keySet.size <= 4)
+    byCoarse.foreach { case (cc, rows) =>
+      val fineCells = rows.map(_.getLong(3)).toSet
+      assert(fineCells.size <= 3, s"coarse $cc has ${fineCells.size} fine cells")
+      // a fine cell id is a member of its own coarse cell
+      assert(fineCells.subsetOf(rows.map(_.getLong(0)).toSet))
+    }
+  }
+
   test("semDedupEdges excludes cells over maxCell instead of exploding") {
     val sparkS = spark
     import sparkS.implicits._
