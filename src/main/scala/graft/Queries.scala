@@ -605,6 +605,36 @@ object Queries {
        |        LEFT JOIN lpres p ON p.doc_id = dt.doc_id AND p.lang = sc.lang)""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.ops.Pq]] codebook training (m=8, k=16 over
+   * the 64-dim embeddings): hash-ordered 16-row sample, dense codes,
+   * per-subspace slices. */
+  private val pqCbCtes =
+    """psample AS (
+      |  SELECT embedding::DOUBLE[] AS v,
+      |    CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+      |         - 1 AS INT) AS code
+      |  FROM (SELECT * FROM embeddings
+      |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+      |cbk AS (
+      |  SELECT CAST(s AS INT) AS subspace, code, v[s*8+1 : s*8+8] AS cv
+      |  FROM (SELECT code, v, unnest(generate_series(0, 7)) AS s FROM psample))""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.Pq.encode]]: per (vector, subspace) the
+   * argmin 4dp-rounded squared L2 code, lower code on ties. */
+  private val pqCodesCtes =
+    """pe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |pdist AS (SELECT e.vec_id, c.subspace, c.code,
+      |    round(list_sum(list_transform(range(1, 9), i ->
+      |      (e.v[c.subspace*8 + i] - c.cv[i])
+      |        * (e.v[c.subspace*8 + i] - c.cv[i]))), 4) AS d
+      |  FROM pe e CROSS JOIN cbk c),
+      |pam AS (SELECT vec_id, subspace, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+      |      ORDER BY d, code) AS rn
+      |    FROM pdist) WHERE rn = 1),
+      |pcodes AS (SELECT vec_id, list(code ORDER BY subspace) AS codes
+      |           FROM pam GROUP BY vec_id)""".stripMargin
+
   /** n-gram variant of [[shinglesCte]] over the `words` CTE. */
   private def ngramsCte(n: Int, name: String): String =
     s"""$name AS (
@@ -872,6 +902,24 @@ object Queries {
       // the components feed at scale: O(d) verified edges per SRP bucket
       // instead of the capped all-pairs form above
       Similarity.cosineStarEdges(t(s, dir, "embeddings"), threshold = 0.9, planes = 8)),
+
+    // — product quantization (the FAISS IVF-PQ compression role): 64-dim
+    //   floats → 8 byte-codes; codebook, codes, and ADC ranking each
+    //   replayed closed-form by the oracle —
+    "pq_codebook" -> ((s, dir) =>
+      graft.ops.Pq.trainCodebook(t(s, dir, "embeddings"), m = 8, k = 16)),
+
+    "pq_codes" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.Pq.encode(e, graft.ops.Pq.trainCodebook(e, m = 8, k = 16))
+    }),
+
+    "pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = graft.ops.Pq.trainCodebook(e, m = 8, k = 16)
+      graft.ops.Pq.pqTopK(graft.ops.Pq.encode(e, cb),
+        e.where(col("vec_id") < 10), cb, k = 5)
+    }),
 
     "sim_two_level_diff" -> ((s, dir) => {
       // 10^9-vector growth path pinned as an invariant: with one coarse
@@ -2162,6 +2210,37 @@ object Queries {
          |FROM com JOIN cnts ca ON ca.doc_id = com.a
          |JOIN cnts cb ON cb.doc_id = com.b
          |WHERE round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) >= 0.5""".stripMargin,
+
+    "pq_codebook" ->
+      s"""WITH $pqCbCtes
+         |SELECT subspace, code, cv FROM cbk""".stripMargin,
+
+    "pq_codes" ->
+      s"""WITH $pqCbCtes, $pqCodesCtes
+         |SELECT vec_id, codes FROM pcodes""".stripMargin,
+
+    "pq_topk" ->
+      s"""WITH $pqCbCtes, $pqCodesCtes,
+         |qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |       FROM embeddings WHERE vec_id < 10),
+         |lut AS (SELECT q.query_id, c.subspace, c.code,
+         |          round(list_sum(list_transform(range(1, 9), i ->
+         |            (q.qv[c.subspace*8 + i] - c.cv[i])
+         |              * (q.qv[c.subspace*8 + i] - c.cv[i]))), 4) AS d
+         |        FROM qs q CROSS JOIN cbk c),
+         |pc AS (SELECT vec_id AS neighbor_id, unnest(codes) AS code,
+         |         CAST(unnest(generate_series(0, 7)) AS INT) AS subspace
+         |       FROM pcodes),
+         |sc AS (SELECT l.query_id, p.neighbor_id,
+         |         round(list_sum(list(l.d ORDER BY l.subspace)), 4) AS dist2
+         |       FROM pc p JOIN lut l
+         |         ON l.subspace = p.subspace AND l.code = p.code
+         |       WHERE p.neighbor_id <> l.query_id
+         |       GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, dist2, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dist2, neighbor_id) AS rank FROM sc)
+         |WHERE rank <= 5""".stripMargin,
 
     "sim_topk_brute" ->
       """WITH s AS (

@@ -97,8 +97,12 @@ object LangId {
    */
   def classify(docs: DataFrame, model: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val weights = model.where(!col("tri").isin(priorTri, unseenTri))
-    val scalars = broadcast(model.where(col("tri").isin(priorTri, unseenTri))
+    // barrier the (vocab-sized) model: weights and scalars below would
+    // otherwise each inline the whole training plan — with a freshly
+    // trained model that re-plans (and re-runs) training per consumer
+    val m = graft.extract.Chunked.barrier(model)
+    val weights = m.where(!col("tri").isin(priorTri, unseenTri))
+    val scalars = broadcast(m.where(col("tri").isin(priorTri, unseenTri))
       .groupBy("lang").agg(
         max(when(col("tri") === priorTri, col("w_fp"))).as("prior_fp"),
         max(when(col("tri") === unseenTri, col("w_fp"))).as("unseen_fp")))
