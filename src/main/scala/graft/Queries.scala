@@ -635,6 +635,21 @@ object Queries {
       |pcodes AS (SELECT vec_id, list(code ORDER BY subspace) AS codes
       |           FROM pam GROUP BY vec_id)""".stripMargin
 
+  /** DuckDB replay of the ADC query side (vec_id < 10 probes): per-query
+   * per-(subspace, code) distances `lut` and the exploded per-neighbor
+   * codes `pc` — shared by pq_topk and ivfpq_topk. */
+  private val pqAdcCtes =
+    """qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |       FROM embeddings WHERE vec_id < 10),
+      |lut AS (SELECT q.query_id, c.subspace, c.code,
+      |          round(list_sum(list_transform(range(1, 9), i ->
+      |            (q.qv[c.subspace*8 + i] - c.cv[i])
+      |              * (q.qv[c.subspace*8 + i] - c.cv[i]))), 4) AS d
+      |        FROM qs q CROSS JOIN cbk c),
+      |pc AS (SELECT vec_id AS neighbor_id, unnest(codes) AS code,
+      |         CAST(unnest(generate_series(0, 7)) AS INT) AS subspace
+      |       FROM pcodes)""".stripMargin
+
   /** n-gram variant of [[shinglesCte]] over the `words` CTE. */
   private def ngramsCte(n: Int, name: String): String =
     s"""$name AS (
@@ -919,6 +934,14 @@ object Queries {
       val cb = graft.ops.Pq.trainCodebook(e, m = 8, k = 16)
       graft.ops.Pq.pqTopK(graft.ops.Pq.encode(e, cb),
         e.where(col("vec_id") < 10), cb, k = 5)
+    }),
+
+    "ivfpq_topk" -> ((s, dir) => {
+      // IVF routing × PQ codes (the FAISS flagship composition): probe 2
+      // of 4 cells, ADC-rank byte codes inside them
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.where(col("vec_id") < 10), k = 5,
+        nCells = 4, nProbe = 2, m = 8, kCodes = 16)
     }),
 
     "sim_two_level_diff" -> ((s, dir) => {
@@ -2220,17 +2243,7 @@ object Queries {
          |SELECT vec_id, codes FROM pcodes""".stripMargin,
 
     "pq_topk" ->
-      s"""WITH $pqCbCtes, $pqCodesCtes,
-         |qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-         |       FROM embeddings WHERE vec_id < 10),
-         |lut AS (SELECT q.query_id, c.subspace, c.code,
-         |          round(list_sum(list_transform(range(1, 9), i ->
-         |            (q.qv[c.subspace*8 + i] - c.cv[i])
-         |              * (q.qv[c.subspace*8 + i] - c.cv[i]))), 4) AS d
-         |        FROM qs q CROSS JOIN cbk c),
-         |pc AS (SELECT vec_id AS neighbor_id, unnest(codes) AS code,
-         |         CAST(unnest(generate_series(0, 7)) AS INT) AS subspace
-         |       FROM pcodes),
+      s"""WITH $pqCbCtes, $pqCodesCtes, $pqAdcCtes,
          |sc AS (SELECT l.query_id, p.neighbor_id,
          |         round(list_sum(list(l.d ORDER BY l.subspace)), 4) AS dist2
          |       FROM pc p JOIN lut l
@@ -2240,6 +2253,37 @@ object Queries {
          |SELECT query_id, neighbor_id, dist2, CAST(rank AS INT) AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY dist2, neighbor_id) AS rank FROM sc)
+         |WHERE rank <= 5""".stripMargin,
+
+    "ivfpq_topk" ->
+      s"""WITH $pqCbCtes, $pqCodesCtes, $pqAdcCtes,
+         |icents AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+         |           FROM embeddings
+         |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+         |iassign AS (SELECT vec_id AS neighbor_id, cell FROM (
+         |    SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+         |        c.cv), 4) DESC, c.cell DESC) AS rn
+         |    FROM embeddings e CROSS JOIN icents c) WHERE rn = 1),
+         |iprobe AS (SELECT vec_id AS query_id, cell FROM (
+         |    SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+         |        c.cv), 4) DESC, c.cell DESC) AS rn
+         |    FROM embeddings e CROSS JOIN icents c WHERE e.vec_id < 10)
+         |  WHERE rn <= 2),
+         |pairs AS (SELECT p.query_id, a.neighbor_id
+         |          FROM iprobe p JOIN iassign a USING (cell)
+         |          WHERE a.neighbor_id <> p.query_id),
+         |isc AS (SELECT pr.query_id, pr.neighbor_id,
+         |          round(list_sum(list(l.d ORDER BY l.subspace)), 4) AS dist2
+         |        FROM pairs pr
+         |        JOIN pc p ON p.neighbor_id = pr.neighbor_id
+         |        JOIN lut l ON l.query_id = pr.query_id
+         |          AND l.subspace = p.subspace AND l.code = p.code
+         |        GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, dist2, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dist2, neighbor_id) AS rank FROM isc)
          |WHERE rank <= 5""".stripMargin,
 
     "sim_topk_brute" ->

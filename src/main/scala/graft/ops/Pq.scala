@@ -102,6 +102,38 @@ object Pq {
               code.as("code")))), lit(0)).getField("code")).as("codes"))
   }
 
+  /** Per-query ADC lookup tables: (query_id, lut) where
+   * `lut[s][code] = round(||q_s − c_{s,code}||², 4)` — the broadcastable
+   * query side of every ADC ranking ([[pqTopK]], IVF-PQ routing). Keeps
+   * `extraCols` (e.g. the raw query vector for cell probing). */
+  def queryLuts(queries: DataFrame, codebook: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      extraCols: Seq[Column] = Nil): DataFrame = {
+    val m = size(col("cb"))
+    val w = size(element_at(element_at(col("cb"), 1), 1))
+    queries.crossJoin(codebookRow(codebook))
+      .select((Seq(col(idCol).as("query_id"),
+        transform(sequence(lit(0), m - 1), s =>
+          transform(element_at(col("cb"), s + 1), cv =>
+            round(dist2(slice(col(vecCol).cast("array<double>"),
+              s * w + 1, w), cv), 4))).as("lut")) ++ extraCols): _*)
+  }
+
+  /** ADC scoring + per-query top-k over candidate rows
+   * `(query_id, neighbor_id, codes, lut)`: `dist2` is the subspace-ordered
+   * sum of table lookups, rank 1 = nearest, ties on neighbor id. */
+  def adcRank(candidates: DataFrame, k: Int): DataFrame = {
+    val scored = candidates.withColumn("dist2", round(aggregate(
+      zip_with(col("lut"), col("codes"),
+        (lutS, code) => element_at(lutS, code + 1)),
+      lit(0.0), (acc, v) => acc + v), 4))
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("dist2"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(rw))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dist2", "rank")
+  }
+
   /**
    * ADC top-k: for each (small, broadcast) query, rank the ENCODED corpus
    * by the sum of per-subspace lookup-table distances — m lookups per
@@ -111,26 +143,11 @@ object Pq {
   def pqTopK(codes: DataFrame, queries: DataFrame, codebook: DataFrame,
       k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val m = size(col("cb"))
-    val w = size(element_at(element_at(col("cb"), 1), 1))
-    // per-query lut: lut[s][code] = round(||q_s − c_{s,code}||², 4)
-    val q = broadcast(queries.crossJoin(codebookRow(codebook))
-      .select(col(idCol).as("query_id"),
-        transform(sequence(lit(0), m - 1), s =>
-          transform(element_at(col("cb"), s + 1), cv =>
-            round(dist2(slice(col(vecCol).cast("array<double>"),
-              s * w + 1, w), cv), 4))).as("lut")))
-    val scored = codes.select(col(idCol).as("neighbor_id"), col("codes"))
-      .crossJoin(q)
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("dist2", round(aggregate(
-        zip_with(col("lut"), col("codes"),
-          (lutS, code) => element_at(lutS, code + 1)),
-        lit(0.0), (acc, v) => acc + v), 4))
-    val rw = Window.partitionBy("query_id")
-      .orderBy(col("dist2"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(rw))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "dist2", "rank")
+    val q = broadcast(queryLuts(queries, codebook, idCol, vecCol))
+    adcRank(
+      codes.select(col(idCol).as("neighbor_id"), col("codes"))
+        .crossJoin(q)
+        .where(col("neighbor_id") =!= col("query_id")),
+      k)
   }
 }

@@ -251,6 +251,38 @@ object Similarity {
         get(bestCells(col(vecCol), 1), lit(0)).getField("cell").as("cell"))
 
   /**
+   * IVF-PQ top-k — the FAISS flagship composition, both scale devices at
+   * once: vectors are ROUTED by IVF cell ([[cellAssignments]]' bounded
+   * centroid broadcast) and STORED as PQ byte codes ([[Pq.encode]]);
+   * each query probes its `nProbe` nearest cells and ADC-ranks only the
+   * codes inside them — the corpus never ships floats, and the candidate
+   * set shrinks by ~nCells/nProbe before any distance math. Exactly-
+   * mirrorable: cells and ranks reuse the 4dp-rounded deterministic rules
+   * of the component operators (the ivfpq_topk oracle replays all of it).
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 2, m: Int = 8, kCodes: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = centroidsRow(corpus, nCells, idCol, vecCol)
+    val cb = Pq.trainCodebook(corpus, m, kCodes, idCol, vecCol)
+    val routed = Par.spread(corpus).crossJoin(cents)
+      .select(col(idCol).as("neighbor_id"),
+        get(bestCells(col(vecCol), 1), lit(0)).getField("cell").as("cell"))
+      .join(Pq.encode(corpus, cb, idCol, vecCol)
+        .withColumnRenamed(idCol, "neighbor_id"), Seq("neighbor_id"))
+    val probes = broadcast(
+      Pq.queryLuts(queries, cb, idCol, vecCol, extraCols = Seq(col(vecCol)))
+        .crossJoin(cents)
+        .select(col("query_id"), col("lut"),
+          explode(transform(bestCells(col(vecCol), nProbe),
+            s => s.getField("cell"))).as("cell")))
+    Pq.adcRank(
+      routed.join(probes, Seq("cell"))
+        .where(col("neighbor_id") =!= col("query_id")),
+      k)
+  }
+
+  /**
    * Two-level cell assignment — the documented 10⁹-vector growth path for
    * [[semDedupEdges]]/[[ivfTopK]], now built: one bounded broadcast of
    * `nCoarse` coarse centroids assigns every vector a coarse cell; FINE

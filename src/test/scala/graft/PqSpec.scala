@@ -73,6 +73,28 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ probing every cell equals plain PQ top-k exactly") {
+    val c = corpus()
+    val cb = Pq.trainCodebook(c, m = 2, k = 6)
+    val q = c.where(col("vec_id") < 3)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val full = key(Pq.pqTopK(Pq.encode(c, cb), q, cb, k = 5))
+    val ivf = key(graft.ops.Similarity.ivfPqTopK(c, q, k = 5,
+      nCells = 3, nProbe = 3, m = 2, kCodes = 6))
+    assert(ivf === full)
+    // narrower probing still answers (bounded candidate set, never empty
+    // on a corpus where every cell is populated)
+    val narrow = key(graft.ops.Similarity.ivfPqTopK(c, q, k = 3,
+      nCells = 3, nProbe = 1, m = 2, kCodes = 6))
+    assert(narrow.nonEmpty)
+    val universe = key(graft.ops.Similarity.ivfPqTopK(c, q, k = 60,
+      nCells = 3, nProbe = 3, m = 2, kCodes = 6)).map(t => (t._1, t._2))
+    assert(narrow.forall(n => universe.contains((n._1, n._2))),
+      "narrow-probe results must come from the all-probe candidate universe")
+  }
+
   test("k > 256 is rejected (codes must stay byte-width)") {
     val e = intercept[IllegalArgumentException] {
       Pq.trainCodebook(corpus(), m = 2, k = 300)
