@@ -1284,6 +1284,62 @@ object Queries {
           col("media_meta.height").as("height"))
     }),
 
+    // — real audio/video container probe: WAV RIFF and MP4 ISO-BMFF
+    //   payloads are built byte-for-byte from doc_id, and the probe must
+    //   recover true duration / sample rate / channels / video dims from
+    //   the binary payload alone (the oracle re-derives every expectation
+    //   from doc_id arithmetic) —
+    "mm_av_probe" -> ((s, dir) => {
+      def le2(v: Column) = { val b = lpad(hex(v), 4, "0")
+        concat(substring(b, 3, 2), substring(b, 1, 2)) }
+      def le4(v: Column) = { val b = lpad(hex(v), 8, "0")
+        concat(substring(b, 7, 2), substring(b, 5, 2),
+          substring(b, 3, 2), substring(b, 1, 2)) }
+      def be2x(v: Column) = lpad(hex(v), 4, "0")
+      def be4x(v: Column) = lpad(hex(v), 8, "0")
+
+      // 44-byte canonical WAV: RIFF(36) WAVE fmt(16: PCM, ch, rate) data
+      // whose declared size is byteRate*k -> duration exactly k*1000 ms.
+      val ch = (col("doc_id") % 2 + 1).cast("int")
+      val sr = (col("doc_id") % 8 * 1000 + 8000).cast("int")
+      val byteRate = sr * ch * lit(2)
+      val dataSz = byteRate * (col("doc_id") % 5 + 1).cast("int")
+      val wav = concat(
+        lit("52494646" + "24000000" + "57415645" + // RIFF size WAVE
+          "666D7420" + "10000000" + "0100"),       // fmt_ 16 pcm
+        le2(ch), le4(sr), le4(byteRate), le2(ch * 2),
+        lit("1000" + "64617461"), le4(dataSz))     // bits=16, data, size
+
+      // minimal ISO-BMFF: ftyp(16) + moov(216){ mvhd v0(108: scale=1000,
+      // dur) + trak(100){ tkhd v0(92: 16.16 width/height at +76/+80) } }
+      val vw = (col("doc_id") % 1280 + 16).cast("int")
+      val vh = (col("doc_id") % 720 + 16).cast("int")
+      val durMp4 = ((col("doc_id") % 7 + 1) * 500).cast("int")
+      val mp4 = concat(
+        lit("00000010" + "66747970" + "69736F6D" + "00000000" + // ftyp isom
+          "000000D8" + "6D6F6F76" +                             // moov
+          "0000006C" + "6D766864" + "00000000" +                // mvhd v0
+          "00000000" + "00000000" + "000003E8"),                // scale 1000
+        be4x(durMp4), lit("00" * 80),                           // dur + pad
+        lit("00000064" + "7472616B" +                           // trak
+          "0000005C" + "746B6864" + "0000000F" +                // tkhd v0
+          "00000000" + "00000000" + "00000001"), lit("00" * 60),
+        be2x(vw), lit("0000"), be2x(vh), lit("0000"))           // 16.16 dims
+
+      val payload = when(col("doc_id") % 3 === 0, unhex(wav))
+        .when(col("doc_id") % 3 === 1, unhex(mp4))
+        .otherwise(encode(col("text"), "UTF-8"))
+      graft.ops.Multimodal.withMediaMeta(
+        t(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
+        kind = "video")
+        .select(col("doc_id"), col("media_meta.format").as("format"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.duration_ms").as("duration_ms"),
+          col("media_meta.sample_rate").as("sample_rate"),
+          col("media_meta.channels").as("channels"))
+    }),
+
     // — full-pipeline surfaces (not SQL-expressible: rows-only checks) —
     "f5_size_guard" -> ((s, dir) =>
       Structure.sizeGuard(Structure.keptLines(transcripts(s, dir)),
@@ -3180,6 +3236,24 @@ object Queries {
         |       ELSE NULL END AS width,
         |  CASE WHEN doc_id % 4 <= 2 THEN CAST(doc_id % 480 + 1 AS INT)
         |       ELSE NULL END AS height
+        |FROM documents""".stripMargin,
+
+    "mm_av_probe" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4'
+        |       ELSE NULL END AS format,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 1280 + 16 AS INT)
+        |       ELSE NULL END AS width,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 720 + 16 AS INT)
+        |       ELSE NULL END AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 5 + 1) * 1000
+        |            WHEN doc_id % 3 = 1 THEN (doc_id % 7 + 1) * 500
+        |            ELSE octet_length(encode(text)) * 10
+        |       END AS BIGINT) AS duration_ms,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 8 * 1000 + 8000 AS INT)
+        |       ELSE NULL END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 2 + 1 AS INT)
+        |       ELSE NULL END AS channels
         |FROM documents""".stripMargin
   )
 }

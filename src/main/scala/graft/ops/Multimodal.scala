@@ -17,7 +17,11 @@ import org.apache.spark.sql.types._
  * payload bytes (no codec library needed), and [[extractFeatures]] attempts
  * a full `javax.imageio` decode (PNG/JPEG/GIF/BMP ship with the JDK) before
  * falling back to the deterministic byte-fold stub for payloads no JDK
- * reader accepts. Only the embedding model itself remains a stand-in.
+ * reader accepts. [[AvProbe]] extends the same discipline to audio/video
+ * containers: WAV (RIFF fmt/data chunk walk → sample rate, channels, true
+ * duration) and MP4 (ISO-BMFF box walk → mvhd timescale/duration, first
+ * video tkhd 16.16 width/height). Only the embedding model itself remains
+ * a stand-in.
  */
 object Multimodal {
 
@@ -29,7 +33,9 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true),
     StructField("sha1", StringType, nullable = false),
-    StructField("n_bytes", LongType, nullable = false)))
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true)))
 
   /**
    * Pure-JVM container-header parser: true (format, width, height) from
@@ -90,11 +96,118 @@ object Multimodal {
     }
   }
 
+  /**
+   * Pure-JVM audio/video container probe, same discipline as
+   * [[HeaderProbe]]: structural walks over declared chunk/box sizes, no
+   * codec, O(header) — only the small moov/fmt metadata region is touched,
+   * never sample data. Unknown containers → all-null [[AvProbe.Av]].
+   *
+   *  - WAV: RIFF/WAVE chunk walk; `fmt ` gives channels + sample rate +
+   *    byte rate, `data`'s declared size gives the true duration
+   *    (dataBytes·1000/byteRate). Odd chunk sizes honor the RIFF pad byte.
+   *  - MP4 (ISO BMFF): requires a leading `ftyp`; `moov/mvhd` (version 0
+   *    and 1) gives timescale + duration → duration_ms; the first `trak/
+   *    tkhd` with a nonzero 16.16 fixed-point width supplies video
+   *    width/height.
+   */
+  object AvProbe {
+    /** Boxed so unknowns surface as SQL NULLs, not 0s. */
+    final case class Av(format: String, width: Integer, height: Integer,
+        durationMs: java.lang.Long, sampleRate: Integer, channels: Integer)
+    val unknown: Av = Av(null, null, null, null, null, null)
+
+    def probe(b: Array[Byte]): Av = {
+      @inline def u8(i: Int): Int = b(i) & 0xff
+      @inline def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      @inline def be32(i: Int): Long =
+        ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
+          u8(i + 3)) & 0xffffffffL
+      @inline def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+      @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      @inline def le32(i: Int): Long =
+        (u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+          (u8(i + 3).toLong << 24)) & 0xffffffffL
+      @inline def tag(i: Int): String =
+        new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+      if (b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE") {
+        // RIFF chunk walk: id(4) + size(le32) + payload, padded to even.
+        var channels: Integer = null; var rate: Integer = null
+        var byteRate = 0L; var dataBytes = -1L
+        var i = 12L
+        while (i + 8 <= b.length) {
+          val id = tag(i.toInt); val sz = le32(i.toInt + 4)
+          if (id == "fmt " && i + 8 + 16 <= b.length) {
+            channels = le16(i.toInt + 10)
+            rate = le32(i.toInt + 12).toInt
+            byteRate = le32(i.toInt + 16)
+          } else if (id == "data") {
+            dataBytes = sz
+          }
+          i += 8 + sz + (sz & 1) // pad byte on odd chunk sizes
+        }
+        val dur: java.lang.Long =
+          if (dataBytes >= 0 && byteRate > 0) dataBytes * 1000L / byteRate
+          else null
+        Av("wav", null, null, dur, rate, channels)
+      } else if (b.length >= 12 && tag(4) == "ftyp") {
+        // ISO BMFF: top-level box walk to moov, then one nested walk for
+        // mvhd (duration) and trak/tkhd (video dims). Declared box sizes
+        // drive the walk; size==1 means a 64-bit largesize follows.
+        var durMs: java.lang.Long = null
+        var w: Integer = null; var h: Integer = null
+
+        def boxes(from: Long, to: Long)(f: (String, Long, Long) => Unit): Unit = {
+          var i = from
+          while (i + 8 <= to) {
+            var sz = be32(i.toInt); var hdr = 8L
+            val ty = tag(i.toInt + 4)
+            if (sz == 1 && i + 16 <= to) { sz = be64(i.toInt + 8); hdr = 16L }
+            else if (sz == 0) sz = to - i // box extends to end of enclosure
+            if (sz < hdr) return // corrupt size: stop the walk, keep findings
+            f(ty, i + hdr, math.min(to, i + sz))
+            i += sz
+          }
+        }
+        boxes(0, b.length) { (ty, p0, p1) =>
+          if (ty == "moov") boxes(p0, p1) { (ct, c0, c1) =>
+            if (ct == "mvhd" && c0 + 4 <= c1) {
+              val v = u8(c0.toInt)
+              // after version(1)+flags(3): v0 ctime(4) mtime(4) scale(4)
+              // dur(4); v1 ctime(8) mtime(8) scale(4) dur(8)
+              if (v == 0 && c0 + 20 <= c1) {
+                val scale = be32(c0.toInt + 12); val dur = be32(c0.toInt + 16)
+                if (scale > 0) durMs = dur * 1000L / scale
+              } else if (v == 1 && c0 + 32 <= c1) {
+                val scale = be32(c0.toInt + 20); val dur = be64(c0.toInt + 24)
+                if (scale > 0) durMs = dur * 1000L / scale
+              }
+            } else if (ct == "trak" && w == null) boxes(c0, c1) { (tt, t0, t1) =>
+              if (tt == "tkhd" && t0 + 4 <= t1) {
+                val v = u8(t0.toInt)
+                // width/height are the trailing 16.16 fixed-point words:
+                // v0 layout puts them at +76/+80, v1 at +88/+92
+                val off = if (v == 1) 88 else 76
+                if (t0 + off + 8 <= t1) {
+                  val fw = (be32((t0 + off).toInt) >> 16).toInt
+                  val fh = (be32((t0 + off + 4).toInt) >> 16).toInt
+                  if (fw > 0 && w == null) { w = fw; h = fh }
+                }
+              }
+            }
+          }
+        }
+        Av("mp4", w, h, durMs, null, null)
+      } else unknown
+    }
+  }
+
   /** Attach derived typed metadata for a media payload column (binary).
-   * Width/height/format come from the REAL header parse ([[HeaderProbe]]);
-   * duration stays a byte-length-derived stand-in (no container/av codec
-   * in this build). One batched per-partition pass, digest reused across
-   * the partition. */
+   * Format/width/height come from the REAL image header parse
+   * ([[HeaderProbe]]); WAV/MP4 payloads get REAL duration, sample rate,
+   * channels and video dims from [[AvProbe]]. Only payloads no probe
+   * recognizes keep the documented byte-length duration stand-in. One
+   * batched per-partition pass, digest reused across the partition. */
   def withMediaMeta(df: DataFrame, payload: String = "payload",
       kind: String = "image"): DataFrame = {
     val schema = df.schema.add("media_meta", mediaMetaType, nullable = false)
@@ -104,11 +217,19 @@ object Multimodal {
       it.map { r =>
         val bytes =
           if (r.isNullAt(idx)) Array.empty[Byte] else r.getAs[Array[Byte]](idx)
-        val p = HeaderProbe.probe(bytes)
+        val img = HeaderProbe.probe(bytes)
+        val av = if (img.format == null) AvProbe.probe(bytes) else AvProbe.unknown
         sha.reset()
         val shaHex = sha.digest(bytes).map("%02x".format(_)).mkString
-        Row.fromSeq(r.toSeq :+ Row(kind, p.format, p.width, p.height,
-          bytes.length.toLong * 10, shaHex, bytes.length.toLong))
+        val format = if (img.format != null) img.format else av.format
+        val width: Integer = if (img.width != null) img.width else av.width
+        val height: Integer = if (img.height != null) img.height else av.height
+        val durMs: java.lang.Long =
+          if (av.durationMs != null) av.durationMs
+          else if (format == null) bytes.length.toLong * 10 // documented stand-in
+          else null // recognized image / duration-less container: no fake
+        Row.fromSeq(r.toSeq :+ Row(kind, format, width, height,
+          durMs, shaHex, bytes.length.toLong, av.sampleRate, av.channels))
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }

@@ -6,7 +6,7 @@ import javax.imageio.ImageIO
 
 import org.apache.spark.sql.functions._
 import graft.ops.Multimodal
-import graft.ops.Multimodal.HeaderProbe
+import graft.ops.Multimodal.{AvProbe, HeaderProbe}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -95,6 +95,105 @@ class MultimodalSpec extends SparkSpec {
     assert(f5(4) === 0.0f)
     assert(math.abs(f5(5) - 123f / 4096f) < 1e-4)
     assert(math.abs(f5(6) - 45f / 4096f) < 1e-4)
+  }
+
+  /** Encode real WAV bytes with the JDK's own writer — the AV probe is
+   * tested against a genuine RIFF container, not hand-built hex. */
+  private def encodedWav(rateHz: Int, channels: Int, seconds: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rateHz.toFloat, 16, channels, true, false)
+    val nFrames = rateHz.toLong * seconds
+    val pcm = new Array[Byte](nFrames.toInt * fmt.getFrameSize)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Minimal hand-built ISO-BMFF: ftyp + moov{mvhd v0, trak{tkhd v0}}. */
+  private def builtMp4(w: Int, h: Int, scale: Int, dur: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + 216)
+    bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    bb.putInt(216).put("moov".getBytes)
+    bb.putInt(108).put("mvhd".getBytes).putInt(0) // v0 + flags
+      .putInt(0).putInt(0).putInt(scale).putInt(dur)
+    bb.position(bb.position() + 80) // rate..next_track_id zeros
+    bb.putInt(100).put("trak".getBytes)
+    bb.putInt(92).put("tkhd".getBytes).putInt(0x0000000f)
+      .putInt(0).putInt(0).putInt(1)
+    bb.position(bb.position() + 60) // reserved..matrix zeros
+    bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+    bb.array()
+  }
+
+  test("AV probe reads true rate/channels/duration from JDK-written WAV") {
+    val p = AvProbe.probe(encodedWav(rateHz = 8000, channels = 2, seconds = 3))
+    assert(p.format === "wav")
+    assert(p.sampleRate === 8000 && p.channels === 2)
+    assert(p.durationMs === 3000L)
+    assert(p.width === null && p.height === null)
+    val mono = AvProbe.probe(encodedWav(rateHz = 44100, channels = 1, seconds = 1))
+    assert(mono.sampleRate === 44100 && mono.channels === 1)
+    assert(mono.durationMs === 1000L)
+  }
+
+  test("AV probe walks ISO-BMFF boxes to mvhd duration and tkhd dims") {
+    val p = AvProbe.probe(builtMp4(w = 640, h = 360, scale = 1000, dur = 2500))
+    assert(p.format === "mp4")
+    assert(p.width === 640 && p.height === 360)
+    assert(p.durationMs === 2500L)
+    assert(p.sampleRate === null && p.channels === null)
+    // non-millisecond timescale rescales: 90kHz ticks -> ms
+    val ticks = AvProbe.probe(builtMp4(320, 240, scale = 90000, dur = 450000))
+    assert(ticks.durationMs === 5000L)
+  }
+
+  test("AV probe is null-safe on junk, truncation, and corrupt sizes") {
+    assert(AvProbe.probe("plain text, nothing binary".getBytes) === AvProbe.unknown)
+    assert(AvProbe.probe(Array.empty[Byte]) === AvProbe.unknown)
+    // truncated mid-header: format recognized, fields null, no crash
+    val truncWav = AvProbe.probe(
+      encodedWav(8000, 1, 1).take(16))
+    assert(truncWav.format === "wav" && truncWav.durationMs === null)
+    val truncMp4 = AvProbe.probe(builtMp4(640, 360, 1000, 2500).take(20))
+    assert(truncMp4.format === "mp4" && truncMp4.durationMs === null)
+    // corrupt declared box size (smaller than its header) stops the walk
+    val corrupt = builtMp4(640, 360, 1000, 2500)
+    corrupt(19) = 2 // moov size -> 2
+    val c = AvProbe.probe(corrupt)
+    assert(c.format === "mp4" && c.durationMs === null && c.width === null)
+  }
+
+  test("withMediaMeta carries real AV metadata; images keep null duration") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = Seq(
+      (1L, encodedWav(8000, 2, 2)),
+      (2L, builtMp4(320, 240, 1000, 1500)),
+      (3L, encoded("png", 12, 34)),
+      (4L, "just some text".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.withMediaMeta(df, kind = "video")
+      .orderBy("media_id").collect()
+    def meta(i: Int) = rows(i).getStruct(rows(i).fieldIndex("media_meta"))
+    val wav = meta(0)
+    assert(wav.getAs[String]("format") == "wav")
+    assert(wav.getAs[Int]("sample_rate") == 8000 && wav.getAs[Int]("channels") == 2)
+    assert(wav.getAs[Long]("duration_ms") == 2000L)
+    val mp4 = meta(1)
+    assert(mp4.getAs[String]("format") == "mp4")
+    assert(mp4.getAs[Int]("width") == 320 && mp4.getAs[Int]("height") == 240)
+    assert(mp4.getAs[Long]("duration_ms") == 1500L)
+    assert(mp4.isNullAt(mp4.fieldIndex("sample_rate")))
+    // a recognized image has no duration: null, not a fabricated number
+    val png = meta(2)
+    assert(png.getAs[String]("format") == "png")
+    assert(png.isNullAt(png.fieldIndex("duration_ms")))
+    // unrecognized payloads keep the documented byte-length stand-in
+    val txt = meta(3)
+    assert(txt.isNullAt(txt.fieldIndex("format")))
+    assert(txt.getAs[Long]("duration_ms") == 14L * 10)
   }
 
   test("frame sampling explodes by stub duration; resize scales real dims") {

@@ -60,7 +60,7 @@ def canon_val(v):
     int 5 (python hashes equal numerics equal), and doubles are compared
     on their IEEE bits, not a rounded repr."""
     if v is None:
-        return "∅"
+        return ("0null",)  # tuple, and sorts before every typed tag
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, float):
