@@ -223,6 +223,96 @@ object Queries {
       .select((col("doc_id") + 10000).as("doc_id"), col("text")))
   }
 
+  /** Documents with deterministic repetition planted so every Gopher
+   * repetition metric fires: 1/5 of docs get a tripled line, 1/5 a
+   * doubled paragraph, 1/5 a six-fold repeated 5-word phrase. */
+  private def repCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"),
+        lit("\nsame line twice\nsame line twice\nsame line twice")))
+      .when(col("doc_id") % 5 === 1, concat(col("text"),
+        lit("\n\nrepeated paragraph block\n\nrepeated paragraph block")))
+      .when(col("doc_id") % 5 === 2, concat(col("text"),
+        lit(" alpha beta gamma delta epsilon" * 6)))
+      .otherwise(col("text")).as("text"))
+
+  private val repCorpusCte =
+    """rdocs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text ||
+      |           repeat(chr(10) || 'same line twice', 3)
+      |         WHEN doc_id % 5 = 1 THEN text ||
+      |           repeat(chr(10) || chr(10) || 'repeated paragraph block', 2)
+      |         WHEN doc_id % 5 = 2 THEN text ||
+      |           repeat(' alpha beta gamma delta epsilon', 6)
+      |         ELSE text END AS text
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB mirror of [[Gopher.repetitionStats]] over the planted corpus:
+   * one stats query (doc_id + 13 metric columns), generated so the 9
+   * per-n gram blocks stay in lockstep with the Spark definitions. */
+  private def gopherRepStatsSql: String = {
+    def charsum(a: String) =
+      s"coalesce(list_aggregate(list_transform($a, x -> length(x)), 'sum'), 0)"
+    def gram(n: Int) =
+      s"""    CASE WHEN len(ws) < $n THEN [coalesce(array_to_string(ws, ' '), '')]
+         |         ELSE list_transform(generate_series(0, len(ws) - $n),
+         |                i -> array_to_string(list_slice(ws, i + 1, i + $n), ' '))
+         |    END AS g$n""".stripMargin
+    def dupCharFrac(a: String, outName: String) =
+      s"""    CASE WHEN ${charsum(a)} > 0 THEN round(
+         |      (${charsum(a)} - ${charsum(s"list_distinct($a)")}) * 1.0 /
+         |      ${charsum(a)}, 4) ELSE 0.0 END AS $outName""".stripMargin
+    def dupCountFrac(a: String, outName: String) =
+      s"""    CASE WHEN len($a) > 0 THEN round(
+         |      (len($a) - len(list_distinct($a))) * 1.0 / len($a), 4)
+         |      ELSE 0.0 END AS $outName""".stripMargin
+    def topBlock(n: Int) =
+      s"""c$n AS (SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(g$n) AS g FROM sh) GROUP BY 1, 2),
+         |t$n AS (SELECT doc_id, coalesce(sum(c * length(g)), 0) AS total
+         |  FROM c$n GROUP BY 1),
+         |r$n AS (SELECT doc_id, c * length(g) AS mass, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY c DESC, length(g) DESC, g DESC) AS rn
+         |  FROM c$n),
+         |top$n AS (SELECT r.doc_id,
+         |    CASE WHEN t.total > 0 THEN round(r.mass * 1.0 / t.total, 4)
+         |         ELSE 0.0 END AS top_${n}gram_char_frac
+         |  FROM r$n r JOIN t$n t USING (doc_id) WHERE r.rn = 1)""".stripMargin
+    val norm = "l -> regexp_replace(lower(trim(l)), '\\s+', ' ', 'g')"
+    s"""WITH $repCorpusCte,
+       |base AS (
+       |  SELECT doc_id, coalesce(text, '') AS text,
+       |    list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+       |                                   '\\s+'), w -> w <> '') AS ws
+       |  FROM rdocs),
+       |sh AS (
+       |  SELECT doc_id, ws,
+       |    list_filter(list_transform(string_split(text, chr(10)),
+       |      $norm), l -> l <> '') AS ls,
+       |    list_filter(list_transform(string_split(text, chr(10) || chr(10)),
+       |      $norm), l -> l <> '') AS ps,
+       |${(2 to 10).map(gram).mkString(",\n")}
+       |  FROM base),
+       |d AS (
+       |  SELECT doc_id,
+       |${dupCountFrac("ls", "dup_line_frac")},
+       |${dupCharFrac("ls", "dup_line_char_frac")},
+       |${dupCountFrac("ps", "dup_para_frac")},
+       |${dupCharFrac("ps", "dup_para_char_frac")},
+       |${(5 to 10).map(n => dupCharFrac(s"g$n", s"dup_${n}gram_char_frac"))
+           .mkString(",\n")}
+       |  FROM sh),
+       |${Seq(2, 3, 4).map(topBlock).mkString(",\n")}
+       |SELECT d.doc_id, dup_line_frac, dup_line_char_frac, dup_para_frac,
+       |  dup_para_char_frac, top_2gram_char_frac, top_3gram_char_frac,
+       |  top_4gram_char_frac, dup_5gram_char_frac, dup_6gram_char_frac,
+       |  dup_7gram_char_frac, dup_8gram_char_frac, dup_9gram_char_frac,
+       |  dup_10gram_char_frac
+       |FROM d JOIN top2 USING (doc_id) JOIN top3 USING (doc_id)
+       |       JOIN top4 USING (doc_id)""".stripMargin
+  }
+
   private val passageCte =
     """pdocs AS (
       |  SELECT doc_id,
@@ -1046,6 +1136,21 @@ object Queries {
       Gopher.withKeep(t(s, dir, "documents"), minWords = 30, minStopHits = 0,
           minAlphaFrac = 0.5)
         .select("doc_id", "gopher_keep")),
+
+    // — Gopher repetition rules (table A1: the other half of the gate)
+    //   over the planted-repetition corpus so every metric fires —
+    "gopher_repetition" -> ((s, dir) =>
+      Gopher.repetitionStats(repCorpus(s, dir))
+        .select("doc_id", "dup_line_frac", "dup_line_char_frac",
+          "dup_para_frac", "dup_para_char_frac",
+          "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+          "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+          "dup_8gram_char_frac", "dup_9gram_char_frac",
+          "dup_10gram_char_frac")),
+
+    "gopher_rep_keep" -> ((s, dir) =>
+      Gopher.withRepetitionKeep(repCorpus(s, dir))
+        .select("doc_id", "gopher_rep_keep")),
 
     // — context-window chunking —
     "chunk_text" -> ((s, dir) =>
@@ -2808,6 +2913,19 @@ object Queries {
          |   AND swr <= 0.1 AND blf <= 0.9 AND elf <= 0.3
          |   AND awf >= 0.5) AS gopher_keep
          |FROM st2""".stripMargin,
+
+    "gopher_repetition" -> gopherRepStatsSql,
+
+    "gopher_rep_keep" ->
+      s"""SELECT doc_id,
+         |  (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30 AND
+         |   dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20 AND
+         |   top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18 AND
+         |   top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15 AND
+         |   dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13 AND
+         |   dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11 AND
+         |   dup_10gram_char_frac <= 0.10) AS gopher_rep_keep
+         |FROM ($gopherRepStatsSql)""".stripMargin,
 
     "chunk_text" ->
       """WITH c AS (

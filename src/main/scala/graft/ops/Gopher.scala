@@ -73,6 +73,115 @@ object Gopher {
           array(requiredStopwords.map(lit): _*), s => array_contains(ws, s))))
   }
 
+  // ——— repetition rules (Gopher A1.1, the other half of the filter) ———
+
+  /** (dup_frac, dup_char_frac) over a unit array: duplicate occurrences
+   * beyond the first, counted per element and per character. The char
+   * numerator is `totalChars − distinctChars` — exactly the chars of
+   * repeat occurrences — so both stay per-row array folds, no shuffle. */
+  private def dupFracs(arr: Column): (Column, Column) = {
+    val total = size(arr)
+    val dist = array_distinct(arr)
+    def chars(a: Column): Column =
+      aggregate(a, lit(0L), (acc, x) => acc + length(x))
+    val totalChars = chars(arr)
+    val fracN = when(total > 0,
+      round((total - size(dist)).cast("double") / total, 4)).otherwise(0.0)
+    val fracC = when(totalChars > 0,
+      round((totalChars - chars(dist)).cast("double") / totalChars, 4))
+      .otherwise(0.0)
+    (fracN, fracC)
+  }
+
+  /** Character mass of the most frequent word n-gram, as a fraction of the
+   * total n-gram character mass (gram space — bounded [0,1] without
+   * position attribution, the same monotone repetition signal as the
+   * paper's document-char fraction). Per-row: sort the shingles and fold a
+   * run-length accumulator; the top gram is the max by (count, char
+   * length, gram) so count ties break deterministically. */
+  private def topGramCharFrac(text: Column, n: Int): Column = {
+    val grams = array_sort(Dedup.shingles(text, n))
+    val totalChars = aggregate(grams, lit(0L), (acc, g) => acc + length(g))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("bc"), lit(0).as("bl"), lit("").as("bg"))
+    val fin = aggregate(grams, zero, (a, g) => {
+      val run = when(g === a.getField("prev"), a.getField("run") + 1)
+        .otherwise(lit(1L))
+      val better = run > a.getField("bc") ||
+        (run === a.getField("bc") && (length(g) > a.getField("bl") ||
+          (length(g) === a.getField("bl") && g > a.getField("bg"))))
+      struct(g.as("prev"), run.as("run"),
+        when(better, run).otherwise(a.getField("bc")).as("bc"),
+        when(better, length(g)).otherwise(a.getField("bl")).as("bl"),
+        when(better, g).otherwise(a.getField("bg")).as("bg"))
+    })
+    when(totalChars > 0,
+      round((fin.getField("bc") * fin.getField("bl")).cast("double")
+        / totalChars, 4)).otherwise(0.0)
+  }
+
+  /** Duplicate n-gram character fraction in gram space: chars of repeat
+   * occurrences / total gram chars (see [[dupFracs]]). */
+  private def dupGramCharFrac(text: Column, n: Int): Column =
+    dupFracs(Dedup.shingles(text, n))._2
+
+  /**
+   * The full Gopher repetition statistics (Rae et al. 2021 A1.1, table
+   * A1 — the rules [[stats]] does not cover): duplicate line / paragraph
+   * fractions by count and by character mass, top-2/3/4-gram character
+   * fractions, and duplicate-5..10-gram character fractions. Lines are
+   * whitespace-normalized non-empty lines; paragraphs split on blank
+   * lines; n-gram fractions are measured in gram space (total characters
+   * over all overlapping n-grams) so they are bounded without position
+   * attribution.
+   *
+   * Scale contract: every column is a per-row array fold over one
+   * `split` — ZERO exchanges for the whole 13-column suite, so it
+   * composes with [[withKeep]] into a single scan at any corpus size.
+   */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    def norm(a: Column): Column =
+      filter(transform(a, l => regexp_replace(lower(trim(l)), "\\s+", " ")),
+        l => l =!= "")
+    val lines = norm(split(text, "\n"))
+    val paras = norm(split(text, "\n\n"))
+    val (dlf, dlcf) = dupFracs(lines)
+    val (dpf, dpcf) = dupFracs(paras)
+    val withBase = docs
+      .withColumn("dup_line_frac", dlf)
+      .withColumn("dup_line_char_frac", dlcf)
+      .withColumn("dup_para_frac", dpf)
+      .withColumn("dup_para_char_frac", dpcf)
+    val withTop = Seq(2, 3, 4).foldLeft(withBase)((df, n) =>
+      df.withColumn(s"top_${n}gram_char_frac", topGramCharFrac(text, n)))
+    (5 to 10).foldLeft(withTop)((df, n) =>
+      df.withColumn(s"dup_${n}gram_char_frac", dupGramCharFrac(text, n)))
+  }
+
+  /**
+   * The Gopher repetition keep decision with the paper's table-A1
+   * thresholds: dup lines/paras ≤0.30 by count and ≤0.20 by chars, top
+   * 2/3/4-gram char mass ≤0.20/0.18/0.16, dup 5..10-gram char mass
+   * ≤0.15/0.14/0.13/0.12/0.11/0.10. Adds `gopher_rep_keep`; composes
+   * with [[withKeep]]'s `gopher_keep` for the full Gopher gate.
+   */
+  def withRepetitionKeep(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val topMax = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupMax = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+    repetitionStats(docs, idCol, textCol).withColumn("gopher_rep_keep",
+      col("dup_line_frac") <= 0.30 && col("dup_para_frac") <= 0.30 &&
+      col("dup_line_char_frac") <= 0.20 &&
+      col("dup_para_char_frac") <= 0.20 &&
+      topMax.map { case (n, t) => col(s"top_${n}gram_char_frac") <= t }
+        .reduce(_ && _) &&
+      dupMax.map { case (n, t) => col(s"dup_${n}gram_char_frac") <= t }
+        .reduce(_ && _))
+  }
+
   /**
    * The Gopher keep decision with the paper's default thresholds (word
    * count 50–100k, mean word length 3–10, symbol ratio ≤0.1, bullet lines
