@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.extract.{Assemble, Features, Labeler, Pipeline, Structure}
-import graft.ops.{Bpe, Chunker, CorpusClean, Decontam, Dedup, Gopher, LangModel, MainContent, Passage, QualityModel, Search, Similarity, TextStats, UrlOps}
+import graft.ops.{Bpe, C4, Chunker, CorpusClean, Decontam, Dedup, Gopher, LangModel, MainContent, Passage, QualityModel, Search, Similarity, TextStats, UrlOps}
 import graft.text.TextCols
 
 /**
@@ -312,6 +312,68 @@ object Queries {
        |FROM d JOIN top2 USING (doc_id) JOIN top3 USING (doc_id)
        |       JOIN top4 USING (doc_id)""".stripMargin
   }
+
+  /** Documents with deterministic C4 violations planted: lorem ipsum,
+   * a curly brace, a blocklisted word, or a too-short page. Each planted
+   * line ends in a period with ≥5 words so it survives the line filter
+   * and reaches the page rule it is meant to trip. */
+  private def c4Corpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 7 === 1, concat(col("text"),
+        lit("\nThis page includes Lorem Ipsum placeholder filler text.")))
+      .when(col("doc_id") % 7 === 2, concat(col("text"),
+        lit("\nAn inline config block { appears within this sentence.")))
+      .when(col("doc_id") % 7 === 3, concat(col("text"),
+        lit("\nSpam text mentions viagra among five other words.")))
+      .when(col("doc_id") % 7 === 4, lit("One short sentence only here."))
+      .otherwise(col("text")).as("text"))
+
+  private val c4CorpusCte =
+    """cdocs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 1 THEN text || chr(10) ||
+      |           'This page includes Lorem Ipsum placeholder filler text.'
+      |         WHEN doc_id % 7 = 2 THEN text || chr(10) ||
+      |           'An inline config block { appears within this sentence.'
+      |         WHEN doc_id % 7 = 3 THEN text || chr(10) ||
+      |           'Spam text mentions viagra among five other words.'
+      |         WHEN doc_id % 7 = 4 THEN 'One short sentence only here.'
+      |         ELSE text END AS text
+      |  FROM documents)""".stripMargin
+
+  /** Documents with a shared three-sentence block appended to every fifth
+   * doc — the C4 span-dedup corpus (canonical = lowest doc_id). */
+  private def c4SpanCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(
+        " Alpha block sentence one. Beta block sentence two." +
+          " Gamma block sentence three.")))
+      .otherwise(col("text")).as("text"))
+
+  private val c4SpanCorpusCte =
+    """sdocs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text ||
+      |      ' Alpha block sentence one. Beta block sentence two.' ||
+      |      ' Gamma block sentence three.'
+      |    ELSE text END AS text
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB mirror of the [[graft.ops.C4]] line filter over `src`:
+   * yields (doc_id, ls = trimmed non-empty lines, kept = C4-kept lines). */
+  private def c4LineCtes(src: String): String =
+    s"""lf AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(string_split(coalesce(text, ''),
+       |      chr(10)), l -> trim(l)), l -> l <> '') AS ls
+       |  FROM $src),
+       |lk AS (
+       |  SELECT doc_id, ls,
+       |    list_filter(ls, l -> regexp_matches(l, '[.!?"]$$') AND
+       |      len(list_filter(string_split_regex(l, '\\s+'),
+       |          w -> w <> '')) >= 5 AND
+       |      NOT contains(lower(l), 'javascript')) AS kept
+       |  FROM lf)""".stripMargin
 
   private val passageCte =
     """pdocs AS (
@@ -1151,6 +1213,21 @@ object Queries {
     "gopher_rep_keep" -> ((s, dir) =>
       Gopher.withRepetitionKeep(repCorpus(s, dir))
         .select("doc_id", "gopher_rep_keep")),
+
+    // — C4 cleaning rules (Raffel et al. 2020 §2.2) over a planted corpus
+    //   so every rule fires —
+    "c4_line_filter" -> ((s, dir) =>
+      C4.lineFiltered(t(s, dir, "documents"))
+        .select("doc_id", "text_clean", "n_lines_kept", "n_lines_dropped")),
+
+    "c4_keep" -> ((s, dir) =>
+      C4.withKeep(C4.lineFiltered(c4Corpus(s, dir)), textCol = "text_clean")
+        .select("doc_id", "n_sentences", "has_lorem_ipsum", "has_brace",
+          "n_bad_words", "c4_keep")),
+
+    "c4_span_dedup" -> ((s, dir) =>
+      C4.spanDedup(c4SpanCorpus(s, dir))
+        .select("doc_id", "was_stripped", "text_stripped")),
 
     // — context-window chunking —
     "chunk_text" -> ((s, dir) =>
@@ -2926,6 +3003,80 @@ object Queries {
          |   dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11 AND
          |   dup_10gram_char_frac <= 0.10) AS gopher_rep_keep
          |FROM ($gopherRepStatsSql)""".stripMargin,
+
+    "c4_line_filter" ->
+      s"""WITH ${c4LineCtes("documents")}
+         |SELECT doc_id,
+         |  coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+         |  len(kept) AS n_lines_kept,
+         |  len(ls) - len(kept) AS n_lines_dropped
+         |FROM lk""".stripMargin,
+
+    "c4_keep" ->
+      s"""WITH $c4CorpusCte, ${c4LineCtes("cdocs")},
+         |pc AS (SELECT doc_id,
+         |  coalesce(array_to_string(kept, chr(10)), '') AS tc FROM lk),
+         |st AS (
+         |  SELECT doc_id,
+         |    len(list_filter(list_transform(
+         |      regexp_extract_all(tc, '[^.!?]+[.!?]+'), x -> trim(x)),
+         |      x -> x <> '')) AS n_sentences,
+         |    contains(lower(tc), 'lorem ipsum') AS has_lorem_ipsum,
+         |    contains(tc, '{') AS has_brace,
+         |    len(list_filter(
+         |      [${C4.defaultBlocklist.map(w => s"'$w'").mkString(", ")}],
+         |      b -> list_contains(list_filter(
+         |        string_split_regex(lower(trim(tc)), '\\s+'),
+         |        w -> w <> ''), b))) AS n_bad_words
+         |  FROM pc)
+         |SELECT doc_id, n_sentences, has_lorem_ipsum, has_brace, n_bad_words,
+         |  (n_sentences >= 3 AND NOT has_lorem_ipsum AND NOT has_brace
+         |   AND n_bad_words = 0) AS c4_keep
+         |FROM st""".stripMargin,
+
+    "c4_span_dedup" ->
+      s"""WITH $c4SpanCorpusCte,
+         |pw AS (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(
+         |      regexp_extract_all(coalesce(text, ''), '[^.!?]+[.!?]+'),
+         |      x -> trim(x)), x -> x <> '') AS ws
+         |  FROM sdocs),
+         |og AS (
+         |  SELECT doc_id, start_idx,
+         |    md5(lower(array_to_string(ws[start_idx+1 : start_idx+3], ' ')))
+         |      AS gram
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(generate_series(0, len(ws) - 3)) AS start_idx
+         |        FROM pw WHERE len(ws) >= 3)),
+         |dup AS (SELECT gram FROM og GROUP BY gram HAVING count(*) > 1),
+         |rep AS (
+         |  SELECT og.doc_id, og.start_idx,
+         |    (row_number() OVER (PARTITION BY og.gram
+         |                        ORDER BY og.doc_id, og.start_idx) = 1)
+         |      AS is_canonical
+         |  FROM og JOIN dup USING (gram)),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, w_idx FROM (
+         |    SELECT doc_id,
+         |      unnest(generate_series(start_idx, start_idx + 2)) AS w_idx
+         |    FROM rep WHERE NOT is_canonical)),
+         |affected AS (SELECT DISTINCT doc_id, TRUE AS wasf FROM covered),
+         |widx AS (
+         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+         |  FROM pw WHERE doc_id IN (SELECT doc_id FROM affected)),
+         |kept AS (
+         |  SELECT w.doc_id, w.i - 1 AS w_idx, w.ws[w.i] AS w
+         |  FROM widx w ANTI JOIN covered c
+         |    ON w.doc_id = c.doc_id AND w.i - 1 = c.w_idx),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(w, ' ' ORDER BY w_idx) AS rb
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.wasf, FALSE) AS was_stripped,
+         |  CASE WHEN coalesce(a.wasf, FALSE) THEN coalesce(r.rb, '')
+         |       ELSE coalesce(d.text, '') END AS text_stripped
+         |FROM sdocs d LEFT JOIN affected a USING (doc_id)
+         |             LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
 
     "chunk_text" ->
       """WITH c AS (

@@ -41,9 +41,16 @@ object Passage {
   /** One row per n-word window: (id, start_idx, gram-hash). Documents with
    * fewer than n words emit nothing. */
   def occurrences(docs: DataFrame, n: Int = 15, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    occurrencesUnits(docs, wordsOf(textCol), n, idCol)
+
+  /** Unit-grain [[occurrences]]: `units` is any array&lt;string&gt;
+   * expression over the doc row — words for classic passage dedup,
+   * sentences for the C4 three-sentence-span rule ([[C4.spanDedup]]). */
+  def occurrencesUnits(docs: DataFrame, units: Column, n: Int,
+      idCol: String = "doc_id"): DataFrame = {
     require(n > 0, "n must be positive")
-    docs.select(col(idCol), wordsOf(textCol).as("ws"))
+    docs.select(col(idCol), units.as("ws"))
       .where(size(col("ws")) >= n)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), size(col("ws")) - n),
@@ -59,11 +66,16 @@ object Passage {
    * gram onto one task at corpus scale. The join back is skew-splittable
    * by AQE; a window partition never is. */
   def repeated(docs: DataFrame, n: Int = 15, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    repeatedUnits(docs, wordsOf(textCol), n, idCol)
+
+  /** Unit-grain [[repeated]] (see [[occurrencesUnits]]). */
+  def repeatedUnits(docs: DataFrame, units: Column, n: Int,
+      idCol: String = "doc_id"): DataFrame = {
     // barrier: the window explode feeds both the count aggregate and the
     // join side below — sharing one lineage halves the corpus scans
     val occ = graft.extract.Chunked.barrier(
-      occurrences(docs, n, idCol, textCol))
+      occurrencesUnits(docs, units, n, idCol))
     val dup = occ.groupBy("gram").agg(count(lit(1)).as("n_occ"),
         min(struct(col(idCol), col("start_idx"))).as("_first"))
       .where(col("n_occ") > 1)
@@ -82,13 +94,20 @@ object Passage {
    * documents carry their text through verbatim.
    */
   def strip(docs: DataFrame, n: Int = 15, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    stripUnits(docs, wordsOf(textCol), n, idCol, textCol)
+
+  /** Unit-grain [[strip]]: rebuilds affected documents from their
+   * non-covered units, rejoined with `sep` (see [[occurrencesUnits]]). */
+  def stripUnits(docs: DataFrame, units: Column, n: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      sep: String = " "): DataFrame = {
     // plan-barrier the covered frame: three consumers below (affected ids,
     // the anti-join, the final flag join) would otherwise each re-plan —
     // and re-COMPUTE — the whole gram-count cascade; the barrier makes
     // them share one RDD lineage so the shuffle stages run once
     val covered = graft.extract.Chunked.barrier(
-      repeated(docs, n, idCol, textCol)
+      repeatedUnits(docs, units, n, idCol)
         .where(!col("is_canonical"))
         .select(col(idCol),
           explode(sequence(col("start_idx"), col("start_idx") + (n - 1)))
@@ -97,10 +116,10 @@ object Passage {
     val affected = covered.select(idCol).distinct()
       .withColumn("was_stripped", lit(true))
     val rebuilt = docs.join(affected.drop("was_stripped"), Seq(idCol), "left_semi")
-      .select(col(idCol), posexplode(wordsOf(textCol)).as(Seq("w_idx", "w")))
+      .select(col(idCol), posexplode(units).as(Seq("w_idx", "w")))
       .join(covered, Seq(idCol, "w_idx"), "left_anti")
       .groupBy(idCol)
-      .agg(concat_ws(" ",
+      .agg(concat_ws(sep,
         transform(array_sort(collect_list(struct(col("w_idx"), col("w")))),
           s => s.getField("w"))).as("_rebuilt"))
     docs
