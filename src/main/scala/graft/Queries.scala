@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.extract.{Assemble, Features, Labeler, Pipeline, Structure}
-import graft.ops.{Bpe, C4, Chunker, CorpusClean, Decontam, Dedup, Gopher, LangModel, MainContent, Passage, QualityModel, Search, Similarity, TextStats, UrlOps}
+import graft.ops.{Bpe, C4, Chunker, CorpusClean, Decontam, Dedup, Dsir, Gopher, LangModel, MainContent, Passage, QualityModel, Search, Similarity, TextStats, UrlOps}
 import graft.text.TextCols
 
 /**
@@ -374,6 +374,45 @@ object Queries {
        |          w -> w <> '')) >= 5 AND
        |      NOT contains(lower(l), 'javascript')) AS kept
        |  FROM lf)""".stripMargin
+
+  /** DuckDB mirror of the [[graft.ops.Dsir]] cascade at b=256: hashed
+   * unigram+bigram buckets, dense Laplace log-ratio model (micro-nat
+   * fixed point), and doc-grain integer score sums. */
+  private val dsirCtes: String =
+    s"""dws AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+       |      '\\s+'), w -> w <> '') AS ws
+       |  FROM documents),
+       |dgr AS (
+       |  SELECT doc_id, unnest(ws || CASE WHEN len(ws) >= 2
+       |      THEN list_transform(generate_series(1, len(ws) - 1),
+       |             i -> ws[i] || ' ' || ws[i+1])
+       |      ELSE []::VARCHAR[] END) AS g
+       |  FROM dws),
+       |dbk AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(g), 1, 6))::INT % 256 AS bucket
+       |  FROM dgr),
+       |dtc AS (SELECT bucket, count(*) AS ct FROM dbk
+       |        WHERE doc_id % 10 = 0 GROUP BY 1),
+       |drc AS (SELECT bucket, count(*) AS cr FROM dbk GROUP BY 1),
+       |dtot AS (SELECT (SELECT sum(ct) FROM dtc) AS tt,
+       |                (SELECT sum(cr) FROM drc) AS tr),
+       |dmodel AS (
+       |  SELECT d.bucket,
+       |    CAST(round(1e6 * (ln((coalesce(ct, 0) + 1) / (tt + 256)) -
+       |                      ln((coalesce(cr, 0) + 1) / (tr + 256))))
+       |      AS BIGINT) AS w_fp
+       |  FROM (SELECT unnest(generate_series(0, 255)) AS bucket) d
+       |    LEFT JOIN dtc USING (bucket) LEFT JOIN drc USING (bucket)
+       |    CROSS JOIN dtot),
+       |dsc AS (
+       |  SELECT d.doc_id, count(b.bucket) AS n_grams,
+       |    CAST(coalesce(sum(m.w_fp), 0) AS BIGINT) AS dsir_score_fp
+       |  FROM documents d LEFT JOIN dbk b USING (doc_id)
+       |    LEFT JOIN dmodel m ON b.bucket = m.bucket
+       |  GROUP BY 1)""".stripMargin
 
   private val passageCte =
     """pdocs AS (
@@ -1228,6 +1267,24 @@ object Queries {
     "c4_span_dedup" -> ((s, dir) =>
       C4.spanDedup(c4SpanCorpus(s, dir))
         .select("doc_id", "was_stripped", "text_stripped")),
+
+    // — DSIR importance resampling (target = every 10th doc as the
+    //   "domain sample", raw = the whole corpus) —
+    "dsir_weights" -> ((s, dir) =>
+      Dsir.fit(t(s, dir, "documents").where(col("doc_id") % 10 === 0),
+        t(s, dir, "documents"), b = 256)),
+
+    "dsir_scores" -> ((s, dir) =>
+      Dsir.score(t(s, dir, "documents"),
+        Dsir.fit(t(s, dir, "documents").where(col("doc_id") % 10 === 0),
+          t(s, dir, "documents"), b = 256), b = 256)
+        .select("doc_id", "n_grams", "dsir_score_fp")),
+
+    "dsir_resample" -> ((s, dir) =>
+      Dsir.resample(t(s, dir, "documents"),
+        Dsir.fit(t(s, dir, "documents").where(col("doc_id") % 10 === 0),
+          t(s, dir, "documents"), b = 256), k = 50, b = 256)
+        .select("doc_id", "dsir_score_fp", "key_fp")),
 
     // — context-window chunking —
     "chunk_text" -> ((s, dir) =>
@@ -3077,6 +3134,24 @@ object Queries {
          |       ELSE coalesce(d.text, '') END AS text_stripped
          |FROM sdocs d LEFT JOIN affected a USING (doc_id)
          |             LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+
+    "dsir_weights" ->
+      s"""WITH $dsirCtes
+         |SELECT bucket, w_fp FROM dmodel""".stripMargin,
+
+    "dsir_scores" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_grams, dsir_score_fp FROM dsc""".stripMargin,
+
+    "dsir_resample" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, dsir_score_fp,
+         |  dsir_score_fp + CAST(round(-1e6 * ln(-ln(
+         |    (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)),
+         |      1, 6))::INT + 0.5) / 16777216.0))) AS BIGINT) AS key_fp
+         |FROM dsc
+         |ORDER BY key_fp DESC, doc_id
+         |LIMIT 50""".stripMargin,
 
     "chunk_text" ->
       """WITH c AS (

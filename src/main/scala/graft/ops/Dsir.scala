@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * DSIR — Data Selection via Importance Resampling (Xie et al. 2023): pick
+ * raw-corpus documents whose hashed-n-gram distribution looks like a
+ * target domain. The canonical trained data-selection operator a
+ * web-scale pipeline runs after cleaning ([[C4]]/[[Gopher]]) and before
+ * mixing ([[Decontam.mix]]):
+ *
+ *  1. featurize every document as hashed unigram+bigram counts over `b`
+ *     buckets ([[buckets]]);
+ *  2. fit two Laplace-smoothed bag-of-hashed-ngrams models — target p,
+ *     raw q — and keep the per-bucket log ratio ln p − ln q ([[fit]]);
+ *  3. score each raw document with the integer sum of its buckets'
+ *     weights ([[score]]);
+ *  4. resample top-k under deterministic Gumbel noise ([[resample]]) —
+ *     Gumbel-max sampling draws ∝ exp(score) = p/q, exactly the DSIR
+ *     importance weight.
+ *
+ * Numerics follow the [[QualityModel]] discipline: weights are micro-nat
+ * fixed point (`round(ln · 10⁶)` as long), document scores are integer
+ * sums (order-independent under shuffled aggregation), and the Gumbel
+ * keys derive from the [[Decontam.hashUnit]] md5 construction — so the
+ * whole cascade is replayable in closed-form SQL and reproducible months
+ * later from (b, seed, k) alone.
+ *
+ * Scale contract: `fit` is two map-side-combinable bucket-grain
+ * aggregations (shuffle ships ≤`b` rows per mapper); the model is a dense
+ * `b`-row table broadcast at scoring; `score` is explode → broadcast join
+ * → one partial agg to doc grain; `resample` plans as
+ * TakeOrderedAndProject (per-partition top-k, merge on the driver) — no
+ * global sort materializes.
+ */
+object Dsir {
+
+  private def toks(c: Column): Column =
+    filter(split(lower(trim(coalesce(c, lit("")))), "\\s+"), t => t =!= "")
+
+  private def fp(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+
+  /** md5-bucket of a gram: `('0x' || substr(md5(g),1,6))::INT % b` in SQL
+   * — 6 hex chars keep the value exact in both engines. */
+  private def bucketOf(g: Column, b: Int): Column =
+    (conv(substring(md5(g), 1, 6), 16, 10).cast("int") % b).cast("int")
+
+  /** Hashed unigram+bigram buckets of a text, WITH multiplicity — the
+   * document's feature vector in sparse exploded form. */
+  def buckets(text: Column, b: Int): Column = {
+    val ws = toks(text)
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(ws, bigrams), g => bucketOf(g, b))
+  }
+
+  /**
+   * Fit the importance model: a DENSE `b`-row table
+   * `(bucket, w_fp = round(10⁶·(ln p_bucket − ln q_bucket)))` with Laplace
+   * smoothing `(c+1)/(T+b)` on both sides — dense, so scoring needs no
+   * unseen sentinel and the broadcast is exactly `b` rows.
+   */
+  def fit(target: DataFrame, raw: DataFrame, b: Int = 1024,
+      textCol: String = "text"): DataFrame = {
+    def bucketCounts(df: DataFrame): DataFrame =
+      df.select(explode(buckets(col(textCol), b)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val tc = bucketCounts(target)
+    val rc = bucketCounts(raw)
+    val tot = tc.agg(sum("c").as("tt")).crossJoin(rc.agg(sum("c").as("tr")))
+    val dense = target.sparkSession.range(b)
+      .select(col("id").cast("int").as("bucket"))
+    dense
+      .join(tc.withColumnRenamed("c", "ct"), Seq("bucket"), "left")
+      .join(rc.withColumnRenamed("c", "cr"), Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        fp(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("tt") + b)) -
+          log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+            (col("tr") + b))).as("w_fp"))
+  }
+
+  /**
+   * Score documents: `dsir_score_fp` = integer sum of the document's
+   * bucket weights (micro-nats of ln(p/q) up to hashing), plus `n_grams`.
+   * Gram-less documents score 0 via `explode_outer`.
+   */
+  def score(docs: DataFrame, model: DataFrame, b: Int = 1024,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode_outer(buckets(col(textCol), b)).as("bucket"))
+      .join(broadcast(model), Seq("bucket"), "left")
+      .groupBy(idCol)
+      .agg(count(col("bucket")).as("n_grams"),
+        coalesce(sum("w_fp"), lit(0L)).as("dsir_score_fp"))
+
+  /**
+   * Deterministic Gumbel-top-k importance resample: key = score_fp +
+   * round(−10⁶·ln(−ln u)) with u = (md5-int + ½)/2²⁴ of `seed:id` — the
+   * Gumbel-max trick, so selection probability ∝ exp(score) = p/q. Ties
+   * (and the driver merge) break on id. Returns the k selected documents
+   * with their scores and keys.
+   */
+  def resample(docs: DataFrame, model: DataFrame, k: Int, b: Int = 1024,
+      seed: String = "dsir", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val u = (conv(substring(md5(concat(lit(seed + ":"),
+      col(idCol).cast("string"))), 1, 6), 16, 10).cast("double") + 0.5) /
+      16777216.0
+    val gumbelFp = round(lit(-1e6) * log(-log(u)), 0).cast("long")
+    score(docs, model, b, idCol, textCol)
+      .withColumn("key_fp", col("dsir_score_fp") + gumbelFp)
+      .orderBy(col("key_fp").desc, col(idCol))
+      .limit(k)
+  }
+}
