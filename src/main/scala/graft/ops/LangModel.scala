@@ -35,11 +35,16 @@ object LangModel {
   /** Sentinel marking backoff rows; see the class doc for the two tiers. */
   val unseenTok = "__UNSEEN__"
 
-  /** Adjacent-token bigram structs of a token array (empty under 2 tokens). */
+  /** Adjacent-token bigram structs of a token array (empty under 2
+   * tokens). `zip_with` against the shifted slice, not an `element_at`
+   * lambda — `element_at` inside a higher-order function re-evaluates a
+   * computed `ws` (the tokenizing split) per ELEMENT, O(words²·len) per
+   * row; the trailing `(wₙ, null)` pair is filtered. */
   private def bigramsOf(ws: Column): Column =
-    when(size(ws) < 2, array().cast("array<struct<prev:string,w:string>>"))
-      .otherwise(transform(sequence(lit(0), size(ws) - 2), i => struct(
-        element_at(ws, i + 1).as("prev"), element_at(ws, i + 2).as("w"))))
+    filter(
+      zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => struct(a.as("prev"), b.as("w"))),
+      p => p.getField("w").isNotNull)
 
   private def fp(c: Column): Column = round(c * lit(1e6), 0).cast("long")
 

@@ -118,14 +118,27 @@ object MainContent {
    * prev+cur+next to match a windowed AVG frame exactly (adding a 0.0
    * placeholder first is an IEEE no-op, so parity with the oracle holds). */
   private def smoothedTtrs(all: Column): Column = {
+    // zip shifted copies instead of element_at(ttrs, i) in an indexed
+    // lambda: element_at inside a higher-order function re-evaluates the
+    // computed ttrs — and through it the whole HTML block parse — per
+    // ELEMENT, O(blocks²·html_len) per row. The shifted-slice zips keep
+    // every evaluation per ROW. Edge cells pad 0.0 exactly as before
+    // (IEEE no-op in the prev+cur+next sum); cnt comes from the zip_with
+    // index, not the padded value, so a genuine 0.0 ratio still counts.
     val ttrs = transform(all, ttrOf(_))
     val n = size(ttrs)
-    transform(sequence(lit(0), greatest(n - 1, lit(0))), i => {
-      val prev = when(i > 0, element_at(ttrs, i)).otherwise(lit(0.0))
-      val next = when(i < n - 1, element_at(ttrs, i + 2)).otherwise(lit(0.0))
+    val prevA = concat(array(lit(0.0)),
+      slice(ttrs, lit(1), greatest(n - 1, lit(0))))
+    val nextA = concat(slice(ttrs, lit(2), greatest(n - 1, lit(0))),
+      array(lit(0.0)))
+    val pc = zip_with(ttrs, prevA, (c, p) => struct(c.as("c"), p.as("p")))
+    val pcn = zip_with(pc, nextA, (s, x) =>
+      struct(s.getField("c").as("c"), s.getField("p").as("p"),
+        coalesce(x, lit(0.0)).as("x")))
+    transform(pcn, (s, i) => {
       val cnt = lit(1) + when(i > 0, 1).otherwise(0) +
         when(i < n - 1, 1).otherwise(0)
-      (prev + element_at(ttrs, i + 1) + next) / cnt
+      (s.getField("p") + s.getField("c") + s.getField("x")) / cnt
     })
   }
 
@@ -139,13 +152,19 @@ object MainContent {
    */
   def blockFeatures(docs: DataFrame, idCol: String = "doc_id",
       htmlCol: String = "html"): DataFrame = {
-    val all = allBlockStructs(col(htmlCol))
+    // project the parsed block array ONCE: `all` feeds the zip, the
+    // smoothing shifts, and the size bound — as a named column every use
+    // is an O(1) reference; inlined, each would re-parse the HTML
+    // (CollapseProject keeps multi-use non-trivial aliases apart)
+    val withAll = docs.select(col(idCol),
+      allBlockStructs(col(htmlCol)).as("_all"))
+    val all = col("_all")
     val enriched = zip_with(all, smoothedTtrs(all), (s, sm) => struct(
       s.getField("block_no").as("block_no"), s.getField("text").as("text"),
       s.getField("n_chars").as("n_chars"),
       s.getField("link_chars").as("link_chars"),
       s.getField("n_tags").as("n_tags"), ttrOf(s).as("ttr"), sm.as("sttr")))
-    docs
+    withAll
       .select(col(idCol),
         explode(filter(enriched, s => s.getField("n_chars") > 0)).as("b"))
       .select(col(idCol), col("b.block_no"), col("b.text"), col("b.n_chars"),
