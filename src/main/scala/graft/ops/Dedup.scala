@@ -31,12 +31,15 @@ object Dedup {
   def spread(docs: DataFrame): DataFrame = Par.spread(docs)
 
   /** Word 5-gram shingles (n configurable), SQL-parity construction. */
-  def shingles(text: Column, n: Int = 5): Column = {
-    val ws = TextStats.words(text)
-    when(size(ws) < n, array(array_join(ws, " ")))
-      .otherwise(transform(sequence(lit(0), size(ws) - n),
-        i => array_join(slice(ws, i + 1, lit(n)), " ")))
-  }
+  def shingles(text: Column, n: Int = 5): Column =
+    // Cols.bound: the slice lambda would otherwise re-run the tokenizing
+    // split per WINDOW — O(words·len) per row, ×9 in the Gopher
+    // repetition suite which calls this for n=2..10
+    Cols.bound(TextStats.words(text)) { ws =>
+      when(size(ws) < n, array(array_join(ws, " ")))
+        .otherwise(transform(sequence(lit(0), size(ws) - n),
+          i => array_join(slice(ws, i + 1, lit(n)), " ")))
+    }
 
   /** Exact dedup verdict per document: keeper = min id per fingerprint. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

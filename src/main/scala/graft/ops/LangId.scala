@@ -44,13 +44,15 @@ object LangId {
     concat(lit(" "), regexp_replace(lower(trim(coalesce(text, lit("")))),
       "\\s+", " "), lit(" "))
 
-  /** Char trigrams of the normalized text; empty array when too short. */
-  def trigrams(text: Column): Column = {
-    val t = normText(text)
-    when(length(t) >= 3,
-      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
-      .otherwise(array())
-  }
+  /** Char trigrams of the normalized text; empty array when too short.
+   * Cols.bound: the substr lambda would otherwise re-run the normalizing
+   * regexp_replace per CHARACTER — O(len²) per row. */
+  def trigrams(text: Column): Column =
+    Cols.bound(normText(text)) { t =>
+      when(length(t) >= 3,
+        transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+        .otherwise(array())
+    }
 
   private def fp(c: Column): Column = round(c * lit(1e6), 0).cast("long")
 
