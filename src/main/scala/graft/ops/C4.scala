@@ -61,11 +61,15 @@ object C4 {
     val lines = filter(transform(
       split(coalesce(col(textCol), lit("")), "\n"), l => trim(l)),
       l => l =!= "")
-    val kept = filter(lines, lineKeep(_))
+    // project the filtered arrays once: the three output columns would
+    // otherwise each re-split and re-run the keep regexes per row
     docs
-      .withColumn("text_clean", concat_ws("\n", kept))
-      .withColumn("n_lines_kept", size(kept))
-      .withColumn("n_lines_dropped", size(lines) - size(kept))
+      .withColumn("_lines", lines)
+      .withColumn("_kept", filter(col("_lines"), lineKeep(_)))
+      .withColumn("text_clean", concat_ws("\n", col("_kept")))
+      .withColumn("n_lines_kept", size(col("_kept")))
+      .withColumn("n_lines_dropped", size(col("_lines")) - size(col("_kept")))
+      .drop("_lines", "_kept")
   }
 
   /**

@@ -53,14 +53,14 @@ object Dsir {
    * per ELEMENT (O(words²·len) per row — measured 20× slower at sf0.1);
    * `zip_with` evaluates each input array once per ROW. The trailing
    * `(wₙ, null)` pair concats to null and is filtered. */
-  def buckets(text: Column, b: Int): Column = {
-    val ws = toks(text)
-    val bigrams = filter(
-      zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
-        (a, w2) => concat(a, lit(" "), w2)),
-      g => g.isNotNull)
-    transform(concat(ws, bigrams), g => bucketOf(g, b))
-  }
+  def buckets(text: Column, b: Int): Column =
+    Cols.bound(toks(text)) { ws =>
+      val bigrams = filter(
+        zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+          (a, w2) => concat(a, lit(" "), w2)),
+        g => g.isNotNull)
+      transform(concat(ws, bigrams), g => bucketOf(g, b))
+    }
 
   /**
    * Fit the importance model: a DENSE `b`-row table

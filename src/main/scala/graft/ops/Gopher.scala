@@ -79,17 +79,24 @@ object Gopher {
    * beyond the first, counted per element and per character. The char
    * numerator is `totalChars − distinctChars` — exactly the chars of
    * repeat occurrences — so both stay per-row array folds, no shuffle. */
+  private def chars(a: Column): Column =
+    aggregate(a, lit(0L), (acc, x) => acc + length(x))
+
   private def dupFracs(arr: Column): (Column, Column) = {
-    val total = size(arr)
-    val dist = array_distinct(arr)
-    def chars(a: Column): Column =
-      aggregate(a, lit(0L), (acc, x) => acc + length(x))
-    val totalChars = chars(arr)
-    val fracN = when(total > 0,
-      round((total - size(dist)).cast("double") / total, 4)).otherwise(0.0)
-    val fracC = when(totalChars > 0,
-      round((totalChars - chars(dist)).cast("double") / totalChars, 4))
-      .otherwise(0.0)
+    // Cols.bound: `arr` is a computed split — unbound, every use inside
+    // the two output columns would re-split the text (~10 evaluations/row)
+    val fracN = Cols.bound(arr) { a =>
+      when(size(a) > 0,
+        round((size(a) - size(array_distinct(a))).cast("double") / size(a), 4))
+        .otherwise(0.0)
+    }
+    val fracC = Cols.bound(arr) { a =>
+      Cols.bound(chars(a)) { tc =>
+        when(tc > 0,
+          round((tc - chars(array_distinct(a))).cast("double") / tc, 4))
+          .otherwise(0.0)
+      }
+    }
     (fracN, fracC)
   }
 
@@ -99,26 +106,31 @@ object Gopher {
    * paper's document-char fraction). Per-row: sort the shingles and fold a
    * run-length accumulator; the top gram is the max by (count, char
    * length, gram) so count ties break deterministically. */
-  private def topGramCharFrac(text: Column, n: Int): Column = {
-    val grams = array_sort(Dedup.shingles(text, n))
-    val totalChars = aggregate(grams, lit(0L), (acc, g) => acc + length(g))
-    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
-      lit(0L).as("bc"), lit(0).as("bl"), lit("").as("bg"))
-    val fin = aggregate(grams, zero, (a, g) => {
-      val run = when(g === a.getField("prev"), a.getField("run") + 1)
-        .otherwise(lit(1L))
-      val better = run > a.getField("bc") ||
-        (run === a.getField("bc") && (length(g) > a.getField("bl") ||
-          (length(g) === a.getField("bl") && g > a.getField("bg"))))
-      struct(g.as("prev"), run.as("run"),
-        when(better, run).otherwise(a.getField("bc")).as("bc"),
-        when(better, length(g)).otherwise(a.getField("bl")).as("bl"),
-        when(better, g).otherwise(a.getField("bg")).as("bg"))
-    })
-    when(totalChars > 0,
-      round((fin.getField("bc") * fin.getField("bl")).cast("double")
-        / totalChars, 4)).otherwise(0.0)
-  }
+  private def topGramCharFrac(text: Column, n: Int): Column =
+    // grams and the fold result are each bound once: unbound, the final
+    // projection's three uses would re-sort the shingles / re-run the fold
+    Cols.bound(array_sort(Dedup.shingles(text, n))) { grams =>
+      val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("bc"), lit(0).as("bl"), lit("").as("bg"))
+      val fold = aggregate(grams, zero, (a, g) => {
+        val run = when(g === a.getField("prev"), a.getField("run") + 1)
+          .otherwise(lit(1L))
+        val better = run > a.getField("bc") ||
+          (run === a.getField("bc") && (length(g) > a.getField("bl") ||
+            (length(g) === a.getField("bl") && g > a.getField("bg"))))
+        struct(g.as("prev"), run.as("run"),
+          when(better, run).otherwise(a.getField("bc")).as("bc"),
+          when(better, length(g)).otherwise(a.getField("bl")).as("bl"),
+          when(better, g).otherwise(a.getField("bg")).as("bg"))
+      })
+      Cols.bound(chars(grams)) { totalChars =>
+        Cols.bound(fold) { fin =>
+          when(totalChars > 0,
+            round((fin.getField("bc") * fin.getField("bl")).cast("double")
+              / totalChars, 4)).otherwise(0.0)
+        }
+      }
+    }
 
   /** Duplicate n-gram character fraction in gram space: chars of repeat
    * occurrences / total gram chars (see [[dupFracs]]). */
