@@ -248,10 +248,13 @@ object Queries {
       |         ELSE text END AS text
       |  FROM documents)""".stripMargin
 
-  /** DuckDB mirror of [[Gopher.repetitionStats]] over the planted corpus:
-   * one stats query (doc_id + 13 metric columns), generated so the 9
-   * per-n gram blocks stay in lockstep with the Spark definitions. */
-  private def gopherRepStatsSql: String = {
+  /** DuckDB mirror of [[Gopher.repetitionStats]] over `src` (doc_id,
+   * text): one stats query (doc_id + 13 metric columns), generated so the
+   * 9 per-n gram blocks stay in lockstep with the Spark definitions.
+   * `extraCtes` prepends source-defining CTEs (default: the planted
+   * repetition corpus). */
+  private def gopherRepStatsSql(src: String = "rdocs",
+      extraCtes: String = repCorpusCte + ","): String = {
     def charsum(a: String) =
       s"coalesce(list_aggregate(list_transform($a, x -> length(x)), 'sum'), 0)"
     def gram(n: Int) =
@@ -280,12 +283,12 @@ object Queries {
          |         ELSE 0.0 END AS top_${n}gram_char_frac
          |  FROM r$n r JOIN t$n t USING (doc_id) WHERE r.rn = 1)""".stripMargin
     val norm = "l -> regexp_replace(lower(trim(l)), '\\s+', ' ', 'g')"
-    s"""WITH $repCorpusCte,
+    s"""WITH $extraCtes
        |base AS (
        |  SELECT doc_id, coalesce(text, '') AS text,
        |    list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
        |                                   '\\s+'), w -> w <> '') AS ws
-       |  FROM rdocs),
+       |  FROM $src),
        |sh AS (
        |  SELECT doc_id, ws,
        |    list_filter(list_transform(string_split(text, chr(10)),
@@ -341,6 +344,49 @@ object Queries {
       |         ELSE text END AS text
       |  FROM documents)""".stripMargin
 
+  /** Constant duplicate text for the web-curation dedup stage: three
+   * sentences, 30+ distinct words, clean under every earlier filter. */
+  private val webDupText =
+    "Auction catalogues describe antique furniture with careful provenance " +
+    "notes today. Experienced buyers inspect veneer condition and original " +
+    "hardware before bidding starts. Regional sale rooms publish estimates " +
+    "that guide collectors through uncertain markets."
+
+  /** Documents reshaped into web-page-like text (sentences with terminal
+   * punctuation) plus planted violations so every web-curation stage
+   * fires: %13==1 a blocklist word, ==2 a curly brace, ==3 an exact
+   * duplicate, ==4 a tripled line (repetition rule). */
+  private def webCorpus(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val base = concat(lit("Intro sentence for doc "), id, lit(". "),
+      col("text"), lit(". End of document "), id, lit("."))
+    val repLine = "Same repeated filler line over here."
+    t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 13 === 1,
+        concat(base, lit(" Buy viagra now over here.")))
+      .when(col("doc_id") % 13 === 2,
+        concat(base, lit(" A config block { sits here.")))
+      .when(col("doc_id") % 13 === 3, lit(webDupText))
+      .when(col("doc_id") % 13 === 4,
+        concat(base, lit(s"\n$repLine\n$repLine\n$repLine")))
+      .otherwise(base).as("text"))
+  }
+
+  private def webCorpusCte: String =
+    s"""wdocs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 1 THEN base || ' Buy viagra now over here.'
+       |         WHEN doc_id % 13 = 2 THEN base || ' A config block { sits here.'
+       |         WHEN doc_id % 13 = 3 THEN '$webDupText'
+       |         WHEN doc_id % 13 = 4 THEN base ||
+       |           repeat(chr(10) || 'Same repeated filler line over here.', 3)
+       |         ELSE base END AS text
+       |  FROM (SELECT doc_id,
+       |          'Intro sentence for doc ' || CAST(doc_id AS VARCHAR) ||
+       |          '. ' || text || '. End of document ' ||
+       |          CAST(doc_id AS VARCHAR) || '.' AS base
+       |        FROM documents))""".stripMargin
+
   /** Documents with a shared three-sentence block appended to every fifth
    * doc — the C4 span-dedup corpus (canonical = lowest doc_id). */
   private def c4SpanCorpus(s: SparkSession, dir: String): DataFrame =
@@ -378,12 +424,12 @@ object Queries {
   /** DuckDB mirror of the [[graft.ops.Dsir]] cascade at b=256: hashed
    * unigram+bigram buckets, dense Laplace log-ratio model (micro-nat
    * fixed point), and doc-grain integer score sums. */
-  private val dsirCtes: String =
+  private def dsirCtes(src: String = "documents"): String =
     s"""dws AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
        |      '\\s+'), w -> w <> '') AS ws
-       |  FROM documents),
+       |  FROM $src),
        |dgr AS (
        |  SELECT doc_id, unnest(ws || CASE WHEN len(ws) >= 2
        |      THEN list_transform(generate_series(1, len(ws) - 1),
@@ -410,7 +456,7 @@ object Queries {
        |dsc AS (
        |  SELECT d.doc_id, count(b.bucket) AS n_grams,
        |    CAST(coalesce(sum(m.w_fp), 0) AS BIGINT) AS dsir_score_fp
-       |  FROM documents d LEFT JOIN dbk b USING (doc_id)
+       |  FROM $src d LEFT JOIN dbk b USING (doc_id)
        |    LEFT JOIN dmodel m ON b.bucket = m.bucket
        |  GROUP BY 1)""".stripMargin
 
@@ -1267,6 +1313,26 @@ object Queries {
     "c4_span_dedup" -> ((s, dir) =>
       C4.spanDedup(c4SpanCorpus(s, dir))
         .select("doc_id", "was_stripped", "text_stripped")),
+
+    // — full web-curation cascade: C4 line filter → C4 page keep →
+    //   Gopher quality keep → Gopher repetition keep → exact dedup →
+    //   DSIR scoring of the survivors (the FineWeb/RefinedWeb shape) —
+    "web_curation" -> ((s, dir) => {
+      val lf = C4.lineFiltered(webCorpus(s, dir))
+        .select(col("doc_id"), col("text_clean").as("text"))
+      val c4ok = C4.withKeep(lf).where(col("c4_keep"))
+        .select("doc_id", "text")
+      val gq = Gopher.withKeep(c4ok, minWords = 30, minStopHits = 0,
+          minAlphaFrac = 0.5)
+        .where(col("gopher_keep")).select("doc_id", "text")
+      val gr = Gopher.withRepetitionKeep(gq)
+        .where(col("gopher_rep_keep")).select("doc_id", "text")
+      val keepIds = Dedup.exact(gr).where(!col("is_dup")).select("doc_id")
+      val dd = gr.join(keepIds, Seq("doc_id"), "left_semi")
+      val model = Dsir.fit(dd.where(col("doc_id") % 10 === 0), dd, b = 256)
+      Dsir.score(dd, model, b = 256)
+        .select("doc_id", "n_grams", "dsir_score_fp")
+    }),
 
     // — DSIR importance resampling (target = every 10th doc as the
     //   "domain sample", raw = the whole corpus) —
@@ -3048,7 +3114,7 @@ object Queries {
          |   AND awf >= 0.5) AS gopher_keep
          |FROM st2""".stripMargin,
 
-    "gopher_repetition" -> gopherRepStatsSql,
+    "gopher_repetition" -> gopherRepStatsSql(),
 
     "gopher_rep_keep" ->
       s"""SELECT doc_id,
@@ -3059,7 +3125,7 @@ object Queries {
          |   dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13 AND
          |   dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11 AND
          |   dup_10gram_char_frac <= 0.10) AS gopher_rep_keep
-         |FROM ($gopherRepStatsSql)""".stripMargin,
+         |FROM (${gopherRepStatsSql()})""".stripMargin,
 
     "c4_line_filter" ->
       s"""WITH ${c4LineCtes("documents")}
@@ -3135,16 +3201,89 @@ object Queries {
          |FROM sdocs d LEFT JOIN affected a USING (doc_id)
          |             LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
 
+    "web_curation" ->
+      s"""WITH $webCorpusCte, ${c4LineCtes("wdocs")},
+         |wc1 AS (SELECT doc_id,
+         |  coalesce(array_to_string(kept, chr(10)), '') AS text FROM lk),
+         |wpst AS (
+         |  SELECT doc_id, text,
+         |    len(list_filter(list_transform(
+         |      regexp_extract_all(text, '[^.!?]+[.!?]+'), x -> trim(x)),
+         |      x -> x <> '')) AS nsen,
+         |    contains(lower(text), 'lorem ipsum') AS hl,
+         |    contains(text, '{') AS hb,
+         |    len(list_filter(
+         |      [${C4.defaultBlocklist.map(w => s"'$w'").mkString(", ")}],
+         |      b -> list_contains(list_filter(
+         |        string_split_regex(lower(trim(text)), '\\s+'),
+         |        w -> w <> ''), b))) AS nbw
+         |  FROM wc1),
+         |wc2 AS (SELECT doc_id, text FROM wpst
+         |        WHERE nsen >= 3 AND NOT hl AND NOT hb AND nbw = 0),
+         |wgw AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                w -> w <> '') AS ws
+         |  FROM wc2),
+         |wgs AS (
+         |  SELECT doc_id, text, len(ws) AS n_words,
+         |    CASE WHEN len(ws) > 0 THEN round(
+         |      length(regexp_replace(coalesce(text, ''), '\\s', '', 'g'))
+         |        / len(ws), 4) ELSE 0.0 END AS mwl,
+         |    CASE WHEN len(ws) > 0 THEN round(
+         |      (len(regexp_extract_all(coalesce(text, ''), '#'))
+         |       + len(regexp_extract_all(coalesce(text, ''), '\\.{3}|…')))
+         |        / len(ws), 4) ELSE 0.0 END AS swr,
+         |    CASE WHEN len(ws) > 0 THEN round(
+         |      len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+         |        / len(ws), 4) ELSE 0.0 END AS awf,
+         |    list_filter(list_transform(string_split(coalesce(text, ''),
+         |      chr(10)), l -> trim(l)), l -> l <> '') AS gls
+         |  FROM wgw),
+         |wgs2 AS (
+         |  SELECT *,
+         |    CASE WHEN len(gls) > 0 THEN round(
+         |      len(list_filter(gls, l -> regexp_matches(l, '^[-*•]')))
+         |        / len(gls), 4) ELSE 0.0 END AS blf,
+         |    CASE WHEN len(gls) > 0 THEN round(
+         |      len(list_filter(gls, l -> regexp_matches(l, '(\\.{3}|…)$$')))
+         |        / len(gls), 4) ELSE 0.0 END AS elf
+         |  FROM wgs),
+         |wc3 AS (
+         |  SELECT doc_id, text FROM wgs2
+         |  WHERE n_words BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+         |    AND swr <= 0.1 AND blf <= 0.9 AND elf <= 0.3 AND awf >= 0.5),
+         |wrep AS (
+         |  SELECT doc_id FROM (${gopherRepStatsSql("wc3", "")})
+         |  WHERE dup_line_frac <= 0.30 AND dup_para_frac <= 0.30 AND
+         |    dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20 AND
+         |    top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18 AND
+         |    top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15 AND
+         |    dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13 AND
+         |    dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11 AND
+         |    dup_10gram_char_frac <= 0.10),
+         |wc4 AS (SELECT c.doc_id, c.text FROM wc3 c JOIN wrep USING (doc_id)),
+         |wfp AS (
+         |  SELECT doc_id, text,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |  FROM wc4),
+         |wdd AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY f) AS keeper FROM wfp)
+         |  WHERE doc_id = keeper),
+         |${dsirCtes("wdd")}
+         |SELECT doc_id, n_grams, dsir_score_fp FROM dsc""".stripMargin,
+
     "dsir_weights" ->
-      s"""WITH $dsirCtes
+      s"""WITH ${dsirCtes()}
          |SELECT bucket, w_fp FROM dmodel""".stripMargin,
 
     "dsir_scores" ->
-      s"""WITH $dsirCtes
+      s"""WITH ${dsirCtes()}
          |SELECT doc_id, n_grams, dsir_score_fp FROM dsc""".stripMargin,
 
     "dsir_resample" ->
-      s"""WITH $dsirCtes
+      s"""WITH ${dsirCtes()}
          |SELECT doc_id, dsir_score_fp,
          |  dsir_score_fp + CAST(round(-1e6 * ln(-ln(
          |    (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)),
