@@ -421,6 +421,62 @@ object Queries {
        |      NOT contains(lower(l), 'javascript')) AS kept
        |  FROM lf)""".stripMargin
 
+  /** DuckDB mirror of [[graft.ops.Passage.stripUnits]] over `src`
+   * (doc_id, text): `unitsExpr` extracts the unit list from `text`,
+   * windows of `n` units hash to grams, duplicates keep the canonical
+   * first occurrence, affected docs rebuild joined by `sepExpr`. */
+  private def unitStripSql(extraCtes: String, src: String,
+      unitsExpr: String, n: Int, sepExpr: String): String =
+    s"""WITH $extraCtes
+       |pw AS (
+       |  SELECT doc_id, $unitsExpr AS ws
+       |  FROM $src),
+       |og AS (
+       |  SELECT doc_id, start_idx,
+       |    md5(lower(array_to_string(ws[start_idx+1 : start_idx+$n], ' ')))
+       |      AS gram
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(0, len(ws) - $n)) AS start_idx
+       |        FROM pw WHERE len(ws) >= $n)),
+       |dup AS (SELECT gram FROM og GROUP BY gram HAVING count(*) > 1),
+       |rep AS (
+       |  SELECT og.doc_id, og.start_idx,
+       |    (row_number() OVER (PARTITION BY og.gram
+       |                        ORDER BY og.doc_id, og.start_idx) = 1)
+       |      AS is_canonical
+       |  FROM og JOIN dup USING (gram)),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, w_idx FROM (
+       |    SELECT doc_id,
+       |      unnest(generate_series(start_idx, start_idx + ${n - 1})) AS w_idx
+       |    FROM rep WHERE NOT is_canonical)),
+       |affected AS (SELECT DISTINCT doc_id, TRUE AS wasf FROM covered),
+       |widx AS (
+       |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+       |  FROM pw WHERE doc_id IN (SELECT doc_id FROM affected)),
+       |kept AS (
+       |  SELECT w.doc_id, w.i - 1 AS w_idx, w.ws[w.i] AS w
+       |  FROM widx w ANTI JOIN covered c
+       |    ON w.doc_id = c.doc_id AND w.i - 1 = c.w_idx),
+       |rebuilt AS (
+       |  SELECT doc_id, string_agg(w, $sepExpr ORDER BY w_idx) AS rb
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.wasf, FALSE) AS was_stripped,
+       |  CASE WHEN coalesce(a.wasf, FALSE) THEN coalesce(r.rb, '')
+       |       ELSE coalesce(d.text, '') END AS text_stripped
+       |FROM $src d LEFT JOIN affected a USING (doc_id)
+       |             LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+
+  private val sentUnitsSql =
+    """list_filter(list_transform(
+      |      regexp_extract_all(coalesce(text, ''), '[^.!?]+[.!?]+'),
+      |      x -> trim(x)), x -> x <> '')""".stripMargin
+
+  private val paraUnitsSql =
+    """list_filter(list_transform(
+      |      string_split(coalesce(text, ''), chr(10) || chr(10)),
+      |      x -> trim(x)), x -> x <> '')""".stripMargin
+
   /** DuckDB mirror of the [[graft.ops.Dsir]] cascade at b=256: hashed
    * unigram+bigram buckets, dense Laplace log-ratio model (micro-nat
    * fixed point), and doc-grain integer score sums. */
@@ -1312,6 +1368,10 @@ object Queries {
 
     "c4_span_dedup" -> ((s, dir) =>
       C4.spanDedup(c4SpanCorpus(s, dir))
+        .select("doc_id", "was_stripped", "text_stripped")),
+
+    "para_dedup" -> ((s, dir) =>
+      C4.paragraphDedup(repCorpus(s, dir))
         .select("doc_id", "was_stripped", "text_stripped")),
 
     // — full web-curation cascade: C4 line filter → C4 page keep →
@@ -3158,48 +3218,11 @@ object Queries {
          |FROM st""".stripMargin,
 
     "c4_span_dedup" ->
-      s"""WITH $c4SpanCorpusCte,
-         |pw AS (
-         |  SELECT doc_id,
-         |    list_filter(list_transform(
-         |      regexp_extract_all(coalesce(text, ''), '[^.!?]+[.!?]+'),
-         |      x -> trim(x)), x -> x <> '') AS ws
-         |  FROM sdocs),
-         |og AS (
-         |  SELECT doc_id, start_idx,
-         |    md5(lower(array_to_string(ws[start_idx+1 : start_idx+3], ' ')))
-         |      AS gram
-         |  FROM (SELECT doc_id, ws,
-         |          unnest(generate_series(0, len(ws) - 3)) AS start_idx
-         |        FROM pw WHERE len(ws) >= 3)),
-         |dup AS (SELECT gram FROM og GROUP BY gram HAVING count(*) > 1),
-         |rep AS (
-         |  SELECT og.doc_id, og.start_idx,
-         |    (row_number() OVER (PARTITION BY og.gram
-         |                        ORDER BY og.doc_id, og.start_idx) = 1)
-         |      AS is_canonical
-         |  FROM og JOIN dup USING (gram)),
-         |covered AS (
-         |  SELECT DISTINCT doc_id, w_idx FROM (
-         |    SELECT doc_id,
-         |      unnest(generate_series(start_idx, start_idx + 2)) AS w_idx
-         |    FROM rep WHERE NOT is_canonical)),
-         |affected AS (SELECT DISTINCT doc_id, TRUE AS wasf FROM covered),
-         |widx AS (
-         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
-         |  FROM pw WHERE doc_id IN (SELECT doc_id FROM affected)),
-         |kept AS (
-         |  SELECT w.doc_id, w.i - 1 AS w_idx, w.ws[w.i] AS w
-         |  FROM widx w ANTI JOIN covered c
-         |    ON w.doc_id = c.doc_id AND w.i - 1 = c.w_idx),
-         |rebuilt AS (
-         |  SELECT doc_id, string_agg(w, ' ' ORDER BY w_idx) AS rb
-         |  FROM kept GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(a.wasf, FALSE) AS was_stripped,
-         |  CASE WHEN coalesce(a.wasf, FALSE) THEN coalesce(r.rb, '')
-         |       ELSE coalesce(d.text, '') END AS text_stripped
-         |FROM sdocs d LEFT JOIN affected a USING (doc_id)
-         |             LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+      unitStripSql(c4SpanCorpusCte + ",", "sdocs", sentUnitsSql, 3, "' '"),
+
+    "para_dedup" ->
+      unitStripSql(repCorpusCte + ",", "rdocs", paraUnitsSql, 1,
+        "chr(10) || chr(10)"),
 
     "web_curation" ->
       s"""WITH $webCorpusCte, ${c4LineCtes("wdocs")},

@@ -113,4 +113,21 @@ object C4 {
   def spanDedup(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     Passage.stripUnits(docs, sentences(col(textCol)), n, idCol, textCol)
+
+  /** Non-empty trimmed paragraphs (split on blank lines). */
+  def paragraphs(text: Column): Column =
+    filter(transform(split(coalesce(text, lit("")), "\n\n"), p => trim(p)),
+      p => p =!= "")
+
+  /**
+   * Exact corpus-wide paragraph dedup (the RefinedWeb/Falcon rule): any
+   * paragraph occurring more than once anywhere keeps one canonical copy;
+   * other occurrences are stripped ([[Passage.stripUnits]] at paragraph
+   * grain, n=1, matching case-insensitively on the trimmed paragraph).
+   * Survivors rejoin with blank lines.
+   */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    Passage.stripUnits(docs, paragraphs(col(textCol)), 1, idCol, textCol,
+      sep = "\n\n")
 }

@@ -80,7 +80,10 @@ object Dsir {
         .localCheckpoint()
     val tc = bucketCounts(target)
     val rc = bucketCounts(raw)
-    val tot = tc.agg(sum("c").as("tt")).crossJoin(rc.agg(sum("c").as("tr")))
+    // coalesce: an all-empty side sums to NULL, which would null every
+    // weight — with 0 the Laplace smoothing degrades gracefully to ln(1/b)
+    val tot = tc.agg(coalesce(sum("c"), lit(0L)).as("tt"))
+      .crossJoin(rc.agg(coalesce(sum("c"), lit(0L)).as("tr")))
     val dense = target.sparkSession.range(b)
       .select(col("id").cast("int").as("bucket"))
     dense

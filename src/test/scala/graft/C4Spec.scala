@@ -70,6 +70,24 @@ class C4Spec extends SparkSpec {
     assert(out(2L)._1 === false)
   }
 
+  test("paragraph dedup strips repeat paragraphs within and across docs") {
+    val docs = Seq(
+      (0L, "Unique opening paragraph here.\n\nShared boilerplate block."),
+      (1L, "Shared boilerplate block.\n\nOwn closing paragraph there."),
+      (2L, "Repeated inside.\n\nRepeated inside.\n\nDistinct tail.")
+    ).toDF("doc_id", "text")
+    val out = C4.paragraphDedup(docs)
+      .select("doc_id", "was_stripped", "text_stripped")
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    // canonical copy of the shared block lives in doc 0
+    assert(out(0L) === ((false,
+      "Unique opening paragraph here.\n\nShared boilerplate block.")))
+    assert(out(1L) === ((true, "Own closing paragraph there.")))
+    // within-doc repeat keeps the first occurrence
+    assert(out(2L) === ((true, "Repeated inside.\n\nDistinct tail.")))
+  }
+
   test("line and page filters plan with zero exchanges") {
     val docs = Seq((0L, "A line that ends well here.")).toDF("doc_id", "text")
     val plan = C4.withKeep(C4.lineFiltered(docs), textCol = "text_clean")

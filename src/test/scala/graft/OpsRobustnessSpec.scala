@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{C4, Dsir, Gopher}
+
+/** Adversarial inputs through the round-4 corpus operators: nulls,
+  * empties, whitespace-only, unicode — no crashes, sane zeros. */
+class OpsRobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  test("C4 line and page filters survive null/empty/unicode text") {
+    val d = docs((0L, null), (1L, ""), (2L, "   \n\t\n  "),
+      (3L, "«Unicode» sentence with five words héré."),
+      (4L, "中文句子没有空格但有句号. Second sentence here today fine. Third one closes now."))
+    val lf = C4.lineFiltered(d)
+    val out = C4.withKeep(lf, textCol = "text_clean")
+      .select("doc_id", "n_lines_kept", "c4_keep")
+      .as[(Long, Int, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L)._1 === 0 && out(0L)._2 === false)
+    assert(out(1L)._1 === 0 && out(1L)._2 === false)
+    assert(out(2L)._1 === 0 && out(2L)._2 === false)
+    assert(out(3L)._1 === 1) // accented words count, guillemets survive
+    assert(out(4L)._2 === true) // three sentences, no rule tripped
+  }
+
+  test("C4 span dedup passes null/short documents through untouched") {
+    val block = "Alpha dup one. Beta dup two. Gamma dup three."
+    val d = docs((0L, null), (1L, ""), (2L, "One sentence only."),
+      (3L, s"Opener here. $block"), (4L, s"$block Closer there."))
+    val out = C4.spanDedup(d).select("doc_id", "was_stripped", "text_stripped")
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(0L) === ((false, "")))
+    assert(out(1L) === ((false, "")))
+    assert(out(2L) === ((false, "One sentence only.")))
+    assert(out(4L)._1 === true)
+  }
+
+  test("Gopher repetition metrics are all-zero on null and whitespace docs") {
+    val d = docs((0L, null), (1L, " \n \n "))
+    val rows = Gopher.withRepetitionKeep(d).collect()
+    for (r <- rows; c <- Seq("dup_line_frac", "dup_para_char_frac",
+        "top_2gram_char_frac", "dup_10gram_char_frac"))
+      assert(r.getAs[Double](c) === 0.0, s"doc ${r.getLong(0)} col $c")
+    assert(rows.forall(_.getAs[Boolean]("gopher_rep_keep")))
+  }
+
+  test("DSIR handles null/empty docs and an all-empty target gracefully") {
+    val raw = docs((0L, null), (1L, ""), (2L, "some words appear here"))
+    val target = docs((10L, "some words appear here too"))
+    val m = Dsir.fit(target, raw, b = 32)
+    assert(m.count() === 32)
+    val s = Dsir.score(raw, m, b = 32)
+      .select("doc_id", "n_grams", "dsir_score_fp")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(s(0L) === ((0L, 0L)))
+    assert(s(1L) === ((0L, 0L)))
+    assert(s(2L)._1 > 0L)
+    // degenerate: target with zero grams still yields a finite model
+    val m0 = Dsir.fit(docs((20L, "")), raw, b = 32)
+    assert(m0.count() === 32)
+    assert(Dsir.resample(raw, m0, k = 2, b = 32).count() === 2)
+  }
+}
