@@ -1385,10 +1385,17 @@ object Queries {
       val gq = Gopher.withKeep(c4ok, minWords = 30, minStopHits = 0,
           minAlphaFrac = 0.5)
         .where(col("gopher_keep")).select("doc_id", "text")
+      // localCheckpoint the survivor frames: the filter cascade above is
+      // a pure projection (no shuffle for skipped-stage reuse), and its
+      // consumers below (dedup + semi-join, then DSIR fit target/raw +
+      // score) would re-run the whole 13-metric repetition suite 5× —
+      // measured 56 s vs ~4 s at sf0.1. Survivors are corpus-sized rows
+      // AFTER curation, exactly what a real pipeline would persist.
       val gr = Gopher.withRepetitionKeep(gq)
         .where(col("gopher_rep_keep")).select("doc_id", "text")
+        .localCheckpoint()
       val keepIds = Dedup.exact(gr).where(!col("is_dup")).select("doc_id")
-      val dd = gr.join(keepIds, Seq("doc_id"), "left_semi")
+      val dd = gr.join(keepIds, Seq("doc_id"), "left_semi").localCheckpoint()
       val model = Dsir.fit(dd.where(col("doc_id") % 10 === 0), dd, b = 256)
       Dsir.score(dd, model, b = 256)
         .select("doc_id", "n_grams", "dsir_score_fp")

@@ -81,14 +81,13 @@ object C4 {
   def stats(docs: DataFrame, blocklist: Seq[String] = defaultBlocklist,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
-    val ws = TextStats.words(text)
-    docs
-      .withColumn("n_sentences", size(sentences(text)))
-      .withColumn("has_lorem_ipsum", lower(text).contains("lorem ipsum"))
-      .withColumn("has_brace", text.contains("{"))
-      .withColumn("n_bad_words",
-        size(filter(array(blocklist.map(lit): _*),
-          b => array_contains(ws, b))))
+    // one select, not a withColumn chain — see Gopher.repetitionStats
+    docs.select(col("*"),
+      size(sentences(text)).as("n_sentences"),
+      lower(text).contains("lorem ipsum").as("has_lorem_ipsum"),
+      text.contains("{").as("has_brace"),
+      size(filter(array(blocklist.map(lit): _*),
+        b => array_contains(TextStats.words(text), b))).as("n_bad_words"))
   }
 
   /**

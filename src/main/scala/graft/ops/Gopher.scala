@@ -47,30 +47,39 @@ object Gopher {
   def stats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
-    val ws = TextStats.words(text)
-    val lines = nonEmptyLines(text)
-    val nw = size(ws)
-    docs
-      .withColumn("n_words", nw)
-      .withColumn("mean_word_len",
-        when(nw > 0, round(
-          length(regexp_replace(text, "\\s", "")).cast("double") / nw, 4))
-          .otherwise(0.0))
-      .withColumn("symbol_word_ratio",
-        when(nw > 0, round(
-          (size(regexp_extract_all(text, lit("#"), lit(0)))
-            + size(regexp_extract_all(text, lit("\\.{3}|…"), lit(0))))
-            .cast("double") / nw, 4)).otherwise(0.0))
-      .withColumn("bullet_line_frac", lineFrac(lines, l => l.rlike("^[-*•]")))
-      .withColumn("ellipsis_line_frac",
-        lineFrac(lines, l => l.rlike("(\\.{3}|…)$")))
-      .withColumn("alpha_word_frac",
-        when(nw > 0, round(
-          size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nw, 4))
-          .otherwise(0.0))
-      .withColumn("n_stop_hits",
-        size(filter(
-          array(requiredStopwords.map(lit): _*), s => array_contains(ws, s))))
+    // one select (not a withColumn chain) so an upstream computed text
+    // column evaluates once per row — see repetitionStats
+    docs.select(col("*"),
+      Cols.bound(TextStats.words(text)) { ws =>
+        Cols.bound(size(ws)) { nw =>
+          struct(
+            nw.as("n_words"),
+            when(nw > 0, round(
+              length(regexp_replace(text, "\\s", "")).cast("double") / nw, 4))
+              .otherwise(0.0).as("mean_word_len"),
+            when(nw > 0, round(
+              (size(regexp_extract_all(text, lit("#"), lit(0)))
+                + size(regexp_extract_all(text, lit("\\.{3}|…"), lit(0))))
+                .cast("double") / nw, 4)).otherwise(0.0)
+              .as("symbol_word_ratio"),
+            when(nw > 0, round(
+              size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nw, 4))
+              .otherwise(0.0).as("alpha_word_frac"),
+            size(filter(array(requiredStopwords.map(lit): _*),
+              s => array_contains(ws, s))).as("n_stop_hits"))
+        }
+      }.as("_g"),
+      Cols.bound(nonEmptyLines(text)) { lines =>
+        struct(
+          lineFrac(lines, l => l.rlike("^[-*•]")).as("bullet_line_frac"),
+          lineFrac(lines, l => l.rlike("(\\.{3}|…)$"))
+            .as("ellipsis_line_frac"))
+      }.as("_l"))
+      .select(col("*"), col("_g.n_words"), col("_g.mean_word_len"),
+        col("_g.symbol_word_ratio"), col("_l.bullet_line_frac"),
+        col("_l.ellipsis_line_frac"), col("_g.alpha_word_frac"),
+        col("_g.n_stop_hits"))
+      .drop("_g", "_l")
   }
 
   // ——— repetition rules (Gopher A1.1, the other half of the filter) ———
@@ -107,27 +116,34 @@ object Gopher {
    * run-length accumulator; the top gram is the max by (count, char
    * length, gram) so count ties break deterministically. */
   private def topGramCharFrac(text: Column, n: Int): Column =
-    // grams and the fold result are each bound once: unbound, the final
-    // projection's three uses would re-sort the shingles / re-run the fold
+    // run-length encode the SORTED grams with scalar zips, then pick the
+    // modal gram as array_max over (count, len, gram) structs — struct
+    // field order IS the fold's lexicographic tie-break. (A struct-state
+    // `aggregate` fold computed the same thing but ran interpreted —
+    // higher-order functions have no codegen — at ~0.5 ms/doc; the zip
+    // form is ~4 cheap scalar passes over bound arrays.)
     Cols.bound(array_sort(Dedup.shingles(text, n))) { grams =>
-      val zero = struct(lit("").as("prev"), lit(0L).as("run"),
-        lit(0L).as("bc"), lit(0).as("bl"), lit("").as("bg"))
-      val fold = aggregate(grams, zero, (a, g) => {
-        val run = when(g === a.getField("prev"), a.getField("run") + 1)
-          .otherwise(lit(1L))
-        val better = run > a.getField("bc") ||
-          (run === a.getField("bc") && (length(g) > a.getField("bl") ||
-            (length(g) === a.getField("bl") && g > a.getField("bg"))))
-        struct(g.as("prev"), run.as("run"),
-          when(better, run).otherwise(a.getField("bc")).as("bc"),
-          when(better, length(g)).otherwise(a.getField("bl")).as("bl"),
-          when(better, g).otherwise(a.getField("bg")).as("bg"))
-      })
-      Cols.bound(chars(grams)) { totalChars =>
-        Cols.bound(fold) { fin =>
-          when(totalChars > 0,
-            round((fin.getField("bc") * fin.getField("bl")).cast("double")
-              / totalChars, 4)).otherwise(0.0)
+      val nG = size(grams)
+      val prev = concat(array(lit(null).cast("string")),
+        slice(grams, lit(1), greatest(nG - 1, lit(0))))
+      val startIdx = filter(
+        transform(zip_with(grams, prev, (g, p) => p.isNull || g =!= p),
+          (s, i) => when(s, i).otherwise(lit(-1))),
+        i => i >= 0)
+      Cols.bound(startIdx) { starts =>
+        val nextStarts = concat(
+          slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+          array(nG))
+        val runs = zip_with(starts, nextStarts, (a, b) =>
+          struct((b - a).cast("long").as("c"),
+            length(element_at(grams, a + 1)).as("l"),
+            element_at(grams, a + 1).as("g")))
+        Cols.bound(chars(grams)) { totalChars =>
+          Cols.bound(array_max(runs)) { best =>
+            when(totalChars > 0,
+              round((best.getField("c") * best.getField("l")).cast("double")
+                / totalChars, 4)).otherwise(0.0)
+          }
         }
       }
     }
@@ -161,15 +177,19 @@ object Gopher {
     val paras = norm(split(text, "\n\n"))
     val (dlf, dlcf) = dupFracs(lines)
     val (dpf, dpcf) = dupFracs(paras)
-    val withBase = docs
-      .withColumn("dup_line_frac", dlf)
-      .withColumn("dup_line_char_frac", dlcf)
-      .withColumn("dup_para_frac", dpf)
-      .withColumn("dup_para_char_frac", dpcf)
-    val withTop = Seq(2, 3, 4).foldLeft(withBase)((df, n) =>
-      df.withColumn(s"top_${n}gram_char_frac", topGramCharFrac(text, n)))
-    (5 to 10).foldLeft(withTop)((df, n) =>
-      df.withColumn(s"dup_${n}gram_char_frac", dupGramCharFrac(text, n)))
+    // ONE select, not a withColumn chain: 13 projections each referencing
+    // `textCol` keep the child projection a hard boundary (CollapseProject
+    // leaves multi-use non-trivial aliases alone), so a computed upstream
+    // text column — e.g. the C4-cleaned cascade in web_curation — is
+    // evaluated once per row, not once per metric
+    docs.select(
+      Seq(col("*"),
+        dlf.as("dup_line_frac"), dlcf.as("dup_line_char_frac"),
+        dpf.as("dup_para_frac"), dpcf.as("dup_para_char_frac")) ++
+      Seq(2, 3, 4).map(n =>
+        topGramCharFrac(text, n).as(s"top_${n}gram_char_frac")) ++
+      (5 to 10).map(n =>
+        dupGramCharFrac(text, n).as(s"dup_${n}gram_char_frac")): _*)
   }
 
   /**
