@@ -516,6 +516,10 @@ object Queries {
        |    LEFT JOIN dmodel m ON b.bucket = m.bucket
        |  GROUP BY 1)""".stripMargin
 
+  /** Exactly 13 lowercase words — one benchmark 13-gram for decon_strip. */
+  private val deconPhrase = "the quick brown fox jumps over the lazy dog " +
+    "near riverbank stone bridge"
+
   private val passageCte =
     """pdocs AS (
       |  SELECT doc_id,
@@ -1516,6 +1520,17 @@ object Queries {
           .select(col("doc_id").as("bench_id"), col("text")),
         maxFrac = 0.1)
         .select("doc_id", "lang", "source", "n_chars", "contamination")
+    }),
+
+    // (deconPhrase: exactly 13 lowercase words — one benchmark 13-gram)
+    "decon_strip" -> ((s, dir) => {
+      val phrase = deconPhrase
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 9 === 5, concat(col("text"), lit(" " + phrase)))
+          .otherwise(col("text")).as("text"))
+      val bench = s.range(1).select(lit(phrase).as("text"))
+      Decontam.stripOverlaps(corpus, bench)
+        .select("doc_id", "was_stripped", "text_stripped")
     }),
 
     "sample_hash" -> ((s, dir) =>
@@ -3483,6 +3498,47 @@ object Queries {
          |SELECT documents.doc_id, lang, source, n_chars, contamination
          |FROM documents JOIN m ON documents.doc_id = m.doc_id
          |WHERE contamination <= 0.1""".stripMargin,
+
+    "decon_strip" ->
+      s"""WITH sdocs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 9 = 5 THEN text || ' $deconPhrase'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |pw AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+         |                w -> w <> '') AS ws
+         |  FROM sdocs),
+         |og AS (
+         |  SELECT doc_id, start_idx,
+         |    md5(lower(array_to_string(ws[start_idx+1 : start_idx+13], ' ')))
+         |      AS gram
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(generate_series(0, len(ws) - 13)) AS start_idx
+         |        FROM pw WHERE len(ws) >= 13)),
+         |bench AS (SELECT md5('$deconPhrase') AS gram),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, w_idx FROM (
+         |    SELECT doc_id,
+         |      unnest(generate_series(start_idx, start_idx + 12)) AS w_idx
+         |    FROM og JOIN bench USING (gram))),
+         |affected AS (SELECT DISTINCT doc_id, TRUE AS wasf FROM covered),
+         |widx AS (
+         |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+         |  FROM pw WHERE doc_id IN (SELECT doc_id FROM affected)),
+         |kept AS (
+         |  SELECT w.doc_id, w.i - 1 AS w_idx, w.ws[w.i] AS w
+         |  FROM widx w ANTI JOIN covered c
+         |    ON w.doc_id = c.doc_id AND w.i - 1 = c.w_idx),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(w, ' ' ORDER BY w_idx) AS rb
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.wasf, FALSE) AS was_stripped,
+         |  CASE WHEN coalesce(a.wasf, FALSE) THEN coalesce(r.rb, '')
+         |       ELSE coalesce(d.text, '') END AS text_stripped
+         |FROM sdocs d LEFT JOIN affected a USING (doc_id)
+         |             LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
 
     "sample_hash" ->
       """SELECT doc_id, source FROM documents

@@ -107,6 +107,40 @@ object Decontam {
   }
 
   /**
+   * SURGICAL decontamination: instead of dropping contaminated documents
+   * ([[decontaminate]]), strip only the words covered by an n-gram that
+   * appears in the benchmark — the span-level removal a pipeline applies
+   * when contaminated pages are otherwise valuable. Adds `text_stripped`
+   * (covered words removed, single-space rejoined) and `was_stripped`.
+   *
+   * Plan shape: benchmark gram hashes are broadcast (distinct 13-gram md5s
+   * of the benchmark — bounded); the corpus emits its word windows once
+   * ([[Passage.occurrences]] — 32-byte keys), broadcast-joins, and only
+   * AFFECTED documents rebuild at word grain ([[Passage.stripCovered]]).
+   * Documents (or benchmark rows) shorter than n words emit no windows
+   * and pass through — sub-n overlap is below the decontamination
+   * threshold by definition (Brown et al. use 13-gram collisions).
+   */
+  def stripOverlaps(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchTextCol: String = "text"): DataFrame = {
+    // md5(shingle) == Passage's window hash: shingles are lowercased
+    // space-joined words, Passage hashes md5(lower(join(words, ' ')))
+    val benchKeys = benchmark.select(
+      explode(array_distinct(Dedup.shingles(col(benchTextCol), n))).as("sh"))
+      .select(md5(col("sh")).as("gram")).distinct()
+    val covered = graft.extract.Chunked.barrier(
+      Passage.occurrences(corpus, n, idCol, textCol)
+        .join(broadcast(benchKeys), Seq("gram"))
+        .select(col(idCol),
+          explode(sequence(col("start_idx"), col("start_idx") + (n - 1)))
+            .as("w_idx"))
+        .distinct())
+    Passage.stripCovered(corpus, covered, Passage.wordsOf(textCol),
+      idCol, textCol)
+  }
+
+  /**
    * Weighted domain mixing with fractional epochs (the GPT-3 data-mixing
    * table): `weights` maps a domain value to its target epoch count w.
    * Every doc in a weighted domain is emitted floor(w) times (epochs

@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
  */
 object Passage {
 
-  private def wordsOf(textCol: String): Column =
+  private[ops] def wordsOf(textCol: String): Column =
     filter(split(coalesce(col(textCol), lit("")), "\\s+"), w => w =!= "")
 
   /** One row per n-word window: (id, start_idx, gram-hash). Documents with
@@ -113,6 +113,18 @@ object Passage {
           explode(sequence(col("start_idx"), col("start_idx") + (n - 1)))
             .as("w_idx"))
         .distinct())
+    stripCovered(docs, covered, units, idCol, textCol, sep)
+  }
+
+  /**
+   * Rebuild `docs` dropping the unit indices listed in `covered`
+   * (`idCol`, `w_idx`) — the shared tail of [[stripUnits]] and
+   * [[Decontam.stripOverlaps]]. Only documents present in `covered` are
+   * rebuilt (semi-join); everything else passes through verbatim.
+   */
+  def stripCovered(docs: DataFrame, covered: DataFrame, units: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      sep: String = " "): DataFrame = {
     val affected = covered.select(idCol).distinct()
       .withColumn("was_stripped", lit(true))
     val rebuilt = docs.join(affected.drop("was_stripped"), Seq(idCol), "left_semi")

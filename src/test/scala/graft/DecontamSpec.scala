@@ -106,4 +106,24 @@ class DecontamSpec extends SparkSpec {
     assert(again.select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
       mixed.select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
   }
+
+  test("stripOverlaps removes only benchmark-covered 13-gram spans") {
+    import spark.implicits._
+    val phrase = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val corpus = Seq(
+      (0L, s"Clean preamble words here. $phrase"),     // partial strip
+      (1L, phrase),                                    // fully covered
+      (2L, "totally unrelated words that stay put"),   // untouched
+      (3L, "short doc")                                // < n words, untouched
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1(phrase)).toDF("text")
+    val out = graft.ops.Decontam.stripOverlaps(corpus, bench)
+      .select("doc_id", "was_stripped", "text_stripped")
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(0L) === ((true, "Clean preamble words here.")))
+    assert(out(1L) === ((true, "")))
+    assert(out(2L) === ((false, "totally unrelated words that stay put")))
+    assert(out(3L) === ((false, "short doc")))
+  }
 }
