@@ -144,4 +144,33 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) === (("", 0)))
     q.stop()
   }
+
+  test("C4 + Gopher curation gates are stateless: run inside an append stream") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val lf = graft.ops.C4.lineFiltered(input.toDS().toDF("doc_id", "text"))
+      .selectExpr("doc_id", "text_clean AS text")
+    val gated = graft.ops.Gopher.withRepetitionKeep(
+        graft.ops.C4.withKeep(lf))
+      .select("doc_id", "c4_keep", "gopher_rep_keep")
+    val q = gated.writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append).start()
+
+    val three = "First sentence is long enough. Second one follows. Third closes."
+    input.addData(
+      (0L, three),
+      (1L, three + " A code block { appears here."),
+      (2L, "dup line stays here fine.\n" * 4 + three))
+    q.processAllAvailable()
+    val out = spark.table("curated")
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(0L) === ((true, true)))
+    assert(out(1L) === ((false, true)))   // brace trips C4
+    assert(out(2L)._2 === false)          // dup lines trip the repetition gate
+    q.stop()
+  }
 }
