@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.extract.{Assemble, Features, Labeler, Pipeline, Structure}
-import graft.ops.{Bpe, C4, Chunker, CorpusClean, Decontam, Dedup, Dsir, Gopher, LangModel, MainContent, Passage, QualityModel, Search, Similarity, TextStats, UrlOps}
+import graft.ops.{Bpe, C4, Chunker, CorpusClean, Decontam, Dedup, Dsir, Gopher, LangModel, MainContent, Passage, QualityModel, Search, Similarity, TextStats, UrlOps, Winnow}
 import graft.text.TextCols
 
 /**
@@ -515,6 +515,31 @@ object Queries {
        |  FROM $src d LEFT JOIN dbk b USING (doc_id)
        |    LEFT JOIN dmodel m ON b.bucket = m.bucket
        |  GROUP BY 1)""".stripMargin
+
+  /** DuckDB mirror of [[graft.ops.Winnow.fingerprints]] (k=8, w=4) over
+   * `src` (doc_id, text): yields `mn` (doc_id, ms = window minima). */
+  private def winnowFpCtes(src: String): String =
+    s"""wnt AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')
+       |      AS t
+       |  FROM $src),
+       |wgr AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(t) < 8 THEN [t]
+       |         ELSE list_transform(generate_series(1, length(t) - 7),
+       |                i -> substr(t, i, 8)) END AS gs
+       |  FROM wnt),
+       |whs AS (
+       |  SELECT doc_id,
+       |    list_transform(gs, g -> ('0x' || substr(md5(g), 1, 6))::INT) AS h
+       |  FROM wgr),
+       |mn AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(h) < 4 THEN [list_min(h)]
+       |         ELSE list_transform(generate_series(1, len(h) - 3),
+       |                i -> list_min(h[i : i+3])) END AS ms
+       |  FROM whs)""".stripMargin
 
   /** Exactly 13 lowercase words — one benchmark 13-gram for decon_strip. */
   private val deconPhrase = "the quick brown fox jumps over the lazy dog " +
@@ -1520,6 +1545,19 @@ object Queries {
           .select(col("doc_id").as("bench_id"), col("text")),
         maxFrac = 0.1)
         .select("doc_id", "lang", "source", "n_chars", "contamination")
+    }),
+
+    // — winnowing fingerprints (MOSS) —
+    "winnow_fingerprints" -> ((s, dir) =>
+      Winnow.docFingerprints(t(s, dir, "documents"), k = 8, w = 4)),
+
+    "winnow_pairs" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("doc_id") < 40)
+        .select("doc_id", "text")
+      val clones = t(s, dir, "documents").where(col("doc_id") < 10)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+      Winnow.candidatePairs(base.unionByName(clones), k = 8, w = 4,
+        minShared = 5)
     }),
 
     // (deconPhrase: exactly 13 lowercase words — one benchmark 13-gram)
@@ -3498,6 +3536,29 @@ object Queries {
          |SELECT documents.doc_id, lang, source, n_chars, contamination
          |FROM documents JOIN m ON documents.doc_id = m.doc_id
          |WHERE contamination <= 0.1""".stripMargin,
+
+    "winnow_fingerprints" ->
+      s"""WITH ${winnowFpCtes("documents")}
+         |SELECT doc_id, unnest(list_sort(list_distinct(ms))) AS fp
+         |FROM mn""".stripMargin,
+
+    "winnow_pairs" ->
+      s"""WITH wsrc AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 40
+         |  UNION ALL
+         |  SELECT doc_id + 20000 AS doc_id, text FROM documents
+         |  WHERE doc_id < 10),
+         |${winnowFpCtes("wsrc")},
+         |fpt AS (SELECT doc_id, unnest(list_distinct(ms)) AS fp FROM mn),
+         |b AS (
+         |  SELECT fp, (list_sort(list(DISTINCT doc_id)))[1:64] AS ids
+         |  FROM fpt GROUP BY fp),
+         |e AS (SELECT fp, unnest(ids) AS id FROM b WHERE len(ids) >= 2),
+         |p AS (
+         |  SELECT e1.id AS a, e2.id AS b
+         |  FROM e e1 JOIN e e2 ON e1.fp = e2.fp AND e1.id < e2.id)
+         |SELECT a, b, count(*) AS n_shared
+         |FROM p GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
 
     "decon_strip" ->
       s"""WITH sdocs AS (
