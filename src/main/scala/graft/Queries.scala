@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.extract.{Assemble, Features, Labeler, Pipeline, Structure}
-import graft.ops.{Bpe, C4, Chunker, CorpusClean, Decontam, Dedup, Dsir, Gopher, LangModel, MainContent, Passage, QualityModel, Search, Similarity, TextStats, UrlOps, Winnow}
+import graft.ops.{Bpe, C4, Chunker, CorpusClean, Decontam, Dedup, Dsir, Gopher, LangModel, MainContent, Passage, QualityModel, Search, Similarity, TextNorm, TextStats, UrlOps, Winnow}
 import graft.text.TextCols
 
 /**
@@ -540,6 +540,26 @@ object Queries {
        |         ELSE list_transform(generate_series(1, len(h) - 3),
        |                i -> list_min(h[i : i+3])) END AS ms
        |  FROM whs)""".stripMargin
+
+  /** Dirty decorations for the text_normalize corpus: smart quotes, em
+   * dash, ellipsis, NBSP, zero-width space, doubled spaces. */
+  private val dirtyPrefix = "“Smart” ‘quotes’ — dash…  "
+  private val dirtySuffix = "  tail​  end  "
+
+  private def sqlLit(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  /** DuckDB mirror of [[graft.ops.TextNorm.canonicalize]] applied to the
+   * SQL expression `e` — the exact same replace/translate/regex chain. */
+  private def duckCanonicalize(e: String): String = {
+    val from = sqlLit(TextNorm.charMap.map(_._1).mkString + TextNorm.dropChars)
+    val to = sqlLit(TextNorm.charMap.map(_._2).mkString)
+    s"""trim(regexp_replace(regexp_replace(regexp_replace(
+       |  translate(regexp_replace(coalesce($e, ''), '…', '...', 'g'),
+       |    $from, $to),
+       |  '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+       |  '[ \\t]+', ' ', 'g'),
+       |  ' ?\\n ?', chr(10), 'g'))""".stripMargin
+  }
 
   /** Exactly 13 lowercase words — one benchmark 13-gram for decon_strip. */
   private val deconPhrase = "the quick brown fox jumps over the lazy dog " +
@@ -1546,6 +1566,15 @@ object Queries {
         maxFrac = 0.1)
         .select("doc_id", "lang", "source", "n_chars", "contamination")
     }),
+
+    // — unicode canonicalization over a planted dirty corpus —
+    "text_normalize" -> ((s, dir) =>
+      TextNorm.withCanonical(
+        t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 1,
+            concat(lit(dirtyPrefix), col("text"), lit(dirtySuffix)))
+            .otherwise(col("text")).as("text")))
+        .select("doc_id", "text_norm", "n_chars_removed")),
 
     // — winnowing fingerprints (MOSS) —
     "winnow_fingerprints" -> ((s, dir) =>
@@ -3536,6 +3565,22 @@ object Queries {
          |SELECT documents.doc_id, lang, source, n_chars, contamination
          |FROM documents JOIN m ON documents.doc_id = m.doc_id
          |WHERE contamination <= 0.1""".stripMargin,
+
+    "text_normalize" ->
+      s"""WITH ndocs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 1
+         |      THEN ${sqlLit(dirtyPrefix)} || text || ${sqlLit(dirtySuffix)}
+         |      ELSE text END AS text
+         |  FROM documents),
+         |nn AS (
+         |  SELECT doc_id, text,
+         |${duckCanonicalize("text")} AS text_norm
+         |  FROM ndocs)
+         |SELECT doc_id, text_norm,
+         |  CAST(length(coalesce(text, '')) - length(text_norm) AS INT)
+         |    AS n_chars_removed
+         |FROM nn""".stripMargin,
 
     "winnow_fingerprints" ->
       s"""WITH ${winnowFpCtes("documents")}
