@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.extract.{Assemble, Features, Labeler, Pipeline, Structure}
-import graft.ops.{Bpe, C4, Chunker, CorpusClean, Decontam, Dedup, Dsir, Gopher, LangModel, MainContent, Passage, QualityModel, Search, Similarity, TextNorm, TextStats, UrlOps, Winnow}
+import graft.ops.{Bpe, C4, Chunker, CorpusClean, Decontam, Dedup, Dsir, Gopher, LangModel, MainContent, Passage, Ppx, QualityModel, Search, Sft, Similarity, TextNorm, TextStats, UrlOps, Winnow}
 import graft.text.TextCols
 
 /**
@@ -777,6 +777,31 @@ object Queries {
        |  SELECT '__UNSEEN__', '__UNSEEN__',
        |    CAST(round(ln(CAST(1 AS DOUBLE) / v) * 1e6, 0) AS BIGINT)
        |  FROM lv)""".stripMargin
+
+  /** [[lmModelCtes]] + document scoring → `xs(doc_id, label, n_bigrams,
+   * sum_fp)`, mirroring [[graft.ops.LangModel.xent]] over qc. */
+  private val lmXentCtes =
+    s"""$lmModelCtes,
+       |dws AS (SELECT doc_id, label, list_filter(string_split_regex(
+       |          lower(trim(text)), '\\s+'), t -> t <> '') AS ws FROM qc),
+       |dbg AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS prev,
+       |               unnest(ws[2:len(ws)]) AS w FROM dws),
+       |dj AS (SELECT dbg.doc_id,
+       |         coalesce(bw.w_fp, bo.w_fp,
+       |           (SELECT w_fp FROM lwt
+       |            WHERE prev = '__UNSEEN__' AND w = '__UNSEEN__')) AS wv
+       |       FROM dbg
+       |       LEFT JOIN (SELECT * FROM lwt WHERE w <> '__UNSEEN__') bw
+       |         ON dbg.prev = bw.prev AND dbg.w = bw.w
+       |       LEFT JOIN (SELECT prev, w_fp FROM lwt
+       |                  WHERE w = '__UNSEEN__' AND prev <> '__UNSEEN__') bo
+       |         ON dbg.prev = bo.prev),
+       |ds AS (SELECT doc_id, count(*) AS n_bigrams, sum(wv) AS sum_fp
+       |       FROM dj GROUP BY 1),
+       |xs AS (SELECT dws.doc_id, dws.label,
+       |         coalesce(ds.n_bigrams, 0) AS n_bigrams,
+       |         CAST(coalesce(ds.sum_fp, 0) AS BIGINT) AS sum_fp
+       |       FROM dws LEFT JOIN ds ON dws.doc_id = ds.doc_id)""".stripMargin
 
   private val wordsCte =
     """words AS (
@@ -1589,6 +1614,28 @@ object Queries {
         minShared = 5)
     }),
 
+    // — SFT example assembly over the transcripts view —
+    "sft_render" -> ((s, dir) =>
+      Sft.render(transcripts(s, dir))),
+
+    "sft_mask_spans" -> ((s, dir) =>
+      Sft.maskSpans(transcripts(s, dir))),
+
+    // invariant: every loss-mask span cuts exactly its turn's text out of
+    // the rendered conversation (constant-zero)
+    "sft_mask_diff" -> ((s, dir) => {
+      val tr = transcripts(s, dir)
+      Sft.maskSpans(tr)
+        .join(Sft.render(tr).withColumnRenamed("text", "rendered"), "conv_id")
+        .join(tr, Seq("conv_id", "turn_idx"))
+        .where(expr("substr(rendered, span_start + 1, span_end - span_start)")
+          =!= coalesce(col("text"), lit("")))
+        .agg(count(lit(1)).as("n_mismatch"))
+    }),
+
+    "sft_truncate" -> ((s, dir) =>
+      Sft.truncateTail(transcripts(s, dir), budgetToks = 300L)),
+
     // (deconPhrase: exactly 13 lowercase words — one benchmark 13-gram)
     "decon_strip" -> ((s, dir) => {
       val phrase = deconPhrase
@@ -1608,6 +1655,17 @@ object Queries {
       Decontam.mixCorpus(t(s, dir, "documents"),
         Map("src0" -> 2.0, "src1" -> 1.5, "src2" -> 0.25, "src3" -> 1.0))
         .select("doc_id", "source", "epoch")),
+
+    // — α=0.5 temperature rebalance over a planted 60/30/10 source skew —
+    "tmix_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 < 6, "big")
+          .when(col("doc_id") % 10 < 9, "mid")
+          .otherwise("small").as("src_bal"))
+      Decontam.sqrtTemperatureSample(docs, targetRows = 250L,
+        sourceCol = "src_bal")
+        .select("doc_id", "src_bal", "n_source", "quota")
+    }),
 
     // — corpus cleaning (boilerplate / repetition / PII) over views that
     //   deterministically plant the phenomena (footer lines, PII strings) —
@@ -1694,6 +1752,17 @@ object Queries {
       LangModel.xent(qc, model)
         .join(qc.select("doc_id", "label"), Seq("doc_id"))
         .select("doc_id", "label", "n_bigrams", "sum_fp", "xent")
+    }),
+
+    // — CCNet-style perplexity buckets over the trained bigram LM —
+    "lm_ppx_buckets" -> ((s, dir) => {
+      val qc = qualityCorpus(s, dir)
+      val model = LangModel.train(
+        qc.where(col("label") === 1 && col("doc_id") % 5 < 4), minCount = 2)
+      val scored = LangModel.xent(qc, model)
+      val c = Ppx.cuts(scored)
+      Ppx.withBuckets(scored, c.headCut, c.tailCut)
+        .select("doc_id", "xent_fp", "ppx_bucket")
     }),
 
     // — multimodal plumbing (payload = utf-8 bytes of text; stub codec) —
@@ -3605,6 +3674,59 @@ object Queries {
          |SELECT a, b, count(*) AS n_shared
          |FROM p GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
 
+    "sft_render" ->
+      s"""WITH $transcriptsCte,
+         |rt AS (
+         |  SELECT conv_id, turn_idx,
+         |    '<|' || coalesce(role, '') || '|>' || chr(10) ||
+         |    coalesce(text, '') || chr(10) AS frag
+         |  FROM transcripts)
+         |SELECT conv_id,
+         |  string_agg(frag, '' ORDER BY turn_idx) AS text,
+         |  count(*) AS n_turns,
+         |  CAST(sum(length(frag)) AS BIGINT) AS n_chars
+         |FROM rt GROUP BY conv_id""".stripMargin,
+
+    "sft_mask_spans" ->
+      s"""WITH $transcriptsCte,
+         |rt AS (
+         |  SELECT conv_id, turn_idx, role,
+         |    length('<|' || coalesce(role, '') || '|>' || chr(10) ||
+         |           coalesce(text, '') || chr(10)) AS flen,
+         |    length(coalesce(role, '')) + 5 AS tag,
+         |    length(coalesce(text, '')) AS tlen
+         |  FROM transcripts),
+         |off AS (
+         |  SELECT *, coalesce(sum(flen) OVER (
+         |      PARTITION BY conv_id ORDER BY turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+         |  FROM rt)
+         |SELECT conv_id, turn_idx,
+         |  CAST(o + tag AS BIGINT) AS span_start,
+         |  CAST(o + tag + tlen AS BIGINT) AS span_end
+         |FROM off WHERE role = 'assistant'""".stripMargin,
+
+    "sft_mask_diff" ->
+      "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+
+    "sft_truncate" ->
+      s"""WITH $transcriptsCte,
+         |tk AS (
+         |  SELECT conv_id, turn_idx, role,
+         |    CAST(len(regexp_extract_all(coalesce(text, ''),
+         |      '[^ \\t\\n\\r\\f]+')) AS BIGINT) AS n_toks
+         |  FROM transcripts),
+         |cum AS (
+         |  SELECT *,
+         |    CAST(sum(n_toks) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS rev_cum,
+         |    min(turn_idx) OVER (PARTITION BY conv_id) AS min_idx
+         |  FROM tk)
+         |SELECT conv_id, turn_idx, role, n_toks, rev_cum,
+         |  (rev_cum <= 300 OR (role = 'system' AND turn_idx = min_idx)) AS kept
+         |FROM cum""".stripMargin,
+
     "decon_strip" ->
       s"""WITH sdocs AS (
          |  SELECT doc_id,
@@ -3667,6 +3789,26 @@ object Queries {
         |   OR ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR) || '#' ||
         |        CAST(epoch AS VARCHAR)), 1, 6))::INT / 16777216.0
         |      < weight - floor(weight)""".stripMargin,
+
+    "tmix_sample" ->
+      """WITH sb AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 6 THEN 'big'
+        |         WHEN doc_id % 10 < 9 THEN 'mid'
+        |         ELSE 'small' END AS src_bal
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT src_bal, count(*) AS n_source,
+        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        |  FROM sb GROUP BY 1),
+        |q AS (
+        |  SELECT src_bal, n_source,
+        |    CAST(250 * w // (SELECT sum(w) FROM cnt) AS BIGINT) AS quota
+        |  FROM cnt)
+        |SELECT doc_id, src_bal, n_source, quota
+        |FROM sb JOIN q USING (src_bal)
+        |WHERE ('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 6))::INT
+        |      / 16777216.0 < least(1.0, quota / n_source)""".stripMargin,
 
     "clean_boiler_census" ->
       s"""WITH $boilerCorpusCte,
@@ -3810,30 +3952,35 @@ object Queries {
          |SELECT prev, w, w_fp FROM lwt""".stripMargin,
 
     "lm_xent" ->
-      s"""WITH $lmModelCtes,
-         |dws AS (SELECT doc_id, label, list_filter(string_split_regex(
-         |          lower(trim(text)), '\\s+'), t -> t <> '') AS ws FROM qc),
-         |dbg AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS prev,
-         |               unnest(ws[2:len(ws)]) AS w FROM dws),
-         |dj AS (SELECT dbg.doc_id,
-         |         coalesce(bw.w_fp, bo.w_fp,
-         |           (SELECT w_fp FROM lwt
-         |            WHERE prev = '__UNSEEN__' AND w = '__UNSEEN__')) AS wv
-         |       FROM dbg
-         |       LEFT JOIN (SELECT * FROM lwt WHERE w <> '__UNSEEN__') bw
-         |         ON dbg.prev = bw.prev AND dbg.w = bw.w
-         |       LEFT JOIN (SELECT prev, w_fp FROM lwt
-         |                  WHERE w = '__UNSEEN__' AND prev <> '__UNSEEN__') bo
-         |         ON dbg.prev = bo.prev),
-         |ds AS (SELECT doc_id, count(*) AS n_bigrams, sum(wv) AS sum_fp
-         |       FROM dj GROUP BY 1)
-         |SELECT dws.doc_id, dws.label,
-         |  coalesce(ds.n_bigrams, 0) AS n_bigrams,
-         |  CAST(coalesce(ds.sum_fp, 0) AS BIGINT) AS sum_fp,
-         |  CASE WHEN coalesce(ds.n_bigrams, 0) > 0
-         |       THEN round(-ds.sum_fp / 1e6 / ds.n_bigrams, 4)
+      s"""WITH $lmXentCtes
+         |SELECT doc_id, label, n_bigrams, sum_fp,
+         |  CASE WHEN n_bigrams > 0
+         |       THEN round(-sum_fp / 1e6 / n_bigrams, 4)
          |       ELSE 0.0 END AS xent
-         |FROM dws LEFT JOIN ds ON dws.doc_id = ds.doc_id""".stripMargin,
+         |FROM xs""".stripMargin,
+
+    "lm_ppx_buckets" ->
+      s"""WITH $lmXentCtes,
+         |fpx AS (SELECT doc_id, n_bigrams,
+         |          CASE WHEN n_bigrams > 0
+         |               THEN CAST((-sum_fp) * 1000 // n_bigrams AS BIGINT)
+         |          END AS xent_fp
+         |        FROM xs),
+         |ranked AS (SELECT xent_fp, row_number() OVER (ORDER BY xent_fp) AS r,
+         |                  count(*) OVER () AS n
+         |           FROM fpx WHERE xent_fp IS NOT NULL),
+         |cuts AS (SELECT
+         |    max(CASE WHEN r = CAST(floor((n - 1) * (1.0 / 3)) AS BIGINT) + 1
+         |        THEN xent_fp END) AS head_cut,
+         |    max(CASE WHEN r = CAST(floor((n - 1) * (2.0 / 3)) AS BIGINT) + 1
+         |        THEN xent_fp END) AS tail_cut
+         |  FROM ranked)
+         |SELECT doc_id, xent_fp,
+         |  CASE WHEN xent_fp IS NULL THEN 'na'
+         |       WHEN xent_fp <= head_cut THEN 'head'
+         |       WHEN xent_fp <= tail_cut THEN 'middle'
+         |       ELSE 'tail' END AS ppx_bucket
+         |FROM fpx CROSS JOIN cuts""".stripMargin,
 
     "prep_corpus_trained" ->
       s"""WITH RECURSIVE $wordsCte, $shinglesCte, $dedupChainCtes, $qmWeightsCtes,

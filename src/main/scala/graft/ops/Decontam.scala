@@ -167,4 +167,43 @@ object Decontam {
           col("_weight") - floor(col("_weight")))
       .drop("_weight")
   }
+
+  /**
+   * Temperature-balanced multi-source sampling at α = 0.5 (the standard
+   * exponent-smoothing rebalance for mixed corpora: small sources are
+   * up-weighted relative to their share, big ones damped — sampling
+   * probability ∝ √n_source instead of n_source). Given a row budget
+   * `targetRows`, each source gets quota
+   * `targetRows * isqrt(n_s) div Σ isqrt(n_j)` and keeps rows by the
+   * deterministic [[hashUnit]] Bernoulli at rate `quota / n_s`.
+   *
+   * Numerics: the α = 0.5 weight is the INTEGER square root
+   * (`floor(sqrt(n))` — IEEE sqrt is correctly rounded, so both engines
+   * floor the same value for n < 2^52), the normalization is integer
+   * division, and the only real-valued step is one exact-integer
+   * division fed to the hash compare — no `pow`, no float sums, so the
+   * DuckDB mirror reproduces every keep decision bit-for-bit.
+   *
+   * Plan shape: one small source-grain aggregate (+ its total) broadcast
+   * back as a join; the corpus itself is filtered map-side — no shuffle
+   * at corpus grain, retry/repartition-stable. Same discipline as
+   * [[graft.ops.UrlOps.domainQuotaSample]] (per-domain caps) — this is
+   * the cross-SOURCE rebalance that runs above it.
+   */
+  def sqrtTemperatureSample(docs: DataFrame, targetRows: Long,
+      sourceCol: String = "source", idCol: String = "doc_id",
+      seed: String = "tmix"): DataFrame = {
+    require(targetRows > 0, "targetRows must be positive")
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("n_source"))
+      .withColumn("w", floor(sqrt(col("n_source"))).cast("long"))
+    val total = counts.agg(sum(col("w")).as("w_tot"))
+    val quotas = counts.crossJoin(broadcast(total))
+      .withColumn("quota",
+        expr(s"${targetRows}L * w div w_tot").cast("long"))
+      .withColumn("keep_rate",
+        least(lit(1.0), col("quota").cast("double") / col("n_source")))
+      .select(col(sourceCol), col("n_source"), col("quota"), col("keep_rate"))
+    docs.join(broadcast(quotas), Seq(sourceCol))
+      .where(hashUnit(col(idCol), seed) < col("keep_rate"))
+  }
 }

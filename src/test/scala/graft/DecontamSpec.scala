@@ -126,4 +126,34 @@ class DecontamSpec extends SparkSpec {
     assert(out(2L) === ((false, "totally unrelated words that stay put")))
     assert(out(3L) === ((false, "short doc")))
   }
+
+  test("sqrtTemperatureSample: integer quotas, full keep of tiny sources, determinism") {
+    import spark.implicits._
+    // 9 / 4 / 1 rows → isqrt weights 3 / 2 / 1 (tot 6); target 6 → quotas 3/2/1
+    val docs = ((0L until 9L).map((_, "a")) ++ (9L until 13L).map((_, "b")) ++
+      Seq((13L, "c"))).toDF("doc_id", "source")
+    val out = Decontam.sqrtTemperatureSample(docs, targetRows = 6L)
+    val quotas = out.select("source", "n_source", "quota")
+      .distinct().as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(quotas.get("a").forall(_ === ((9L, 3L))))
+    assert(quotas.get("b").forall(_ === ((4L, 2L))))
+    // rate for c is 1/1 = 1.0 → the single row always survives
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(13L))
+    // deterministic under repartitioning
+    val again = Decontam.sqrtTemperatureSample(docs.repartition(7), 6L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === kept)
+    // every kept row honors the hash predicate at its source's rate
+    val rates = Map("a" -> 3.0 / 9, "b" -> 2.0 / 4, "c" -> 1.0)
+    val byId = docs.as[(Long, String)].collect().toMap
+    kept.foreach { id =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tmix:$id".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(6)
+      val h = java.lang.Long.parseLong(hex, 16) / 16777216.0
+      assert(h < rates(byId(id)), s"doc $id kept but hash $h >= rate")
+    }
+  }
 }
