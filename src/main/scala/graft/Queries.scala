@@ -1656,6 +1656,16 @@ object Queries {
         Map("src0" -> 2.0, "src1" -> 1.5, "src2" -> 0.25, "src3" -> 1.0))
         .select("doc_id", "source", "epoch")),
 
+    // — UT1-style blocklist gate over the planted URL corpus —
+    "url_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val dom = Seq(("delta.net", "ads"), ("m.alpha.com", "tracking"))
+        .toDF("pattern", "category")
+      val kw = Seq(("page/7", "spam")).toDF("keyword", "category")
+      UrlOps.blockVerdict(urlCorpus(s, dir), dom, kw)
+        .select("doc_id", "host", "blocked", "block_hit")
+    }),
+
     // — α=0.5 temperature rebalance over a planted 60/30/10 source skew —
     "tmix_sample" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"),
@@ -3211,6 +3221,35 @@ object Queries {
          |    ORDER BY md5('dq:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
          |  FROM doms)
          |SELECT domain, doc_id, rnk FROM r WHERE rnk <= 20""".stripMargin,
+
+    "url_blocklist" ->
+      s"""WITH $urlCorpusCte,
+         |hp AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(url,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+         |    lower(regexp_extract(url,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)) AS path
+         |  FROM urls),
+         |db(pattern, category) AS (
+         |  SELECT * FROM (VALUES ('delta.net', 'ads'),
+         |    ('m.alpha.com', 'tracking')) v),
+         |kb(keyword, category) AS (
+         |  SELECT * FROM (VALUES ('page/7', 'spam')) v),
+         |sfx AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(p)),
+         |    i -> array_to_string(p[i+1:len(p)], '.'))) AS pattern
+         |  FROM (SELECT doc_id, string_split(host, '.') AS p FROM hp)),
+         |hits AS (
+         |  SELECT doc_id, category || '|' || pattern AS hit
+         |  FROM sfx JOIN db USING (pattern)
+         |  UNION ALL
+         |  SELECT doc_id, category || '|' || keyword AS hit
+         |  FROM hp JOIN kb ON contains(path, keyword)),
+         |v AS (SELECT doc_id, min(hit) AS block_hit FROM hits GROUP BY 1)
+         |SELECT hp.doc_id, hp.host, v.block_hit IS NOT NULL AS blocked,
+         |       v.block_hit
+         |FROM hp LEFT JOIN v USING (doc_id)""".stripMargin,
 
     "search_bm25" ->
       s"""WITH $wordsCte,

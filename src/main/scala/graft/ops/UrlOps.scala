@@ -120,4 +120,61 @@ object UrlOps {
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= n)
   }
+
+  /** URL path capture: everything after the authority up to `?`/`#`
+   * ('' when the URL has no path). RE2-safe, shared with the mirrors. */
+  val pathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+  /** Every label-suffix of a host, longest first: a.b.co.uk →
+   * [a.b.co.uk, b.co.uk, co.uk, uk]. Bounded by label count (hosts have
+   * a handful), so the explode below multiplies the corpus by ~4, not by
+   * the blocklist. `Cols.bound`: the split is a computed array — unbound,
+   * each lambda element would re-split the host. */
+  def hostSuffixes(hostCol: Column): Column =
+    Cols.bound(split(hostCol, "\\.")) { p =>
+      transform(sequence(lit(0), size(p) - 1),
+        i => array_join(slice(p, i + 1, size(p) - i), "."))
+    }
+
+  /**
+   * URL blocklist gate (the UT1-category role: every web-corpus pipeline
+   * drops adult/ads/malware domains and URL keywords before anything
+   * else). Two pattern kinds, each scale-shaped differently:
+   *
+   *  - `domainBlocks(pattern, category)` — matches a host exactly OR any
+   *    parent domain (suffix-of-labels). The host explodes into its
+   *    (bounded) suffix chain and EQUI-joins the broadcast blocklist —
+   *    real blocklists are millions of domains, so this must never be a
+   *    nested-loop; past broadcast size the same equi-join shuffles and
+   *    still works.
+   *  - `keywordBlocks(keyword, category)` — lower-cased substring match
+   *    on the URL path. Inherently a nested-loop against the corpus:
+   *    keep this list SMALL (UT1 keyword lists are dozens of entries).
+   *
+   * Output: the input plus `host`, `blocked`, and `block_hit` — the
+   * lexicographically smallest `category|pattern` witness (deterministic
+   * when several patterns hit), null for clean rows.
+   */
+  def blockVerdict(docs: DataFrame, domainBlocks: DataFrame,
+      keywordBlocks: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame = {
+    val based = docs.withColumn("_host", host(col(urlCol)))
+      .withColumn("_path", lower(regexp_extract(col(urlCol), pathRe, 1)))
+    val domHits = based
+      .select(col(idCol), explode(hostSuffixes(col("_host"))).as("pattern"))
+      .join(broadcast(domainBlocks.select("pattern", "category")), Seq("pattern"))
+      .select(col(idCol),
+        concat(col("category"), lit("|"), col("pattern")).as("_hit"))
+    val kwHits = based.select(col(idCol), col("_path"))
+      .join(broadcast(keywordBlocks.select("keyword", "category")),
+        col("_path").contains(col("keyword")))
+      .select(col(idCol),
+        concat(col("category"), lit("|"), col("keyword")).as("_hit"))
+    val verdicts = domHits.unionByName(kwHits)
+      .groupBy(idCol).agg(min(col("_hit")).as("block_hit"))
+    based.join(verdicts, Seq(idCol), "left")
+      .withColumn("blocked", col("block_hit").isNotNull)
+      .drop("_path")
+      .withColumnRenamed("_host", "host")
+  }
 }

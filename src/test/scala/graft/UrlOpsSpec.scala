@@ -86,4 +86,33 @@ class UrlOpsSpec extends SparkSpec {
       .select("rs").as[Seq[Int]].collect()
     assert(ranks.length === 2 && ranks.forall(_ === (1 to 10)))
   }
+
+  test("blockVerdict: domain suffix + exact host + path keyword, deterministic witness") {
+    val docs = Seq(
+      (0L, "https://a.b.delta.net/x"),          // suffix hit: delta.net
+      (1L, "https://m.alpha.com/ok"),           // exact-host hit
+      (2L, "https://alpha.com/m.alpha.com"),    // blocked domain in PATH only → clean
+      (3L, "https://safe.org/casino-night"),    // keyword hit
+      (4L, "https://delta.net/casino"),         // both: min(ads|…, spam|…) = ads
+      (5L, "not a url"),                        // unparseable → clean
+      (6L, "https://notdelta.net/x"))           // notdelta.net ≠ *.delta.net → clean… suffix 'net' not listed
+      .toDF("doc_id", "url")
+    val dom = Seq(("delta.net", "ads"), ("m.alpha.com", "tracking"))
+      .toDF("pattern", "category")
+    val kw = Seq(("casino", "spam")).toDF("keyword", "category")
+    val got = UrlOps.blockVerdict(docs, dom, kw)
+      .select("doc_id", "blocked", "block_hit")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) "" else r.getString(2)))).toMap
+    assert(got === Map(
+      0L -> ((true, "ads|delta.net")),
+      1L -> ((true, "tracking|m.alpha.com")),
+      2L -> ((false, "")),
+      3L -> ((true, "spam|casino")),
+      4L -> ((true, "ads|delta.net")),
+      5L -> ((false, "")),
+      6L -> ((false, ""))))
+    // row count preserved: the gate never drops or duplicates rows
+    assert(UrlOps.blockVerdict(docs.repartition(5), dom, kw).count() === 7L)
+  }
 }
