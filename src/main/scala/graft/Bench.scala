@@ -132,7 +132,8 @@ object Bench {
     "mc_main_content", "w11_zones_content", "pipeline_doc_spans",
     "bpe_roundtrip_diff", "search_bm25", "sem_dedup_keep", "url_quota_sample",
     "passage_strip", "kmeans_centroids", "gopher_keep", "chunk_text",
-    "gopher_rep_keep", "c4_span_dedup", "dsir_resample", "web_curation")
+    "gopher_rep_keep", "c4_span_dedup", "dsir_resample", "web_curation",
+    "sft_render", "lm_ppx_buckets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1636,6 +1636,28 @@ object Queries {
     "sft_truncate" -> ((s, dir) =>
       Sft.truncateTail(transcripts(s, dir), budgetToks = 300L)),
 
+    // — role-alternation audit (SFT structural QA gate) —
+    "sft_role_audit" -> ((s, dir) =>
+      Sft.roleAudit(transcripts(s, dir))),
+
+    // — composed transcript curation: budget-truncate → render → conv-level
+    //   exact dedup (5 planted clone conversations must collapse) —
+    "sft_corpus" -> ((s, dir) => {
+      val base = transcripts(s, dir)
+      val clones = base
+        .where(col("conv_id").isin((0 until 5).map("conv" + _): _*))
+        .withColumn("conv_id", concat(col("conv_id"), lit("x")))
+      val tr = base.unionByName(clones)
+      val kept = Sft.truncateTail(tr, budgetToks = 300L)
+        .where(col("kept")).select("conv_id", "turn_idx")
+        .join(tr, Seq("conv_id", "turn_idx"))
+      val rendered = Sft.render(kept)
+      val keepers = Dedup.exact(rendered, idCol = "conv_id", textCol = "text")
+        .where(!col("is_dup")).select("conv_id")
+      rendered.join(keepers, Seq("conv_id"))
+        .select("conv_id", "n_turns", "n_chars")
+    }),
+
     // (deconPhrase: exactly 13 lowercase words — one benchmark 13-gram)
     "decon_strip" -> ((s, dir) => {
       val phrase = deconPhrase
@@ -3765,6 +3787,64 @@ object Queries {
          |SELECT conv_id, turn_idx, role, n_toks, rev_cum,
          |  (rev_cum <= 300 OR (role = 'system' AND turn_idx = min_idx)) AS kept
          |FROM cum""".stripMargin,
+
+    "sft_role_audit" ->
+      s"""WITH $transcriptsCte,
+         |ns AS (
+         |  SELECT conv_id, turn_idx, role,
+         |    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+         |  FROM transcripts WHERE role <> 'system'),
+         |a AS (
+         |  SELECT conv_id, count(*) AS n_turns_ns,
+         |    arg_min(role, turn_idx) AS first_role,
+         |    arg_max(role, turn_idx) AS last_role,
+         |    CAST(sum(CASE WHEN prev = role THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_role_repeats
+         |  FROM ns GROUP BY conv_id)
+         |SELECT *, (first_role = 'user' AND last_role = 'assistant'
+         |           AND n_role_repeats = 0) AS role_valid
+         |FROM a""".stripMargin,
+
+    "sft_corpus" ->
+      s"""WITH $transcriptsCte,
+         |tr AS (
+         |  SELECT * FROM transcripts
+         |  UNION ALL
+         |  SELECT conv_id || 'x' AS conv_id, turn_idx, role, text, tool, ts
+         |  FROM transcripts
+         |  WHERE conv_id IN ('conv0', 'conv1', 'conv2', 'conv3', 'conv4')),
+         |tk AS (
+         |  SELECT conv_id, turn_idx, role,
+         |    CAST(len(regexp_extract_all(coalesce(text, ''),
+         |      '[^ \\t\\n\\r\\f]+')) AS BIGINT) AS n_toks
+         |  FROM tr),
+         |cum AS (
+         |  SELECT *,
+         |    sum(n_toks) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_cum,
+         |    min(turn_idx) OVER (PARTITION BY conv_id) AS min_idx
+         |  FROM tk),
+         |kept AS (
+         |  SELECT conv_id, turn_idx FROM cum
+         |  WHERE rev_cum <= 300 OR (role = 'system' AND turn_idx = min_idx)),
+         |kt AS (SELECT tr.* FROM tr JOIN kept USING (conv_id, turn_idx)),
+         |rt AS (
+         |  SELECT conv_id, turn_idx,
+         |    '<|' || coalesce(role, '') || '|>' || chr(10) ||
+         |    coalesce(text, '') || chr(10) AS frag
+         |  FROM kt),
+         |r AS (
+         |  SELECT conv_id,
+         |    string_agg(frag, '' ORDER BY turn_idx) AS text,
+         |    count(*) AS n_turns,
+         |    CAST(sum(length(frag)) AS BIGINT) AS n_chars
+         |  FROM rt GROUP BY conv_id),
+         |f AS (
+         |  SELECT conv_id, n_turns, n_chars,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM r),
+         |k AS (SELECT *, min(conv_id) OVER (PARTITION BY fp) AS keeper FROM f)
+         |SELECT conv_id, n_turns, n_chars FROM k WHERE conv_id = keeper""".stripMargin,
 
     "decon_strip" ->
       s"""WITH sdocs AS (

@@ -114,4 +114,34 @@ object Sft {
           (col(roleCol) === "system" &&
             col(orderCol) === min(col(orderCol)).over(conv)))
   }
+
+  /**
+   * Role-alternation audit — the structural QA gate every SFT corpus runs
+   * before training: ignoring system turns, a well-formed conversation
+   * starts with a user turn, strictly alternates user/assistant, and ends
+   * on an assistant turn (so the rendered example has a trainable
+   * completion). Emits per-conversation counts and the three flags plus
+   * their conjunction `role_valid` — callers census the failure modes
+   * before deciding what to drop.
+   *
+   * One lag window + one hash aggregate, both on the conv_id partitioning
+   * the semantics require; nothing corpus-grain beyond that.
+   */
+  def roleAudit(transcripts: DataFrame, idCol: String = "conv_id",
+      orderCol: String = "turn_idx", roleCol: String = "role"): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(orderCol)
+    transcripts
+      .where(col(roleCol) =!= "system")
+      .withColumn("_prev", lag(col(roleCol), 1).over(w))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_turns_ns"),
+        min_by(col(roleCol), col(orderCol)).as("first_role"),
+        max_by(col(roleCol), col(orderCol)).as("last_role"),
+        sum(when(col("_prev") === col(roleCol), 1L).otherwise(0L))
+          .as("n_role_repeats"))
+      .withColumn("role_valid",
+        col("first_role") === "user" && col("last_role") === "assistant" &&
+          col("n_role_repeats") === 0L)
+  }
 }

@@ -76,4 +76,26 @@ class SftSpec extends SparkSpec {
       .select("turn_idx", "kept").as[(Int, Boolean)].collect().toMap
     assert(kept === Map(0 -> false, 1 -> false, 2 -> true))
   }
+
+  test("roleAudit flags alternation violations, ignoring system turns") {
+    val convs = Seq(
+      ("ok", 0, "system"), ("ok", 1, "user"), ("ok", 2, "assistant"),
+      ("ok2", 0, "user"), ("ok2", 1, "assistant"),
+      ("ok2", 2, "user"), ("ok2", 3, "assistant"),
+      ("dbl", 0, "user"), ("dbl", 1, "user"), ("dbl", 2, "assistant"),
+      ("astart", 0, "assistant"), ("astart", 1, "user"),
+      ("uend", 0, "user"), ("uend", 1, "assistant"), ("uend", 2, "user"))
+      .map(t => (t._1, t._2, t._3, "x"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val got = Sft.roleAudit(convs)
+      .select("conv_id", "n_turns_ns", "n_role_repeats", "role_valid")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      "ok" -> ((2L, 0L, true)),
+      "ok2" -> ((4L, 0L, true)),
+      "dbl" -> ((3L, 1L, false)),
+      "astart" -> ((2L, 0L, false)),
+      "uend" -> ((3L, 0L, false))))
+  }
 }
