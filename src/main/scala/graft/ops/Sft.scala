@@ -126,6 +126,8 @@ object Sft {
    *
    * One lag window + one hash aggregate, both on the conv_id partitioning
    * the semantics require; nothing corpus-grain beyond that.
+   * Conversations with NO non-system turns emit no row (there is nothing
+   * to audit — semi-join the output against the corpus to find them).
    */
   def roleAudit(transcripts: DataFrame, idCol: String = "conv_id",
       orderCol: String = "turn_idx", roleCol: String = "role"): DataFrame = {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{C4, Dsir, Gopher}
+import graft.ops.{C4, Decontam, Dsir, Gopher, Sft, UrlOps}
 
 /** Adversarial inputs through the round-4 corpus operators: nulls,
   * empties, whitespace-only, unicode — no crashes, sane zeros. */
@@ -62,5 +62,39 @@ class OpsRobustnessSpec extends SparkSpec {
     val m0 = Dsir.fit(docs((20L, "")), raw, b = 32)
     assert(m0.count() === 32)
     assert(Dsir.resample(raw, m0, k = 2, b = 32).count() === 2)
+  }
+
+  test("Sft ops survive null text, single-turn and system-only conversations") {
+    val tr = Seq(
+      ("c1", 0, "system", null.asInstanceOf[String]),   // system-only conv
+      ("c2", 0, "assistant", ""),                        // single empty turn
+      ("c3", 0, "user", "\t\n "),                        // whitespace-only
+      ("c3", 1, "assistant", "ok"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    assert(Sft.render(tr).count() === 3L)                // every conv renders
+    assert(Sft.maskSpans(tr).count() === 2L)             // c2 + c3 assistants
+    val tks = Sft.truncateTail(tr, budgetToks = 5L)
+      .select("conv_id", "n_toks").as[(String, Long)].collect()
+    assert(tks.filter(_._1 != "c3").forall(_._2 === 0L)) // null/empty/ws → 0
+    // system-only conversations emit no audit row; others do
+    val audited = Sft.roleAudit(tr).select("conv_id").as[String].collect().toSet
+    assert(audited === Set("c2", "c3"))
+  }
+
+  test("blockVerdict passes null/empty URLs through as clean, rows preserved") {
+    val docs = Seq((0L, null.asInstanceOf[String]), (1L, ""),
+      (2L, "https://delta.net/x")).toDF("doc_id", "url")
+    val dom = Seq(("delta.net", "ads")).toDF("pattern", "category")
+    val kw = Seq(("casino", "spam")).toDF("keyword", "category")
+    val got = UrlOps.blockVerdict(docs, dom, kw)
+      .select("doc_id", "blocked").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(0L -> false, 1L -> false, 2L -> true))
+  }
+
+  test("sqrtTemperatureSample tolerates a single source and quota >= corpus") {
+    val docs = (0L until 4L).map((_, "only")).toDF("doc_id", "source")
+    val out = Decontam.sqrtTemperatureSample(docs, targetRows = 100L)
+    // quota 100*2 div 2 = 100 ≥ 4 rows → rate 1.0 → everything kept
+    assert(out.count() === 4L)
   }
 }
