@@ -86,6 +86,60 @@ object Queries {
       |  SELECT vec_id + 10000 AS vec_id, embedding
       |  FROM embeddings WHERE vec_id < 20)""".stripMargin
 
+  /** Agent-trajectory transcripts: tool CALL turns (assistant, `tool` set)
+   * at turn 2 and 6, adjacent RESULT turns (`role='tool'`) at 3 and 7,
+   * with planted anomalies — a mismatched result tool name in convs ≡2
+   * (mod 5) (orphan + dangling), a mistagged tool on the user turn 9 in
+   * convs ≡3 (mod 7), and a 4-turn identical-assistant loop in convs ≡1
+   * (mod 4). Mirrors [[agentCte]]. */
+  private def agentTranscripts(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val cn = (col("doc_id") / 10).cast("long")
+    val k = (col("doc_id") % 10).cast("int")
+    val tname = when(cn % 2 === 0, "search").otherwise("browse")
+    d.select(
+      concat(lit("conv"), cn.cast("string")).as("conv_id"),
+      k.as("turn_idx"),
+      when(k === 0, "system")
+        .when(k.isin(2, 4, 6, 8), "assistant")
+        .when(k.isin(3, 7), "tool")
+        .otherwise("user").as("role"),
+      when(k.isin(2, 4, 6, 8) && cn % 4 === 1, "loop loop loop")
+        .otherwise(col("text")).as("text"),
+      when(k.isin(2, 6), tname)
+        .when(k === 3, when(cn % 5 === 2, "bad").otherwise(tname))
+        .when(k === 7, tname)
+        .when(k === 9 && cn % 7 === 3, "stray")
+        .as("tool"),
+      (lit("2026-01-01 00:00:00").cast("timestamp") +
+        make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
+          k.cast("double"))).as("ts"))
+  }
+
+  /** DuckDB CTE mirroring [[agentTranscripts]]. */
+  private val agentCte =
+    """agent AS (
+      |  SELECT 'conv' || CAST(doc_id // 10 AS VARCHAR) AS conv_id,
+      |         CAST(doc_id % 10 AS INT) AS turn_idx,
+      |         CASE WHEN doc_id % 10 = 0 THEN 'system'
+      |              WHEN doc_id % 10 IN (2, 4, 6, 8) THEN 'assistant'
+      |              WHEN doc_id % 10 IN (3, 7) THEN 'tool'
+      |              ELSE 'user' END AS role,
+      |         CASE WHEN doc_id % 10 IN (2, 4, 6, 8) AND (doc_id // 10) % 4 = 1
+      |              THEN 'loop loop loop' ELSE text END AS text,
+      |         CASE WHEN doc_id % 10 IN (2, 6) THEN
+      |                CASE WHEN (doc_id // 10) % 2 = 0 THEN 'search' ELSE 'browse' END
+      |              WHEN doc_id % 10 = 3 THEN
+      |                CASE WHEN (doc_id // 10) % 5 = 2 THEN 'bad'
+      |                     WHEN (doc_id // 10) % 2 = 0 THEN 'search' ELSE 'browse' END
+      |              WHEN doc_id % 10 = 7 THEN
+      |                CASE WHEN (doc_id // 10) % 2 = 0 THEN 'search' ELSE 'browse' END
+      |              WHEN doc_id % 10 = 9 AND (doc_id // 10) % 7 = 3 THEN 'stray'
+      |              ELSE NULL END AS tool,
+      |         TIMESTAMP '2026-01-01 00:00:00'
+      |           + (doc_id % 10) * INTERVAL 1 SECOND AS ts
+      |  FROM documents)""".stripMargin
+
   /** DuckDB mirror of [[graft.ops.Similarity.cellAssignments]] over `emb`
    * (size-windowed, maxCell 1000). */
   private val semAssignCte =
@@ -2101,7 +2155,44 @@ object Queries {
       // same recall harness for the IVF-flat scale path (probes widened for
       // the quality measurement; search defaults stay nProbe=2)
       recallAt5(t(s, dir, "embeddings"), (e, q) =>
-        Similarity.ivfTopK(e, q, k = 5, nCentroids = 16, nProbe = 6)))
+        Similarity.ivfTopK(e, q, k = 5, nCentroids = 16, nProbe = 6))),
+
+    // — agent-trajectory structural QA (ops/Agent.scala) —
+    "agent_tool_audit" -> ((s, dir) =>
+      graft.ops.Agent.toolAudit(agentTranscripts(s, dir))),
+
+    "agent_tool_stats" -> ((s, dir) =>
+      graft.ops.Agent.toolStats(agentTranscripts(s, dir))),
+
+    "agent_loop_runs" -> ((s, dir) =>
+      graft.ops.Agent.loopRuns(agentTranscripts(s, dir), minRun = 3)),
+
+    // conversation-prefix dedup over the base transcripts plus planted
+    // prefix clones (conv0-4 truncated to 6 turns) and equal-length exact
+    // clones (conv5-7) — re-logged agent sessions produce exactly these
+    "agent_prefix_dedup" -> ((s, dir) => {
+      val base = transcripts(s, dir)
+      val pclones = base
+        .where(col("conv_id").isin((0 until 5).map("conv" + _): _*) &&
+          col("turn_idx") < 6)
+        .withColumn("conv_id", concat(col("conv_id"), lit("p")))
+      val fclones = base
+        .where(col("conv_id").isin((5 until 8).map("conv" + _): _*))
+        .withColumn("conv_id", concat(col("conv_id"), lit("x")))
+      graft.ops.Agent.prefixDedup(
+        base.unionByName(pclones).unionByName(fclones))
+    }),
+
+    // Bloom-accelerated incremental exact dedup: yesterday's corpus is
+    // docs 0-399, today's batch re-crawls 300-499 under new ids — the
+    // 300-399 overlap must be dropped without shuffling the corpus
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") < 400).select("doc_id", "text")
+      val batch = docs.where(col("doc_id") >= 300)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup.incrementalExact(batch, corpus, expectedItems = 400L)
+    })
   )
 
   // ------------------------------------------------------------- oracles —
@@ -4195,6 +4286,115 @@ object Queries {
         |       ELSE NULL END AS sample_rate,
         |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 2 + 1 AS INT)
         |       ELSE NULL END AS channels
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "agent_tool_audit" ->
+      s"""WITH $agentCte,
+         |lw AS (
+         |  SELECT conv_id, role, tool,
+         |    lag(role) OVER w AS pr, lag(tool) OVER w AS pt,
+         |    lead(role) OVER w AS nr, lead(tool) OVER w AS nt
+         |  FROM agent
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+         |a AS (
+         |  SELECT conv_id,
+         |    CAST(sum(CASE WHEN role = 'assistant' AND tool IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_calls,
+         |    CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_results,
+         |    CAST(sum(CASE WHEN role = 'tool' AND NOT
+         |      (pr = 'assistant' AND pt IS NOT DISTINCT FROM tool)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_results,
+         |    CAST(sum(CASE WHEN role = 'assistant' AND tool IS NOT NULL
+         |      AND NOT (nr = 'tool' AND nt IS NOT DISTINCT FROM tool)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling_calls,
+         |    CAST(sum(CASE WHEN tool IS NOT NULL
+         |      AND role NOT IN ('assistant', 'tool')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_mistagged
+         |  FROM lw GROUP BY conv_id)
+         |SELECT *, (n_orphan_results = 0 AND n_dangling_calls = 0
+         |           AND n_mistagged = 0) AS tool_valid
+         |FROM a""".stripMargin,
+
+    "agent_tool_stats" ->
+      s"""WITH $agentCte,
+         |lw AS (
+         |  SELECT conv_id, role, tool, ts,
+         |    lead(role) OVER w AS nr, lead(tool) OVER w AS nt,
+         |    lead(ts) OVER w AS nts
+         |  FROM agent
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+         |SELECT tool,
+         |  CAST(count(*) AS BIGINT) AS n_calls,
+         |  CAST(sum(CASE WHEN nr = 'tool' AND nt IS NOT DISTINCT FROM tool
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         |  CAST(sum(CASE WHEN nr = 'tool' AND nt IS NOT DISTINCT FROM tool
+         |    THEN epoch_ms(nts) - epoch_ms(ts) ELSE 0 END) AS BIGINT)
+         |    AS sum_lat_ms
+         |FROM lw WHERE role = 'assistant' AND tool IS NOT NULL
+         |GROUP BY tool""".stripMargin,
+
+    "agent_loop_runs" ->
+      s"""WITH $agentCte,
+         |a AS (
+         |  SELECT conv_id, turn_idx, coalesce(text, '') AS k
+         |  FROM agent WHERE role = 'assistant'),
+         |i AS (
+         |  SELECT conv_id, turn_idx,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         |    - row_number() OVER (PARTITION BY conv_id, k ORDER BY turn_idx)
+         |      AS isl, k
+         |  FROM a),
+         |r AS (
+         |  SELECT conv_id,
+         |    CAST(min(turn_idx) AS INT) AS start_idx,
+         |    CAST(max(turn_idx) AS INT) AS end_idx,
+         |    CAST(count(*) AS BIGINT) AS run_len
+         |  FROM i GROUP BY conv_id, k, isl)
+         |SELECT conv_id, start_idx, end_idx, run_len
+         |FROM r WHERE run_len >= 3""".stripMargin,
+
+    // independent exact mirror: per-conv render with per-turn terminators,
+    // prefix coverage via string prefix test (every turn ends with chr(2),
+    // so a string prefix IS a turn-sequence prefix on this corpus)
+    "agent_prefix_dedup" ->
+      s"""WITH $transcriptsCte,
+         |tr AS (
+         |  SELECT conv_id, turn_idx, role, text FROM transcripts
+         |  UNION ALL
+         |  SELECT conv_id || 'p', turn_idx, role, text FROM transcripts
+         |  WHERE conv_id IN ('conv0','conv1','conv2','conv3','conv4')
+         |    AND turn_idx < 6
+         |  UNION ALL
+         |  SELECT conv_id || 'x', turn_idx, role, text FROM transcripts
+         |  WHERE conv_id IN ('conv5','conv6','conv7')),
+         |r AS (
+         |  SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
+         |    string_agg(coalesce(role, '') || chr(1) ||
+         |               coalesce(text, '') || chr(2), '' ORDER BY turn_idx)
+         |      AS s
+         |  FROM tr GROUP BY conv_id),
+         |cov AS (
+         |  SELECT a.conv_id, min(b.conv_id) AS covered_by
+         |  FROM r a JOIN r b ON a.conv_id <> b.conv_id
+         |    AND starts_with(b.s, a.s)
+         |    AND (b.n_turns > a.n_turns OR
+         |         (b.n_turns = a.n_turns AND b.conv_id < a.conv_id))
+         |  GROUP BY a.conv_id)
+         |SELECT r.conv_id, r.n_turns,
+         |  cov.covered_by IS NOT NULL AS is_prefix_dup, cov.covered_by
+         |FROM r LEFT JOIN cov USING (conv_id)""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id, text,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents),
+        |corpus AS (SELECT f FROM fp WHERE doc_id < 400),
+        |batch AS (
+        |  SELECT doc_id + 100000 AS doc_id, text, f
+        |  FROM fp WHERE doc_id >= 300)
+        |SELECT b.doc_id, b.text FROM batch b
+        |ANTI JOIN corpus c ON b.f = c.f""".stripMargin
   )
 }

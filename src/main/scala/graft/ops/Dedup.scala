@@ -270,4 +270,60 @@ object Dedup {
     }.reduce(_ + _)
     agg.select(col(idCol), sim.cast("int").as("simhash"))
   }
+
+  /**
+   * Incremental exact dedup: the rows of `batch` whose fingerprint does
+   * NOT already appear in `corpus` — the new-crawl-vs-frozen-corpus gate
+   * every continuously-fed training pipeline runs. Result is identical to
+   * a plain anti-join on [[TextStats.fingerprint]]; the plan is not:
+   *
+   *  1. ONE aggregate over the corpus builds a Catalyst
+   *     `BloomFilterAggregate` over xxhash64(fingerprint) — map-side
+   *     partial blooms OR-merge, so the corpus never shuffles rows, only
+   *     `numBits/8`-byte buffers. The finished filter (a bounded,
+   *     model-sized value like the ZoneModel/BPE artifacts) comes to the
+   *     driver once and re-enters the batch scan as a literal — a
+   *     codegen'd `BloomFilterMightContain` predicate, no UDF.
+   *  2. Bloom-NEGATIVE batch rows are definitely new (a Bloom filter has
+   *     no false negatives): kept with NO join, NO shuffle.
+   *  3. Bloom-POSITIVE rows (true dups + ~fpp false positives) anti-join
+   *     the corpus fingerprints — the only shuffle, sized by duplicate
+   *     mass, not corpus size.
+   *
+   * At 100 TB: a daily batch against a frozen corpus moves megabytes of
+   * bloom + the duplicate mass instead of re-shuffling the corpus.
+   * `expectedItems` sizes the filter (bits ≈ 1.44·items·log2(1/fpp)).
+   */
+  def incrementalExact(batch: DataFrame, corpus: DataFrame,
+      expectedItems: Long, fpp: Double = 0.03,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.bridge
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.util.sketch.BloomFilter
+    require(expectedItems > 0, "expectedItems must be positive")
+
+    val fp = TextStats.fingerprint(col(textCol))
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val bloomAgg = bridge.column(new BloomFilterAggregate(
+      UnresolvedAttribute("_xh"),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bloomBytes = corpus.select(xxhash64(fp).as("_xh"))
+      .agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+
+    // empty corpus → the aggregate evals to null → nothing can be a dup
+    val maybe = if (bloomBytes == null) lit(false)
+    else bridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), UnresolvedAttribute("_xh")))
+    val flagged = batch
+      .withColumn("_fp", fp).withColumn("_xh", xxhash64(col("_fp")))
+      .withColumn("_maybe", maybe)
+    val corpusFps = corpus.select(fp.as("_fp")).distinct()
+    flagged.where(!col("_maybe"))
+      .unionByName(flagged.where(col("_maybe"))
+        .join(corpusFps, Seq("_fp"), "left_anti"))
+      .drop("_fp", "_xh", "_maybe")
+  }
 }
