@@ -170,6 +170,14 @@ object Agent {
    * transcript; collisions the reduction adds only cost verification
    * work, never correctness.
    *
+   * Plan shape (audited): the windowed prefix frame feeds four consumers
+   * (full signatures, prefix rows, both verification sides) and column
+   * pruning defeats exchange reuse across them, so it is localCheckpointed
+   * once — ONE corpus shuffle + window total, consumers read materialized
+   * blocks. Prefix rows are pre-pruned to k ∈ {distinct conversation
+   * lengths} (broadcast) before the signature join, so the join ships
+   * #convs × #distinct-lengths rows, not one row per TURN.
+   *
    * Output: one row per conversation — (conv_id, n_turns, is_prefix_dup,
    * covered_by) with covered_by = min covering conv_id (null if none).
    */
@@ -189,12 +197,15 @@ object Agent {
       .withColumn("_k", row_number().over(w))
       .withColumn("_sig",
         sum(pmod(col("_h") * col("_k"), lit(1L << 40))).over(cum))
+      .localCheckpoint()
     val full = pref.groupBy(idCol).agg(
       max(col("_k")).as("n_turns"),
       max_by(col("_sig"), col("_k")).as("_fsig"))
 
     val a = full.select(col(idCol).as("_a"), col("n_turns"), col("_fsig"))
+    val lens = full.select(col("n_turns").as("_k")).distinct()
     val b = pref.select(col(idCol).as("_b"), col("_k"), col("_sig"))
+      .join(broadcast(lens), Seq("_k"), "left_semi")
     val bLen = full.select(col(idCol).as("_b"), col("n_turns").as("_bn"))
     val cand = a
       .join(b, col("_fsig") === col("_sig") && col("n_turns") === col("_k")
