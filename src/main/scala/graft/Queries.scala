@@ -116,6 +116,16 @@ object Queries {
           k.cast("double"))).as("ts"))
   }
 
+  /** [[agentTranscripts]] with turn 5 re-roled 'assistant' in convs ≡0
+   * (mod 3), planting consecutive same-role runs for [[graft.ops.Agent.repair]]
+   * to merge. Mirrors the `a2` CTE in the agent_repair oracle. */
+  private def messyAgentTranscripts(s: SparkSession, dir: String): DataFrame = {
+    val convN = substring(col("conv_id"), 5, 18).cast("long")
+    agentTranscripts(s, dir).withColumn("role",
+      when(col("turn_idx") === 5 && convN % 3 === 0, "assistant")
+        .otherwise(col("role")))
+  }
+
   /** DuckDB CTE mirroring [[agentTranscripts]]. */
   private val agentCte =
     """agent AS (
@@ -2182,6 +2192,19 @@ object Queries {
       graft.ops.Agent.prefixDedup(
         base.unionByName(pclones).unionByName(fclones))
     }),
+
+    // structural repair over a corpus with planted orphans (convs ≡2 mod
+    // 5 via the 'bad' result name), mistags (≡3 mod 7), and split
+    // same-role runs (turn 5 re-roled assistant in convs ≡0 mod 3)
+    "agent_repair" -> ((s, dir) =>
+      graft.ops.Agent.repair(messyAgentTranscripts(s, dir))),
+
+    // invariant: repaired transcripts audit free of orphans and mistags
+    "agent_repair_valid" -> ((s, dir) =>
+      graft.ops.Agent.toolAudit(
+        graft.ops.Agent.repair(messyAgentTranscripts(s, dir)))
+        .agg((sum(col("n_orphan_results")) + sum(col("n_mistagged")))
+          .as("n_bad"))),
 
     // Bloom-accelerated incremental exact dedup: yesterday's corpus is
     // docs 0-399, today's batch re-crawls 300-499 under new ids — the
@@ -4384,6 +4407,50 @@ object Queries {
          |SELECT r.conv_id, r.n_turns,
          |  cov.covered_by IS NOT NULL AS is_prefix_dup, cov.covered_by
          |FROM r LEFT JOIN cov USING (conv_id)""".stripMargin,
+
+    "agent_repair" ->
+      s"""WITH $agentCte,
+         |a2 AS (
+         |  SELECT conv_id, turn_idx,
+         |    CASE WHEN turn_idx = 5 AND CAST(substr(conv_id, 5) AS BIGINT) % 3 = 0
+         |         THEN 'assistant' ELSE role END AS role,
+         |    text, tool, ts
+         |  FROM agent),
+         |c AS (
+         |  SELECT conv_id, turn_idx, role, text, ts,
+         |    CASE WHEN role IN ('assistant', 'tool') THEN tool END AS tool
+         |  FROM a2),
+         |k AS (
+         |  SELECT *, lag(role) OVER w AS pr, lag(tool) OVER w AS pt
+         |  FROM c WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+         |f AS (
+         |  SELECT conv_id, turn_idx, role, text, tool, ts FROM k
+         |  WHERE role <> 'tool'
+         |     OR (coalesce(pr = 'assistant', false)
+         |         AND pt IS NOT DISTINCT FROM tool)),
+         |b AS (
+         |  SELECT *, CASE WHEN tool IS NOT NULL
+         |    OR lag(tool) OVER w2 IS NOT NULL
+         |    OR role IS DISTINCT FROM lag(role) OVER w2
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM f WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx)),
+         |i AS (
+         |  SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |    ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM b),
+         |g AS (
+         |  SELECT conv_id, isl, min(turn_idx) AS o, min(role) AS role,
+         |    string_agg(coalesce(text, ''), chr(10) ORDER BY turn_idx) AS text,
+         |    max(tool) AS tool, min(ts) AS ts
+         |  FROM i GROUP BY conv_id, isl)
+         |SELECT conv_id,
+         |  CAST(row_number() OVER (PARTITION BY conv_id ORDER BY o) - 1 AS INT)
+         |    AS turn_idx,
+         |  role, text, tool, ts
+         |FROM g""".stripMargin,
+
+    "agent_repair_valid" ->
+      "SELECT CAST(0 AS BIGINT) AS n_bad",
 
     "dedup_incremental" ->
       """WITH fp AS (

@@ -143,6 +143,65 @@ object Agent {
   }
 
   /**
+   * Structural transcript repair — the emit side of [[toolAudit]]:
+   *
+   *  1. CLEAR mistagged tool names (tool set on a row that is neither an
+   *     assistant call nor a tool result);
+   *  2. DROP orphan tool results (a `role='tool'` row whose original
+   *     immediate predecessor is not an assistant call naming the same
+   *     tool — the context that produced it is lost). A conversation-
+   *     initial result is always dropped. Dropping preserves call→result
+   *     adjacency for every KEPT result (calls are never dropped);
+   *  3. MERGE runs of consecutive same-role turns that carry no tool name
+   *     (re-logged UIs split one message across turns): texts join with
+   *     `\n` (nulls as empty), the run keeps its first timestamp;
+   *  4. RE-INDEX turn_idx densely from 0 per conversation.
+   *
+   * Dangling calls are kept — a result cannot be invented. Invariant
+   * (oracle-pinned): `toolAudit` over the output reports zero orphan
+   * results and zero mistags.
+   *
+   * Two conv_id window passes + one hash aggregate, all on conv_id; the
+   * per-island text join is a bounded in-group sort (turn count), no
+   * corpus-grain state.
+   */
+  def repair(transcripts: DataFrame, idCol: String = "conv_id",
+      orderCol: String = "turn_idx", roleCol: String = "role",
+      textCol: String = "text", toolCol: String = "tool",
+      tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(orderCol)
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val role = col(roleCol)
+    val cleared = transcripts.withColumn("_tool",
+      when(role.isin("assistant", "tool"), col(toolCol)))
+    val matchedPrev =
+      coalesce(lag(role, 1).over(w) === "assistant", lit(false)) &&
+        (lag(col("_tool"), 1).over(w) <=> col("_tool"))
+    val kept = cleared
+      .withColumn("_keep", role =!= "tool" || matchedPrev)
+      .where(col("_keep"))
+    val brk = col("_tool").isNotNull ||
+      lag(col("_tool"), 1).over(w).isNotNull ||
+      !(role <=> lag(role, 1).over(w))
+    kept
+      .withColumn("_isl", sum(when(brk, 1L).otherwise(0L)).over(cum))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(
+        min(col(orderCol)).as("_o"),
+        min(role).as(roleCol), // constant within an island
+        array_join(transform(
+          array_sort(collect_list(struct(col(orderCol).as("_o2"),
+            coalesce(col(textCol), lit("")).as("_t2")))),
+          x => x.getField("_t2")), "\n").as(textCol),
+        max(col("_tool")).as(toolCol), // null except singleton call/result
+        min(col(tsCol)).as(tsCol))
+      .select(col(idCol),
+        (row_number().over(Window.partitionBy(idCol).orderBy(col("_o")))
+          - 1).cast("int").as(orderCol),
+        col(roleCol), col(textCol), col(toolCol), col(tsCol))
+  }
+
+  /**
    * Conversation-prefix deduplication: flag every conversation whose full
    * (role, text) turn sequence equals the first k turns of some OTHER
    * conversation — a strictly longer one, or an equal-length exact

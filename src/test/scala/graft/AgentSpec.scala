@@ -93,6 +93,43 @@ class AgentSpec extends SparkSpec {
     assert(Agent.prefixDedup(d).where(col("is_prefix_dup")).count() === 0L)
   }
 
+  test("repair drops orphans, clears mistags, merges runs, re-indexes") {
+    val messy = Seq(
+      // r: orphan result at 0 (conv-initial), split assistant message at
+      // 3+4, call/result pair at 5/6, mistagged tool on user turn 7
+      ("r", 0, "tool", "lost", "search", ts(0)),
+      ("r", 1, "user", "hi", null, ts(1)),
+      ("r", 2, "user", "there", null, ts(2)),
+      ("r", 3, "assistant", "part one", null, ts(3)),
+      ("r", 4, "assistant", null, null, ts(4)),
+      ("r", 5, "assistant", "looking", "grep", ts(5)),
+      ("r", 6, "tool", "found", "grep", ts(6)),
+      ("r", 7, "user", "thanks", "grep", ts(7)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = Agent.repair(messy)
+      .orderBy("turn_idx")
+      .as[(String, Int, String, String, Option[String], java.sql.Timestamp)]
+      .collect().toSeq
+    assert(got === Seq(
+      ("r", 0, "user", "hi\nthere", None, ts(1)),
+      ("r", 1, "assistant", "part one\n", None, ts(3)), // null text -> ""
+      ("r", 2, "assistant", "looking", Some("grep"), ts(5)),
+      ("r", 3, "tool", "found", Some("grep"), ts(6)),
+      ("r", 4, "user", "thanks", None, ts(7)))) // mistag cleared, kept
+  }
+
+  test("repair output always audits free of orphans and mistags") {
+    val audited = Agent.toolAudit(Agent.repair(tr))
+    assert(audited.agg(sum(col("n_orphan_results")) +
+      sum(col("n_mistagged"))).as[Long].head() === 0L)
+    // and calls/results that were well-formed survive verbatim
+    val c1 = Agent.repair(tr).where(col("conv_id") === "c1")
+      .orderBy("turn_idx")
+      .select("role", "tool").as[(String, Option[String])].collect().toSeq
+    assert(c1 === Seq("user" -> None, "assistant" -> Some("search"),
+      "tool" -> Some("search"), "assistant" -> None))
+  }
+
   test("incrementalExact equals the plain anti-join and prunes with the bloom") {
     val corpus = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val batch = (150L until 260L).map(i => (i + 1000L, s"doc $i"))
