@@ -133,7 +133,8 @@ object Bench {
     "bpe_roundtrip_diff", "search_bm25", "sem_dedup_keep", "url_quota_sample",
     "passage_strip", "kmeans_centroids", "gopher_keep", "chunk_text",
     "gopher_rep_keep", "c4_span_dedup", "dsir_resample", "web_curation",
-    "sft_render", "lm_ppx_buckets")
+    "sft_render", "lm_ppx_buckets",
+    "agent_repair", "agent_prefix_dedup", "dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
