@@ -2206,6 +2206,26 @@ object Queries {
         .agg((sum(col("n_orphan_results")) + sum(col("n_mistagged")))
           .as("n_bad"))),
 
+    // conversation-grain NEAR-dedup: render each conv to one training
+    // string, then MinHash LSH → Jaccard-verified edges → components →
+    // keep min-id. Planted: conv0-9 cloned with ' extra' appended to the
+    // last turn — near (not exact) duplicates prefixDedup cannot catch.
+    "agent_near_dup" -> ((s, dir) => {
+      val base = transcripts(s, dir)
+      val clones = base
+        .where(col("conv_id").isin((0 until 10).map("conv" + _): _*))
+        .withColumn("conv_id", concat(col("conv_id"), lit("n")))
+        .withColumn("text",
+          when(col("turn_idx") === 9, concat(col("text"), lit(" extra")))
+            .otherwise(col("text")))
+      val docs = Sft.render(base.unionByName(clones))
+        .select(col("conv_id"), col("text"))
+      val edges = Dedup.verifiedEdges(docs, k = 8, rowsPerBand = 4,
+        tau = 0.5, idCol = "conv_id", textCol = "text")
+      Dedup.keepCanonical(docs, edges, idCol = "conv_id")
+        .select("conv_id")
+    }),
+
     // Bloom-accelerated incremental exact dedup: yesterday's corpus is
     // docs 0-399, today's batch re-crawls 300-499 under new ids — the
     // 300-399 overlap must be dropped without shuffling the corpus
@@ -4451,6 +4471,36 @@ object Queries {
 
     "agent_repair_valid" ->
       "SELECT CAST(0 AS BIGINT) AS n_bad",
+
+    // render mirrors sft_render; the minhash→verify→components chain is
+    // the shared dedupChainCtes over a conversation-keyed `words`
+    "agent_near_dup" ->
+      s"""WITH RECURSIVE $transcriptsCte,
+         |tr AS (
+         |  SELECT conv_id, turn_idx, role, text FROM transcripts
+         |  UNION ALL
+         |  SELECT conv_id || 'n', turn_idx, role,
+         |    CASE WHEN turn_idx = 9 THEN text || ' extra' ELSE text END
+         |  FROM transcripts
+         |  WHERE conv_id IN ('conv0','conv1','conv2','conv3','conv4',
+         |                    'conv5','conv6','conv7','conv8','conv9')),
+         |rt AS (
+         |  SELECT conv_id, turn_idx,
+         |    '<|' || coalesce(role, '') || '|>' || chr(10) ||
+         |    coalesce(text, '') || chr(10) AS frag
+         |  FROM tr),
+         |docs0 AS (
+         |  SELECT conv_id AS doc_id,
+         |    string_agg(frag, '' ORDER BY turn_idx) AS text
+         |  FROM rt GROUP BY conv_id),
+         |words AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+         |    '\\s+'), w -> w <> '') AS ws, text
+         |  FROM docs0),
+         |$shinglesCte,
+         |$dedupChainCtes
+         |SELECT doc_id AS conv_id FROM docs0
+         |WHERE doc_id NOT IN (SELECT id FROM dupes)""".stripMargin,
 
     "dedup_incremental" ->
       """WITH fp AS (
