@@ -42,6 +42,15 @@ trait TableIO {
   def rollback(stage: String, snapshotId: String): Unit
   /** Snapshot metadata records, latest-first along the parent chain. */
   def history(stage: String): Seq[SnapshotMeta]
+  /** Small-file maintenance (Iceberg rewrite-data-files role): rewrite the
+   * CURRENT chain — possibly hundreds of append directories — into ONE new
+   * snapshot with `targetPartitions` files. Logically a no-op: reads
+   * before and after are row-identical, older snapshots stay
+   * time-travel-readable, and [[readIncremental]] consumers positioned
+   * before the compaction do NOT re-receive the rewritten rows (a compact
+   * snapshot introduces no new data, so incremental walks skip it). */
+  def compact(spark: SparkSession, stage: String, snapshotId: String,
+      targetPartitions: Int): Unit
 }
 
 final case class SnapshotMeta(id: String, parent: Option[String], op: String,
@@ -111,12 +120,42 @@ final class LocalSnapshotIO(root: String) extends TableIO {
       fromSnapshot: Option[String]): DataFrame = {
     val latest = committedSnapshot(stage).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for stage $stage"))
-    val have = fromSnapshot.map(chainDirs(stage, _).toSet).getOrElse(Set.empty)
-    val want = chainDirs(stage, latest).filterNot(have)
+    // primary path: walk the snapshot log latest→from, collecting each
+    // snapshot's own directory EXCEPT compact rewrites (they introduce no
+    // new rows). Walk fails — `from` behind an overwrite, or not an
+    // ancestor (rollback divergence) — falls back to the directory-set
+    // difference, which re-baselines the consumer on the current table.
+    @annotation.tailrec
+    def walk(id: String, acc: List[Path]): Option[List[Path]] =
+      if (fromSnapshot.contains(id)) Some(acc)
+      else {
+        val m = readMeta(stage, id)
+        val own = stageDir(stage).resolve(s"snapshot=$id")
+        val acc2 = if (m.op == "compact") acc else own :: acc
+        m.parent match {
+          case Some(p) if m.op == "append" || m.op == "compact" => walk(p, acc2)
+          case _ => None // overwrite or chain root reached before `from`
+        }
+      }
+    val fallback = {
+      val have = fromSnapshot.map(chainDirs(stage, _).toSet).getOrElse(Set.empty)
+      chainDirs(stage, latest).filterNot(have)
+    }
+    val want =
+      fromSnapshot.flatMap(_ => walk(latest, Nil)).getOrElse(fallback)
     if (want.isEmpty) {
       val full = readAt(spark, stage, latest)
       full.where(org.apache.spark.sql.functions.lit(false)) // empty, same schema
     } else spark.read.parquet(want.map(_.toString): _*)
+  }
+
+  def compact(spark: SparkSession, stage: String, snapshotId: String,
+      targetPartitions: Int): Unit = {
+    require(targetPartitions > 0, "targetPartitions must be positive")
+    // reads the old directories, writes a fresh one — source data is never
+    // touched, so a kill mid-compaction leaves the previous commit live
+    doCommit(read(spark, stage).repartition(targetPartitions),
+      stage, snapshotId, "compact")
   }
 
   def rollback(stage: String, snapshotId: String): Unit = {

@@ -67,6 +67,43 @@ class SnapshotIOSpec extends SparkSpec {
     assert(caught.count() == 0 && caught.columns.toSeq == Seq("id", "v"))
   }
 
+  test("compaction rewrites files without changing rows, history or travel") {
+    val (io, dir) = freshIo()
+    io.commit(df(1, 2), "t", "s1")
+    io.commitAppend(df(3), "t", "s2")
+    io.commitAppend(df(4, 5), "t", "s3")
+    def parquetFiles(snap: String) =
+      Files.list(Paths.get(dir, "t", s"snapshot=$snap")).toArray
+        .map(_.toString).count(_.endsWith(".parquet"))
+    io.compact(spark, "t", "c1", targetPartitions = 1)
+    assert(idsOf(io.read(spark, "t")) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(parquetFiles("c1") == 1) // 3 directories' files became one
+    assert(io.history("t").map(m => (m.id, m.op)).head == ("c1", "compact"))
+    // pre-compaction snapshots stay time-travel-readable
+    assert(idsOf(io.readAt(spark, "t", "s2")) == Set(1L, 2L, 3L))
+    // appends resume on top of the rewrite
+    io.commitAppend(df(6), "t", "s4")
+    assert(idsOf(io.read(spark, "t")) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("incremental consumers never re-receive compacted rewrites") {
+    val (io, _) = freshIo()
+    io.commit(df(1, 2), "t", "s1")
+    io.commitAppend(df(3), "t", "s2")
+    io.compact(spark, "t", "c1", targetPartitions = 1)
+    io.commitAppend(df(4), "t", "s3")
+    // consumer positioned BEFORE the compaction sees only true appends
+    assert(idsOf(io.readIncremental(spark, "t", Some("s1"))) == Set(3L, 4L))
+    assert(idsOf(io.readIncremental(spark, "t", Some("s2"))) == Set(4L))
+    // positioned AT the compaction: only what came after
+    assert(idsOf(io.readIncremental(spark, "t", Some("c1"))) == Set(4L))
+    // fresh consumer reads the current table once (via the rewrite)
+    assert(idsOf(io.readIncremental(spark, "t", None)) == Set(1L, 2L, 3L, 4L))
+    // an overwrite still invalidates any earlier baseline
+    io.commit(df(9), "t", "s5")
+    assert(idsOf(io.readIncremental(spark, "t", Some("s2"))) == Set(9L))
+  }
+
   test("duplicate snapshot id on the same stage is rejected") {
     val (io, _) = freshIo()
     io.commit(df(1), "t", "s1")
