@@ -2206,6 +2206,12 @@ object Queries {
         .agg((sum(col("n_orphan_results")) + sum(col("n_mistagged")))
           .as("n_bad"))),
 
+    // corpus-report quantile census: exact per-source length quantiles
+    // (rank rule floor((n-1)q/1000) — mirrorable, unlike percentile_approx)
+    "corpus_quantiles" -> ((s, dir) =>
+      TextStats.groupQuantiles(t(s, dir, "documents"), "source",
+        col("n_chars"))),
+
     // conversation-grain NEAR-dedup: render each conv to one training
     // string, then MinHash LSH → Jaccard-verified edges → components →
     // keep min-id. Planted: conv0-9 cloned with ' extra' appended to the
@@ -2218,8 +2224,10 @@ object Queries {
         .withColumn("text",
           when(col("turn_idx") === 9, concat(col("text"), lit(" extra")))
             .otherwise(col("text")))
+      // the rendered frame feeds minhash, Jaccard verification AND the
+      // keep-join — materialize the render shuffle once
       val docs = Sft.render(base.unionByName(clones))
-        .select(col("conv_id"), col("text"))
+        .select(col("conv_id"), col("text")).localCheckpoint()
       val edges = Dedup.verifiedEdges(docs, k = 8, rowsPerBand = 4,
         tau = 0.5, idCol = "conv_id", textCol = "text")
       Dedup.keepCanonical(docs, edges, idCol = "conv_id")
@@ -4471,6 +4479,17 @@ object Queries {
 
     "agent_repair_valid" ->
       "SELECT CAST(0 AS BIGINT) AS n_bad",
+
+    "corpus_quantiles" ->
+      """WITH r AS (
+        |  SELECT source, n_chars AS value,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |q AS (SELECT CAST(unnest([250, 500, 750, 900]) AS BIGINT) AS q_permille)
+        |SELECT r.source, q.q_permille, r.value,
+        |  CAST(r.n AS BIGINT) AS n_sample
+        |FROM r JOIN q ON r.rn = ((r.n - 1) * q.q_permille) // 1000""".stripMargin,
 
     // render mirrors sft_render; the minhash→verify→components chain is
     // the shared dedupChainCtes over a conversation-keyed `words`

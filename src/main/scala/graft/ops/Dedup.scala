@@ -292,7 +292,11 @@ object Dedup {
    *
    * At 100 TB: a daily batch against a frozen corpus moves megabytes of
    * bloom + the duplicate mass instead of re-shuffling the corpus.
-   * `expectedItems` sizes the filter (bits ≈ 1.44·items·log2(1/fpp)).
+   * `expectedItems` sizes the filter (bits ≈ 1.44·items·log2(1/fpp)):
+   * ~90 MB at 10⁸ corpus docs, ~900 MB at 10⁹ — the practical ceiling for
+   * a driver-collected broadcast literal. Past that, shard BOTH sides by a
+   * fingerprint prefix and run this per shard (the filter shrinks with the
+   * shard), or accept the plain anti-join.
    */
   def incrementalExact(batch: DataFrame, corpus: DataFrame,
       expectedItems: Long, fpp: Double = 0.03,

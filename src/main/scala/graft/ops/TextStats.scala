@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -82,4 +83,44 @@ object TextStats {
    * (the exact-dedup key). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /**
+   * Per-group exact discrete quantiles of an integer metric — the
+   * distributed, grouped sibling of [[Ppx.cuts]] (corpus-report role:
+   * "length p50/p90 per source"). The quantile at q‰ is the value at
+   * sorted 0-based rank `floor((n-1)·q/1000)` within the group —
+   * tie-order-independent and exactly mirrorable in SQL, unlike
+   * percentile_approx.
+   *
+   * Scale contract: ranks come from one row_number window per group over a
+   * deterministic [[Decontam.hashSample]]; pick `sampleRate` so the
+   * largest group's sample stays executor-sized (the Ppx discipline) —
+   * the window partition is then bounded no matter how skewed the
+   * group sizes are. `quantiles ≥ sample precision` caveats apply only to
+   * rates < 1; at rate 1.0 the result is the exact corpus quantile.
+   *
+   * Output: (`keyCol`, q_permille, value, n_sample), one row per
+   * (group, requested quantile).
+   */
+  def groupQuantiles(df: DataFrame, keyCol: String, metric: Column,
+      qsPermille: Seq[Int] = Seq(250, 500, 750, 900),
+      sampleRate: Double = 1.0, seed: String = "gq",
+      idCol: String = "doc_id"): DataFrame = {
+    require(qsPermille.nonEmpty && qsPermille.forall(q => q >= 0 && q < 1000),
+      "quantiles are permille in [0, 1000)")
+    val s = Decontam.hashSample(df, sampleRate, seed, idCol)
+      .select(col(keyCol), metric.cast("long").as("value"))
+      .where(col("value").isNotNull)
+    val wRank = Window.partitionBy(keyCol).orderBy("value")
+    val ranked = s.select(col(keyCol), col("value"),
+      (row_number().over(wRank) - 1).cast("long").as("_rn"),
+      count(lit(1)).over(Window.partitionBy(keyCol)).as("n_sample"))
+    val ss = df.sparkSession
+    import ss.implicits._
+    val qdf = qsPermille.distinct.sorted.map(_.toLong).toDF("q_permille")
+    ranked
+      .join(broadcast(qdf),
+        col("_rn") === expr("((n_sample - 1) * q_permille) div 1000"))
+      .select(col(keyCol), col("q_permille"), col("value"), col("n_sample"))
+  }
 }
