@@ -97,4 +97,42 @@ class OpsRobustnessSpec extends SparkSpec {
     // quota 100*2 div 2 = 100 ≥ 4 rows → rate 1.0 → everything kept
     assert(out.count() === 4L)
   }
+
+  test("agent ops survive empty frames and degenerate conversations") {
+    import graft.ops.Agent
+    val empty = Seq.empty[(String, Int, String, String, String, java.sql.Timestamp)]
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    assert(Agent.toolAudit(empty).count() === 0L)
+    assert(Agent.toolStats(empty).count() === 0L)
+    assert(Agent.loopRuns(empty).count() === 0L)
+    assert(Agent.prefixDedup(empty).count() === 0L)
+    assert(Agent.repair(empty).count() === 0L)
+    // single conv made entirely of orphan results repairs to nothing
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val orphans = Seq(("o", 0, "tool", "a", "x", t0), ("o", 1, "tool", "b", "y", t0))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    assert(Agent.repair(orphans).count() === 0L)
+    // a single-conversation corpus has nothing to be a prefix of
+    val solo = Seq(("s", 0, "user", "hi", null, t0))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val pd = Agent.prefixDedup(solo).collect().head
+    assert(pd.getAs[Boolean]("is_prefix_dup") === false)
+    // null text/tool everywhere: audit + loops stay sane
+    val nulls = Seq(("n", 0, "assistant", null, null, t0),
+      ("n", 1, "assistant", null, null, t0),
+      ("n", 2, "assistant", null, null, t0))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    assert(Agent.toolAudit(nulls).where(col("tool_valid")).count() === 1L)
+    assert(Agent.loopRuns(nulls, minRun = 3).count() === 1L) // nulls group
+  }
+
+  test("groupQuantiles on an empty frame and an all-null metric") {
+    import graft.ops.TextStats
+    val empty = Seq.empty[(String, Long, Option[Long])]
+      .toDF("source", "doc_id", "len")
+    assert(TextStats.groupQuantiles(empty, "source", col("len")).count() === 0L)
+    val allNull = Seq(("s", 1L, Option.empty[Long]), ("s", 2L, None))
+      .toDF("source", "doc_id", "len")
+    assert(TextStats.groupQuantiles(allNull, "source", col("len")).count() === 0L)
+  }
 }
