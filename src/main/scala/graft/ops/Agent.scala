@@ -229,13 +229,21 @@ object Agent {
    * transcript; collisions the reduction adds only cost verification
    * work, never correctness.
    *
-   * Plan shape (audited): the windowed prefix frame feeds four consumers
-   * (full signatures, prefix rows, both verification sides) and column
-   * pruning defeats exchange reuse across them, so it is localCheckpointed
-   * once — ONE corpus shuffle + window total, consumers read materialized
-   * blocks. Prefix rows are pre-pruned to k ∈ {distinct conversation
+   * Plan shape (audited + measured): the corpus-grain window shuffles
+   * ONLY (id, turn, hash, k, sig) — never the text. That slim frame feeds
+   * three consumers (full signatures, prefix rows, the final join) through
+   * a plan barrier (one LogicalRDD), so every consumer reuses the SAME
+   * shuffle dependency as skipped stages: one slim corpus shuffle total.
+   * (Earlier shapes measured here: recomputing the window per consumer =
+   * 5 corpus shuffles; localCheckpoint = 2-5× slower and wildly noisy —
+   * materializing the rows to the block store costs more than it saves;
+   * carrying text through the barrier made the shuffle disk-bound at 10⁷
+   * turns.) Prefix rows are pre-pruned to k ∈ {distinct conversation
    * lengths} (broadcast) before the signature join, so the join ships
-   * #convs × #distinct-lengths rows, not one row per TURN.
+   * #convs × #distinct-lengths rows, not one row per TURN. Verification
+   * re-reads (role, text) from the SOURCE for candidate conversations only
+   * — a column-pruned scan filtered by the broadcast candidate-id set,
+   * sized by duplicate mass.
    *
    * Output: one row per conversation — (conv_id, n_turns, is_prefix_dup,
    * covered_by) with covered_by = min covering conv_id (null if none).
@@ -249,35 +257,42 @@ object Agent {
     // hash differently without an explicit separator
     val h = pmod(xxhash64(coalesce(col(roleCol), lit("")),
       coalesce(col(textCol), lit(""))), lit(2147483647L))
-    val pref = transcripts
-      .select(col(idCol), col(orderCol),
-        coalesce(col(roleCol), lit("")).as("_r"),
-        coalesce(col(textCol), lit("")).as("_t"), h.as("_h"))
+    val slim = graft.extract.Chunked.barrier(transcripts
+      .select(col(idCol), col(orderCol), h.as("_h"))
       .withColumn("_k", row_number().over(w))
       .withColumn("_sig",
-        sum(pmod(col("_h") * col("_k"), lit(1L << 40))).over(cum))
-      .localCheckpoint()
-    val full = pref.groupBy(idCol).agg(
+        sum(pmod(col("_h") * col("_k"), lit(1L << 40))).over(cum)))
+    val full = slim.groupBy(idCol).agg(
       max(col("_k")).as("n_turns"),
       max_by(col("_sig"), col("_k")).as("_fsig"))
 
     val a = full.select(col(idCol).as("_a"), col("n_turns"), col("_fsig"))
     val lens = full.select(col("n_turns").as("_k")).distinct()
-    val b = pref.select(col(idCol).as("_b"), col("_k"), col("_sig"))
+    val b = slim.select(col(idCol).as("_b"), col("_k"), col("_sig"))
       .join(broadcast(lens), Seq("_k"), "left_semi")
     val bLen = full.select(col(idCol).as("_b"), col("n_turns").as("_bn"))
-    val cand = a
+    val cand = graft.extract.Chunked.barrier(a
       .join(b, col("_fsig") === col("_sig") && col("n_turns") === col("_k")
         && col("_a") =!= col("_b"))
       .join(bLen, "_b")
       .where(col("_bn") > col("n_turns") ||
         (col("_bn") === col("n_turns") && col("_b") < col("_a")))
-      .select("_a", "_b", "n_turns")
+      .select("_a", "_b", "n_turns"))
 
     // exact verification: all n_turns positions must agree on (role, text)
-    val va = pref.select(col(idCol).as("_a"), col("_k"),
+    // — re-read the source for candidate conversations only, re-derive k
+    // (the filter keeps whole conversations, so row_number is unchanged)
+    val candIds = cand.select(col("_a").as(idCol))
+      .union(cand.select(col("_b").as(idCol))).distinct()
+    val vturns = graft.extract.Chunked.barrier(transcripts
+      .join(broadcast(candIds), Seq(idCol), "left_semi")
+      .select(col(idCol), col(orderCol),
+        coalesce(col(roleCol), lit("")).as("_r"),
+        coalesce(col(textCol), lit("")).as("_t"))
+      .withColumn("_k", row_number().over(w)))
+    val va = vturns.select(col(idCol).as("_a"), col("_k"),
       col("_r").as("_ar"), col("_t").as("_at"))
-    val vb = pref.select(col(idCol).as("_b"), col("_k"),
+    val vb = vturns.select(col(idCol).as("_b"), col("_k"),
       col("_r").as("_br"), col("_t").as("_bt"))
     val verified = cand
       .join(va, "_a").where(col("_k") <= col("n_turns"))
