@@ -93,6 +93,32 @@ object StreamingExtract {
       .start()
 
   /** A document arriving on a stream (for [[dedupDocs]] tests/demos). */
+  /**
+   * STREAMING agent-transcript QA: conversations close on event-time
+   * silence ([[convCloseTurns]]), then each micro-batch of closed
+   * conversations runs the batch tool-sequencing audit
+   * ([[graft.ops.Agent.toolAudit]]) inside `foreachBatch`. A conversation
+   * is audited only once complete, so streamed ≡ batch per conversation by
+   * construction (no cross-batch stitching); output is exactly-once via
+   * the checkpoint. The same composition slots in [[graft.ops.Agent.repair]]
+   * for a streaming hygiene sink.
+   */
+  def agentAuditQuery(turns: Dataset[Turn], outDir: String,
+      checkpointDir: String, gapSeconds: Long = 1800)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    convCloseTurns(turns, gapSeconds)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Agent.toolAudit(batch.toDF())
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   final case class DocEvent(doc_id: String, text: String, ts: Timestamp)
 
   /**

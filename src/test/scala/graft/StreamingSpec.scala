@@ -75,6 +75,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "streamed spans differ from batch spans")
   }
 
+  test("streaming agent audit matches the batch toolAudit on closed convs") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingExtract.Turn
+
+    // planted anomalies: a1 well-formed, a2 orphan result + dangling call
+    val convTurns = Seq(
+      Turn("a1", 0, "user", "find x", null, ts(0)),
+      Turn("a1", 1, "assistant", "searching", "search", ts(1)),
+      Turn("a1", 2, "tool", "hits", "search", ts(2)),
+      Turn("a2", 0, "tool", "hits", "grep", ts(0)),
+      Turn("a2", 1, "assistant", "go", "browse", ts(1)),
+      Turn("a2", 2, "user", "why?", null, ts(2)))
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft-audit-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-audit-ck").toString
+    val input = MemoryStream[Turn]
+    val q = StreamingExtract.agentAuditQuery(input.toDS(), outDir, ckDir,
+      gapSeconds = 600)
+    // out-of-order arrival across micro-batches
+    input.addData(convTurns.filter(_.turn_idx != 1): _*)
+    q.processAllAvailable()
+    input.addData(convTurns.filter(_.turn_idx == 1): _*)
+    q.processAllAvailable()
+    input.addData(Turn("a3", 0, "user", "late", null, ts(58))) // close a1+a2
+    q.processAllAvailable()
+    q.stop()
+
+    val cols = Seq("conv_id", "n_calls", "n_results", "n_orphan_results",
+      "n_dangling_calls", "n_mistagged", "tool_valid")
+    val streamed = spark.read.parquet(outDir)
+      .where($"conv_id".isin("a1", "a2"))
+      .select(cols.head, cols.tail: _*)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val batch = graft.ops.Agent.toolAudit(convTurns.toDF())
+      .select(cols.head, cols.tail: _*)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch, "streamed audit differs from batch audit")
+  }
+
   test("turnRates windows with watermark") {
     val sparkS = spark
     import sparkS.implicits._
