@@ -89,7 +89,7 @@ object Pipeline {
   /** Heuristic twin of [[documentBodyLinesModeled]]. */
   def documentBodyLinesHeuristic(docs: DataFrame): DataFrame = {
     val turns = withNullRoleCols(docs)
-    val lines = Structure.keptLines(turns.repartition(col("conv_id")))
+    val lines = Structure.keptLines(graft.ops.Par.clusterBy(turns, "conv_id"))
     Labeler.zonesContent(lines)
       .where(col("zone") === "<body>")
       .select("conv_id", "turn_idx", "role", "tool", "block_idx",
@@ -112,7 +112,7 @@ object Pipeline {
    * entering it (doc_rebuild_diff). */
   def documentBodyLinesModeled(docs: DataFrame, model: ZoneModel.Model): DataFrame = {
     val turns = withNullRoleCols(docs)
-    val lines = Structure.keptLines(turns.repartition(col("conv_id")))
+    val lines = Structure.keptLines(graft.ops.Par.clusterBy(turns, "conv_id"))
     val hinted = Labeler.zonesContent(lines)
       .withColumnRenamed("zone", "hint").drop("zone_label")
     // NO score smoothing here: smoothing raises bulk line accuracy (+1.2%,
@@ -255,7 +255,7 @@ object Pipeline {
   /** structure → zone → body features, narrowed to the FSM's inputs, over
    * one exchange. */
   private def bodyTokenFeats(turns: DataFrame): DataFrame = {
-    val lines = Structure.keptLines(turns.repartition(col("conv_id")))
+    val lines = Structure.keptLines(graft.ops.Par.clusterBy(turns, "conv_id"))
     val zoned = Labeler.zones(Features.segmenter(lines))
     // F4: zone selection is a plain filter because labels are columns
     val bodyLines = zoned.where(col("zone") === "<body>")

@@ -32,4 +32,53 @@ object Par {
       else size / maxSplit
     if (estSplits < target) df.repartition(target) else df
   }
+
+  /**
+   * Write `df` as a bucketed (+ per-bucket sorted) catalog table — the
+   * co-located-join / shuffle-free-window layout for the 100 TB design:
+   * a transcripts table bucketed AND sorted by the conversation key gives
+   * every conv_id window and conv-grain join `HashPartitioning(bucketCol)`
+   * straight from the scan, so the flagship extraction runs with ZERO
+   * exchanges end-to-end (ParSpec pins both plans). Equivalent to an
+   * Iceberg bucket-partition transform in the snapshot-table world;
+   * bucket counts must match across tables that join.
+   *
+   * `path` makes it an external table (data outlives the catalog entry).
+   */
+  /**
+   * Repartition by `key` only when the frame is not ALREADY hash-clustered
+   * on exactly that key — a bucketed-table scan ([[writeBucketed]]) or an
+   * upstream shuffle on the key satisfies every downstream conv-grain
+   * window/join by the subset rule, and the explicit repartition the
+   * pipeline otherwise pins up front (coarsest key first, so finer windows
+   * reuse one exchange) would force a pointless corpus shuffle. Inspecting
+   * `sparkPlan.outputPartitioning` plans the input once — cheap at the
+   * scan/leaf frames this guards. Correctness is unaffected either way;
+   * worst case is the extra shuffle we have today.
+   */
+  def clusterBy(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.functions.col
+    val already = df.queryExecution.sparkPlan.outputPartitioning match {
+      case HashPartitioning(exprs, _) if exprs.nonEmpty =>
+        exprs.forall {
+          case a: AttributeReference => a.name == key
+          case _ => false
+        }
+      case _ => false
+    }
+    if (already) df else df.repartition(col(key))
+  }
+
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int, sortCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val w0 = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    val w1 =
+      if (sortCols.isEmpty) w0 else w0.sortBy(sortCols.head, sortCols.tail: _*)
+    path.fold(w1)(p => w1.option("path", p)).saveAsTable(table)
+  }
 }
