@@ -2206,6 +2206,29 @@ object Queries {
         .agg((sum(col("n_orphan_results")) + sum(col("n_mistagged")))
           .as("n_bad"))),
 
+    // LSH banding auto-tuner (MMDS S-curve): fixed-point so the DuckDB
+    // mirror replays the same argmin + probabilities exactly
+    "dedup_lsh_plan" -> ((s, dir) => {
+      val plans = Seq(0.3, 0.5, 0.7, 0.9).map { tau =>
+        val p = Dedup.lshPlan(16, tau)
+        (math.round(tau * 1000000L), p.rowsPerBand, p.bands,
+          math.round(p.threshold * 1000000), math.round(p.pAtTau * 1000000))
+      }
+      import s.implicits._
+      plans.toDF("tau_fp", "rows_per_band", "bands",
+        "threshold_fp", "p_at_tau_fp")
+    }),
+
+    // turn-grain PII redaction over transcripts (planted PII on turn 3)
+    "agent_pii_redact" -> ((s, dir) =>
+      CorpusClean.redactPii(
+        transcripts(s, dir).withColumn("text",
+          when(col("turn_idx") === 3, concat(col("text"),
+            lit(" contact a@b.com from 10.0.0.1 call 555 123 4567")))
+            .otherwise(col("text"))))
+        .select("conv_id", "turn_idx", "n_emails", "n_ips", "n_phones",
+          "text_redacted")),
+
     // corpus-report quantile census: exact per-source length quantiles
     // (rank rule floor((n-1)q/1000) — mirrorable, unlike percentile_approx)
     "corpus_quantiles" -> ((s, dir) =>
@@ -4479,6 +4502,43 @@ object Queries {
 
     "agent_repair_valid" ->
       "SELECT CAST(0 AS BIGINT) AS n_bad",
+
+    "dedup_lsh_plan" ->
+      """WITH taus AS (SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS tau),
+        |rs AS (SELECT unnest([1, 2, 4, 8, 16]) AS r),
+        |t AS (
+        |  SELECT tau, r, 16 // r AS b,
+        |    pow(1.0 / (16 // r), 1.0 / r) AS thr
+        |  FROM taus CROSS JOIN rs),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY tau
+        |    ORDER BY abs(thr - tau), r) AS rn
+        |  FROM t)
+        |SELECT CAST(round(tau * 1000000) AS BIGINT) AS tau_fp,
+        |  CAST(r AS INT) AS rows_per_band,
+        |  CAST(b AS INT) AS bands,
+        |  CAST(round(thr * 1000000) AS BIGINT) AS threshold_fp,
+        |  CAST(round((1 - pow(1 - pow(tau, r), b)) * 1000000) AS BIGINT)
+        |    AS p_at_tau_fp
+        |FROM rk WHERE rn = 1""".stripMargin,
+
+    "agent_pii_redact" ->
+      s"""WITH $transcriptsCte,
+         |p AS (
+         |  SELECT conv_id, turn_idx,
+         |    CASE WHEN turn_idx = 3
+         |      THEN text || ' contact a@b.com from 10.0.0.1 call 555 123 4567'
+         |      ELSE text END AS text
+         |  FROM transcripts)
+         |SELECT conv_id, turn_idx,
+         |  len(regexp_extract_all(text, '${CorpusClean.emailRe}')) AS n_emails,
+         |  len(regexp_extract_all(text, '${CorpusClean.ipv4Re}')) AS n_ips,
+         |  len(regexp_extract_all(text, '${CorpusClean.phoneRe}')) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${CorpusClean.emailRe}', '<EMAIL>', 'g'),
+         |    '${CorpusClean.ipv4Re}', '<IP>', 'g'),
+         |    '${CorpusClean.phoneRe}', '<PHONE>', 'g') AS text_redacted
+         |FROM p""".stripMargin,
 
     "corpus_quantiles" ->
       """WITH r AS (

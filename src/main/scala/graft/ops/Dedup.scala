@@ -298,6 +298,31 @@ object Dedup {
    * fingerprint prefix and run this per shard (the filter shrinks with the
    * shard), or accept the plain anti-join.
    */
+  /** Chosen LSH banding: `threshold` is the Jaccard similarity at which a
+   * pair has ~50% candidate probability ((1/bands)^(1/rowsPerBand));
+   * `pAtTau` the candidate probability 1-(1-τ^r)^b at the requested τ. */
+  final case class LshPlan(rowsPerBand: Int, bands: Int,
+      threshold: Double, pAtTau: Double)
+
+  /**
+   * Pick the MinHash-LSH banding for `k` permutations targeting Jaccard
+   * threshold `tau`: among divisors r of k, minimize |(1/b)^(1/r) − τ|
+   * (ties → smaller r = higher recall). The S-curve P(candidate | s) =
+   * 1−(1−s^r)^b steepens around the returned threshold — the standard MMDS
+   * §3.4 analysis; callers feed `rowsPerBand` to [[verifiedEdges]] /
+   * [[minhashCandidates]] instead of guessing. Driver-side pure math.
+   */
+  def lshPlan(k: Int, tau: Double): LshPlan = {
+    require(k > 0 && tau > 0 && tau < 1, "need k > 0 and 0 < tau < 1")
+    val best = (1 to k).filter(k % _ == 0).map { r =>
+      val b = k / r
+      val thr = math.pow(1.0 / b, 1.0 / r)
+      (math.abs(thr - tau), r, b, thr)
+    }.minBy(t => (t._1, t._2))
+    LshPlan(best._2, best._3, best._4,
+      1.0 - math.pow(1.0 - math.pow(tau, best._2), best._3))
+  }
+
   def incrementalExact(batch: DataFrame, corpus: DataFrame,
       expectedItems: Long, fpp: Double = 0.03,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

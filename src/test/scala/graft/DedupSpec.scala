@@ -121,4 +121,16 @@ class DedupSpec extends SparkSpec {
     val clusters = Dedup.components(edges).where(col("cluster_id") === 0).count()
     assert(clusters == dN)
   }
+
+  test("lshPlan picks the S-curve banding closest to the target threshold") {
+    // k=16: thresholds are (1/16)=0.0625, (1/8)^(1/2)=0.3536,
+    // (1/4)^(1/4)=0.7071, (1/2)^(1/8)=0.9170, 1.0
+    assert(Dedup.lshPlan(16, 0.5).rowsPerBand === 2)   // 0.3536 nearest
+    assert(Dedup.lshPlan(16, 0.7).rowsPerBand === 4)   // 0.7071 nearest
+    assert(Dedup.lshPlan(16, 0.9).rowsPerBand === 8)   // 0.9170 nearest
+    val p = Dedup.lshPlan(8, 0.9)                      // (1/2)^(1/4)=0.8409
+    assert(p.rowsPerBand === 4 && p.bands === 2)
+    assert(math.abs(p.pAtTau - (1 - math.pow(1 - math.pow(0.9, 4), 2))) < 1e-12)
+    intercept[IllegalArgumentException](Dedup.lshPlan(16, 1.0))
+  }
 }
