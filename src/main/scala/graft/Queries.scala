@@ -2206,6 +2206,12 @@ object Queries {
         .agg((sum(col("n_orphan_results")) + sum(col("n_mistagged")))
           .as("n_bad"))),
 
+    // passage→document embedding rollup: exact fixed-point mean pooling
+    // (micro-unit longs — order-independent, unlike float sums)
+    "emb_mean_pool" -> ((s, dir) =>
+      Similarity.meanPoolFp(t(s, dir, "embeddings"),
+        expr("vec_id div 10"), dim = 64)),
+
     // LSH banding auto-tuner (MMDS S-curve): fixed-point so the DuckDB
     // mirror replays the same argmin + probabilities exactly
     "dedup_lsh_plan" -> ((s, dir) => {
@@ -4502,6 +4508,22 @@ object Queries {
 
     "agent_repair_valid" ->
       "SELECT CAST(0 AS BIGINT) AS n_bad",
+
+    "emb_mean_pool" ->
+      """WITH e AS (
+        |  SELECT vec_id // 10 AS g, unnest(embedding) AS x,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT g, pos,
+        |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |      AS BIGINT) AS sfp,
+        |    count(*) AS n
+        |  FROM e GROUP BY g, pos)
+        |SELECT g AS group_id, CAST(max(n) AS BIGINT) AS n_vecs,
+        |  list(CAST(floor(sfp * 1.0 / n) AS BIGINT) ORDER BY pos)
+        |    AS embedding_fp
+        |FROM s GROUP BY g""".stripMargin,
 
     "dedup_lsh_plan" ->
       """WITH taus AS (SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS tau),

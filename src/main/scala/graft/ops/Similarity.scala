@@ -483,4 +483,35 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select(col("hub").as("a"), col(idCol).as("b"), col("cosine")).distinct()
   }
+
+  /**
+   * Exact fixed-point mean-pooling of embeddings per group — the passage →
+   * document embedding rollup every retrieval/semantic-dedup pipeline runs
+   * before indexing at document grain. Each component is quantized to
+   * micro-units (`round(double(x)·10⁶)` as long) BEFORE summation, so the
+   * group mean is integer arithmetic: deterministic under any row order or
+   * partitioning, and exactly SQL-mirrorable — a float sum would drift
+   * with reduction order on both engines. The mean is `floor(sum/n)` (a
+   * double division, exact: micro-sums stay far below 2⁵³).
+   *
+   * One hash aggregate; the in-group fold is a bounded `collect_list` +
+   * `zip_with` (group size = passages per document, never corpus-scale).
+   * Output: (group_id, n_vecs, embedding_fp: array<long> micro-units).
+   */
+  def meanPoolFp(embeddings: DataFrame, group: Column, dim: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    embeddings
+      .select(group.as("group_id"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * 1000000).cast("long")).as("_fp"))
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n_vecs"), collect_list(col("_fp")).as("_l"))
+      .selectExpr("group_id", "n_vecs",
+        s"""transform(
+           |  aggregate(_l, array_repeat(CAST(0 AS BIGINT), $dim),
+           |            (acc, e) -> zip_with(acc, e, (a, x) -> a + x)),
+           |  s -> CAST(floor(s * 1.0 / n_vecs) AS BIGINT)
+           |) AS embedding_fp""".stripMargin)
+  }
 }

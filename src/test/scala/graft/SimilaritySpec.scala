@@ -290,4 +290,23 @@ class SimilaritySpec extends SparkSpec {
       threshold = 0.9, maxCell = 1000)
     assert(uncapped.count() === 300L * 299L / 2)
   }
+
+  test("meanPoolFp is exact, order-independent, and floors negative means") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, -1.0f)), (1L, Array(2.0f, -0.000001f)),
+      (10L, Array(-1.0f, 0.5f)), (11L, Array(-0.000001f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    def pool(df: org.apache.spark.sql.DataFrame) =
+      Similarity.meanPoolFp(df, expr("vec_id div 10"), dim = 2)
+        .as[(Long, Long, Seq[Long])].collect().map(r => r._1 -> r).toMap
+    val got = pool(e)
+    // group 0: sums (3000000, -1000001) over 2 → (1500000, floor(-500000.5))
+    assert(got(0L) === (0L, 2L, Seq(1500000L, -500001L)))
+    // group 1: sums (-1000001, 1000000) over 2 → (floor(-500000.5), 500000)
+    assert(got(1L) === (1L, 2L, Seq(-500001L, 500000L)))
+    // order/partitioning independence: reversed, repartitioned input
+    assert(pool(e.orderBy(col("vec_id").desc).repartition(5)) === got)
+  }
 }
