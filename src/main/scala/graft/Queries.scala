@@ -2206,6 +2206,24 @@ object Queries {
         .agg((sum(col("n_orphan_results")) + sum(col("n_mistagged")))
           .as("n_bad"))),
 
+    // composed agent-corpus curation: structural repair → prefix dedup →
+    // SFT render, over the messy corpus PLUS re-logged prefix clones
+    // (conv0-2 truncated to 6 turns). The cascade is the full hygiene
+    // pipeline an agent-trajectory training set runs; every stage is
+    // individually oracle-pinned and the composition replays in one SQL.
+    "agent_corpus" -> ((s, dir) => {
+      val base = messyAgentTranscripts(s, dir)
+      val clones = base
+        .where(col("conv_id").isin((0 until 3).map("conv" + _): _*) &&
+          col("turn_idx") < 6)
+        .withColumn("conv_id", concat(col("conv_id"), lit("p")))
+      val rep = graft.ops.Agent.repair(base.unionByName(clones))
+      val keep = graft.ops.Agent.prefixDedup(rep)
+        .where(!col("is_prefix_dup")).select("conv_id")
+      Sft.render(rep.join(keep, Seq("conv_id")))
+        .select("conv_id", "n_turns", "n_chars")
+    }),
+
     // passage→document embedding rollup: exact fixed-point mean pooling
     // (micro-unit longs — order-independent, unlike float sums)
     "emb_mean_pool" -> ((s, dir) =>
@@ -4508,6 +4526,77 @@ object Queries {
 
     "agent_repair_valid" ->
       "SELECT CAST(0 AS BIGINT) AS n_bad",
+
+    // full chain: messy view → clones → repair → string-prefix dedup →
+    // render (each stage mirrors its standalone oracle)
+    "agent_corpus" ->
+      s"""WITH $agentCte,
+         |a2 AS (
+         |  SELECT conv_id, turn_idx,
+         |    CASE WHEN turn_idx = 5 AND CAST(substr(conv_id, 5) AS BIGINT) % 3 = 0
+         |         THEN 'assistant' ELSE role END AS role,
+         |    text, tool, ts
+         |  FROM agent),
+         |tr AS (
+         |  SELECT * FROM a2
+         |  UNION ALL
+         |  SELECT conv_id || 'p' AS conv_id, turn_idx, role, text, tool, ts
+         |  FROM a2
+         |  WHERE conv_id IN ('conv0', 'conv1', 'conv2') AND turn_idx < 6),
+         |c AS (
+         |  SELECT conv_id, turn_idx, role, text, ts,
+         |    CASE WHEN role IN ('assistant', 'tool') THEN tool END AS tool
+         |  FROM tr),
+         |k AS (
+         |  SELECT *, lag(role) OVER w AS pr, lag(tool) OVER w AS pt
+         |  FROM c WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+         |f AS (
+         |  SELECT conv_id, turn_idx, role, text, tool, ts FROM k
+         |  WHERE role <> 'tool'
+         |     OR (coalesce(pr = 'assistant', false)
+         |         AND pt IS NOT DISTINCT FROM tool)),
+         |b AS (
+         |  SELECT *, CASE WHEN tool IS NOT NULL
+         |    OR lag(tool) OVER w2 IS NOT NULL
+         |    OR role IS DISTINCT FROM lag(role) OVER w2
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM f WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx)),
+         |i AS (
+         |  SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |    ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM b),
+         |g AS (
+         |  SELECT conv_id, isl, min(turn_idx) AS o, min(role) AS role,
+         |    string_agg(coalesce(text, ''), chr(10) ORDER BY turn_idx) AS text
+         |  FROM i GROUP BY conv_id, isl),
+         |rep AS (
+         |  SELECT conv_id,
+         |    CAST(row_number() OVER (PARTITION BY conv_id ORDER BY o) - 1
+         |      AS INT) AS turn_idx,
+         |    role, text
+         |  FROM g),
+         |pr AS (
+         |  SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
+         |    string_agg(coalesce(role, '') || chr(1) ||
+         |               coalesce(text, '') || chr(2), '' ORDER BY turn_idx)
+         |      AS s
+         |  FROM rep GROUP BY conv_id),
+         |cov AS (
+         |  SELECT a.conv_id
+         |  FROM pr a JOIN pr b ON a.conv_id <> b.conv_id
+         |    AND starts_with(b.s, a.s)
+         |    AND (b.n_turns > a.n_turns OR
+         |         (b.n_turns = a.n_turns AND b.conv_id < a.conv_id))
+         |  GROUP BY a.conv_id),
+         |rt AS (
+         |  SELECT conv_id, turn_idx,
+         |    '<|' || coalesce(role, '') || '|>' || chr(10) ||
+         |    coalesce(text, '') || chr(10) AS frag
+         |  FROM rep WHERE conv_id NOT IN (SELECT conv_id FROM cov))
+         |SELECT conv_id,
+         |  count(*) AS n_turns,
+         |  CAST(sum(length(frag)) AS BIGINT) AS n_chars
+         |FROM rt GROUP BY conv_id""".stripMargin,
 
     "emb_mean_pool" ->
       """WITH e AS (
