@@ -134,7 +134,8 @@ object Bench {
     "passage_strip", "kmeans_centroids", "gopher_keep", "chunk_text",
     "gopher_rep_keep", "c4_span_dedup", "dsir_resample", "web_curation",
     "sft_render", "lm_ppx_buckets",
-    "agent_repair", "agent_prefix_dedup", "dedup_incremental")
+    "agent_repair", "agent_prefix_dedup", "dedup_incremental",
+    "agent_corpus", "emb_mean_pool")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
