@@ -1352,12 +1352,20 @@ object Queries {
     // — product quantization (the FAISS IVF-PQ compression role): 64-dim
     //   floats → 8 byte-codes; codebook, codes, and ADC ranking each
     //   replayed closed-form by the oracle —
+    // driver-facing grain is scalar (subspace, code, pos, component) —
+    // posexplode of the array API's `cv`, because the driver's pandas
+    // row-sorter cannot hash array cells (r4 gate lesson)
     "pq_codebook" -> ((s, dir) =>
-      graft.ops.Pq.trainCodebook(t(s, dir, "embeddings"), m = 8, k = 16)),
+      graft.ops.Pq.trainCodebook(t(s, dir, "embeddings"), m = 8, k = 16)
+        .select(col("subspace"), col("code"), posexplode(col("cv")))
+        .withColumnRenamed("col", "component")),
 
     "pq_codes" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // scalar grain: codes[i] rows as (vec_id, subspace=i, code)
       graft.ops.Pq.encode(e, graft.ops.Pq.trainCodebook(e, m = 8, k = 16))
+        .select(col("vec_id"), posexplode(col("codes")))
+        .toDF("vec_id", "subspace", "code")
     }),
 
     "pq_topk" -> ((s, dir) => {
@@ -2225,10 +2233,14 @@ object Queries {
     }),
 
     // passage→document embedding rollup: exact fixed-point mean pooling
-    // (micro-unit longs — order-independent, unlike float sums)
+    // (micro-unit longs — order-independent, unlike float sums). Driver
+    // grain is scalar (group_id, n_vecs, pos, component) via posexplode;
+    // the array-returning meanPoolFp stays the API.
     "emb_mean_pool" -> ((s, dir) =>
       Similarity.meanPoolFp(t(s, dir, "embeddings"),
-        expr("vec_id div 10"), dim = 64)),
+        expr("vec_id div 10"), dim = 64)
+        .select(col("group_id"), col("n_vecs"), posexplode(col("embedding_fp")))
+        .withColumnRenamed("col", "component")),
 
     // LSH banding auto-tuner (MMDS S-curve): fixed-point so the DuckDB
     // mirror replays the same argmin + probabilities exactly
@@ -3036,11 +3048,14 @@ object Queries {
 
     "pq_codebook" ->
       s"""WITH $pqCbCtes
-         |SELECT subspace, code, cv FROM cbk""".stripMargin,
+         |SELECT subspace, code,
+         |  CAST(generate_subscripts(cv, 1) - 1 AS INT) AS pos,
+         |  unnest(cv) AS component
+         |FROM cbk""".stripMargin,
 
     "pq_codes" ->
       s"""WITH $pqCbCtes, $pqCodesCtes
-         |SELECT vec_id, codes FROM pcodes""".stripMargin,
+         |SELECT vec_id, subspace, CAST(code AS INT) AS code FROM pam""".stripMargin,
 
     "pq_topk" ->
       s"""WITH $pqCbCtes, $pqCodesCtes, $pqAdcCtes,
@@ -4602,17 +4617,17 @@ object Queries {
       """WITH e AS (
         |  SELECT vec_id // 10 AS g, unnest(embedding) AS x,
         |         generate_subscripts(embedding, 1) AS pos
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |s AS (
         |  SELECT g, pos,
         |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
         |      AS BIGINT) AS sfp,
         |    count(*) AS n
         |  FROM e GROUP BY g, pos)
-        |SELECT g AS group_id, CAST(max(n) AS BIGINT) AS n_vecs,
-        |  list(CAST(floor(sfp * 1.0 / n) AS BIGINT) ORDER BY pos)
-        |    AS embedding_fp
-        |FROM s GROUP BY g""".stripMargin,
+        |SELECT g AS group_id, CAST(n AS BIGINT) AS n_vecs,
+        |  CAST(pos - 1 AS INT) AS pos,
+        |  CAST(floor(sfp * 1.0 / n) AS BIGINT) AS component
+        |FROM s""".stripMargin,
 
     "dedup_lsh_plan" ->
       """WITH taus AS (SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS tau),

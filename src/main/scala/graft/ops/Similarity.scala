@@ -502,6 +502,11 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(dim > 0, "dim must be positive")
     embeddings
+      // null vectors contribute neither a sum term nor a count: without
+      // this filter, collect_list drops the null _fp but count(lit(1))
+      // still counts the row, deflating the mean (and diverging from the
+      // SQL mirror, whose unnest skips null arrays entirely)
+      .where(col(vecCol).isNotNull)
       .select(group.as("group_id"),
         transform(col(vecCol),
           x => round(x.cast("double") * 1000000).cast("long")).as("_fp"))

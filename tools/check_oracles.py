@@ -95,6 +95,19 @@ def compare(qname, got_tbl, want_tbl, report=print):
     if got_cols != want_cols:
         report(f"[COLS] {qname}: spark={got_cols} duck={want_cols}")
         return False
+    # The driver's comparator row-sorts via pandas, which cannot hash
+    # ndarray cells — ANY top-level array/struct/map column errors there
+    # (round-4 lesson: emb_mean_pool/pq_codebook/pq_codes). Model that
+    # limitation here instead of silently out-powering the driver gate:
+    # driver-facing queries must emit scalar-grain columns (posexplode).
+    unsortable = [c for t in (got_tbl, want_tbl) for c in t.column_names
+                  if any(f(t.schema.field(c).type) for f in
+                         (pa.types.is_list, pa.types.is_large_list,
+                          pa.types.is_struct, pa.types.is_map))]
+    if unsortable:
+        report(f"[ARRY] {qname}: driver-unsortable array/struct columns "
+               f"{sorted(set(unsortable))} — emit scalar grain (posexplode)")
+        return False
     tmis = []
     for c in got_cols:
         gt = type_class(got_tbl.schema.field(c).type)
@@ -187,6 +200,14 @@ def selftest():
     expect("value_red",
            "SELECT CAST(1 AS BIGINT) AS k",
            "SELECT CAST(2 AS BIGINT) AS k",
+           should_pass=False)
+    # 7. Array-valued columns must go RED even when identical: the
+    #    driver's pandas row-sorter cannot hash ndarray cells, so a
+    #    locally-"green" array oracle would still ERR at the driver
+    #    (round-4 failure class: emb_mean_pool / pq_codebook / pq_codes).
+    expect("array_column_red",
+           "SELECT [1, 2, 3] AS v",
+           "SELECT [1, 2, 3] AS v",
            should_pass=False)
     print(f"== selftest {'PASS' if not fails else 'FAIL: ' + ', '.join(fails)} ==")
     return 1 if fails else 0
