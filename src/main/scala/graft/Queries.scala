@@ -1864,7 +1864,10 @@ object Queries {
       val model = LangModel.train(
         qc.where(col("label") === 1 && col("doc_id") % 5 < 4), minCount = 2)
       val scored = LangModel.xent(qc, model)
-      val c = Ppx.cuts(scored)
+      // exercises BOTH bounding legs: explicit rate < 1 AND the
+      // count-derived maxSample cap (n·0.5 > 128 at sf0.01) — the driver
+      // collect is never corpus-sized at any scale
+      val c = Ppx.cuts(scored, sampleRate = 0.5, maxSample = 128)
       Ppx.withBuckets(scored, c.headCut, c.tailCut)
         .select("doc_id", "xent_fp", "ppx_bucket")
     }),
@@ -2270,6 +2273,13 @@ object Queries {
     "corpus_quantiles" -> ((s, dir) =>
       TextStats.groupQuantiles(t(s, dir, "documents"), "source",
         col("n_chars"))),
+
+    // the bounded-sample leg driver-pinned: per-group rate capped at
+    // maxSamplePerGroup/n_group (the 10⁹-row-group safety path), hash
+    // predicate replayed exactly by the oracle
+    "corpus_quantiles_sampled" -> ((s, dir) =>
+      TextStats.groupQuantiles(t(s, dir, "documents"), "source",
+        col("n_chars"), maxSamplePerGroup = 40)),
 
     // conversation-grain NEAR-dedup: render each conv to one training
     // string, then MinHash LSH → Jaccard-verified edges → components →
@@ -4289,9 +4299,15 @@ object Queries {
          |               THEN CAST((-sum_fp) * 1000 // n_bigrams AS BIGINT)
          |          END AS xent_fp
          |        FROM xs),
+         |base AS (SELECT doc_id, xent_fp FROM fpx WHERE xent_fp IS NOT NULL),
+         |nct AS (SELECT count(*) AS n_all FROM base),
+         |samp AS (SELECT xent_fp FROM base, nct
+         |         WHERE ('0x' || substr(md5('ppx:' || CAST(doc_id AS VARCHAR)),
+         |                 1, 6))::INT / 16777216.0
+         |               < least(0.5, 128.0 / greatest(n_all, 1))),
          |ranked AS (SELECT xent_fp, row_number() OVER (ORDER BY xent_fp) AS r,
          |                  count(*) OVER () AS n
-         |           FROM fpx WHERE xent_fp IS NOT NULL),
+         |           FROM samp),
          |cuts AS (SELECT
          |    max(CASE WHEN r = CAST(floor((n - 1) * (1.0 / 3)) AS BIGINT) + 1
          |        THEN xent_fp END) AS head_cut,
@@ -4672,6 +4688,24 @@ object Queries {
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS rn,
         |    count(*) OVER (PARTITION BY source) AS n
         |  FROM documents WHERE n_chars IS NOT NULL),
+        |q AS (SELECT CAST(unnest([250, 500, 750, 900]) AS BIGINT) AS q_permille)
+        |SELECT r.source, q.q_permille, r.value,
+        |  CAST(r.n AS BIGINT) AS n_sample
+        |FROM r JOIN q ON r.rn = ((r.n - 1) * q.q_permille) // 1000""".stripMargin,
+
+    "corpus_quantiles_sampled" ->
+      """WITH v AS (
+        |  SELECT source, n_chars AS value, doc_id FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |g AS (SELECT source, count(*) AS ng FROM v GROUP BY source),
+        |s AS (SELECT v.source, v.value FROM v JOIN g USING (source)
+        |      WHERE ('0x' || substr(md5('gq:' || CAST(doc_id AS VARCHAR)),
+        |              1, 6))::INT / 16777216.0 < least(1.0, 40.0 / ng)),
+        |r AS (
+        |  SELECT source, value,
+        |    row_number() OVER (PARTITION BY source ORDER BY value) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM s),
         |q AS (SELECT CAST(unnest([250, 500, 750, 900]) AS BIGINT) AS q_permille)
         |SELECT r.source, q.q_permille, r.value,
         |  CAST(r.n AS BIGINT) AS n_sample

@@ -41,15 +41,28 @@ object Ppx {
    * the value at sorted position floor((n-1) * q). Deterministic for a
    * given (corpus, seed, rate); duplicates cannot perturb it (the value
    * at a rank in a sorted multiset is tie-order-independent).
+   *
+   * The driver-side collect is HARD-BOUNDED: the effective rate is
+   * `min(sampleRate, maxSample / n)` with `n` from a cheap count
+   * aggregate (a scan, never a collect), so the collected sample is
+   * ~`maxSample` rows in expectation regardless of corpus size — at 10⁹
+   * docs the default collects ~64k longs (~512 KB), not the corpus.
+   * Both the count and the hash predicate are exactly replayable in SQL
+   * (integer count, one IEEE double division, md5-hash threshold), so
+   * the fitted cuts stay oracle-mirrorable at any rate.
    */
   def cuts(scored: DataFrame, headQ: Double = 1.0 / 3,
       tailQ: Double = 2.0 / 3, sampleRate: Double = 1.0,
-      seed: String = "ppx", idCol: String = "doc_id"): Cuts = {
+      seed: String = "ppx", idCol: String = "doc_id",
+      maxSample: Long = 65536L): Cuts = {
     require(headQ > 0 && headQ <= tailQ && tailQ < 1,
       "need 0 < headQ <= tailQ < 1")
-    val sample = Decontam.hashSample(withXentFp(scored), sampleRate, seed,
-        idCol)
-      .where(col("xent_fp").isNotNull)
+    require(maxSample > 0, "maxSample must be positive")
+    val base = withXentFp(scored).where(col("xent_fp").isNotNull)
+    val nAll = base.count()
+    val effRate = math.min(sampleRate,
+      maxSample.toDouble / math.max(nAll, 1L))
+    val sample = Decontam.hashSample(base, effRate, seed, idCol)
       .select(col("xent_fp"))
       .collect().map(_.getLong(0)).sorted
     require(sample.nonEmpty,

@@ -93,11 +93,16 @@ object TextStats {
    * percentile_approx.
    *
    * Scale contract: ranks come from one row_number window per group over a
-   * deterministic [[Decontam.hashSample]]; pick `sampleRate` so the
-   * largest group's sample stays executor-sized (the Ppx discipline) —
-   * the window partition is then bounded no matter how skewed the
-   * group sizes are. `quantiles ≥ sample precision` caveats apply only to
-   * rates < 1; at rate 1.0 the result is the exact corpus quantile.
+   * deterministic hash sample whose per-group rate is HARD-BOUNDED at
+   * `min(sampleRate, maxSamplePerGroup / n_group)` — group counts come
+   * from one cheap aggregate (group-cardinality-sized, broadcast back),
+   * so the window partition stays ~`maxSamplePerGroup` rows no matter
+   * how skewed the group sizes are: a 10⁹-row group samples ~1M rows at
+   * the default instead of single-reducer-sorting the group. The cap is
+   * exactly replayable in SQL (integer count, one IEEE division, md5
+   * threshold). `quantiles ≥ sample precision` caveats apply only when
+   * the cap or a rate < 1 bites; below both, the result is the exact
+   * corpus quantile.
    *
    * Output: (`keyCol`, q_permille, value, n_sample), one row per
    * (group, requested quantile).
@@ -105,12 +110,19 @@ object TextStats {
   def groupQuantiles(df: DataFrame, keyCol: String, metric: Column,
       qsPermille: Seq[Int] = Seq(250, 500, 750, 900),
       sampleRate: Double = 1.0, seed: String = "gq",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", maxSamplePerGroup: Long = 1L << 20): DataFrame = {
     require(qsPermille.nonEmpty && qsPermille.forall(q => q >= 0 && q < 1000),
       "quantiles are permille in [0, 1000)")
-    val s = Decontam.hashSample(df, sampleRate, seed, idCol)
-      .select(col(keyCol), metric.cast("long").as("value"))
+    require(maxSamplePerGroup > 0, "maxSamplePerGroup must be positive")
+    val vals = df
+      .select(col(keyCol), metric.cast("long").as("value"), col(idCol).as("_id"))
       .where(col("value").isNotNull)
+    val counts = vals.groupBy(keyCol).agg(count(lit(1)).as("_n_group"))
+    val s = vals.join(broadcast(counts), Seq(keyCol))
+      .where(Decontam.hashUnit(col("_id"), seed) <
+        least(lit(math.min(sampleRate, 1.0)),
+          lit(maxSamplePerGroup.toDouble) / col("_n_group")))
+      .select(col(keyCol), col("value"))
     val wRank = Window.partitionBy(keyCol).orderBy("value")
     val ranked = s.select(col(keyCol), col("value"),
       (row_number().over(wRank) - 1).cast("long").as("_rn"),
