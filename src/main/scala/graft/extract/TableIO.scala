@@ -176,9 +176,14 @@ final class LocalSnapshotIO(root: String) extends TableIO {
     val dir = stageDir(stage)
     Files.createDirectories(metaDir(stage))
     val parent = committedSnapshot(stage)
-    require(!parent.contains(snapshotId),
-      s"snapshot id $snapshotId already committed for stage $stage")
+    // reject ANY previously used id, not just the direct parent: an older
+    // chain id (s1 after s1<-s2<-s3) would pass a parent-only check and
+    // then SaveMode.Overwrite a directory that is still part of the live
+    // chain — and possibly of this very commit's input — losing data
     val snapDir = dir.resolve(s"snapshot=$snapshotId")
+    require(!Files.exists(metaFile(stage, snapshotId)) && !Files.exists(snapDir),
+      s"snapshot id $snapshotId already used for stage $stage " +
+        "(ids are immutable; pick a fresh id)")
     df.write.mode(SaveMode.Overwrite).parquet(snapDir.toString)
     val meta = s"""{"id": "$snapshotId", "parent": "${parent.getOrElse("")}", """ +
       s""""op": "$op", "ts": ${System.currentTimeMillis()}}"""

@@ -73,7 +73,8 @@ object StreamingExtract {
    * batch flagship pipeline inside `foreachBatch` — byte-identical span
    * semantics (a conversation is only extracted once complete, so no
    * cross-batch span stitching is needed), incremental arrival, exactly-once
-   * parquet output via the checkpoint. This is the standard Spark shape for
+   * parquet output via checkpoint + per-batch_id idempotent partition
+   * overwrite ([[idempotentBatchWrite]]). This is the standard Spark shape for
    * "complex batch logic over sessionized streams": sessionize with state,
    * extract with the (Catalyst-optimized, fixture-pinned) batch plan.
    */
@@ -85,9 +86,8 @@ object StreamingExtract {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
         if (!batch.isEmpty)
-          graft.extract.Pipeline.extract(batch.toDF())
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(outDir)
+          idempotentBatchWrite(
+            graft.extract.Pipeline.extract(batch.toDF()), batchId, outDir)
         ()
       }
       .start()
@@ -99,9 +99,13 @@ object StreamingExtract {
    * conversations runs the batch tool-sequencing audit
    * ([[graft.ops.Agent.toolAudit]]) inside `foreachBatch`. A conversation
    * is audited only once complete, so streamed ≡ batch per conversation by
-   * construction (no cross-batch stitching); output is exactly-once via
-   * the checkpoint. The same composition slots in [[graft.ops.Agent.repair]]
-   * for a streaming hygiene sink.
+   * construction (no cross-batch stitching). The checkpoint alone makes
+   * `foreachBatch` only at-least-once (a retried batch would re-run the
+   * side-effect write); end-to-end exactly-once comes from the sink being
+   * IDEMPOTENT per batch_id ([[idempotentBatchWrite]]: dynamic partition
+   * overwrite of `batch_id=<id>`, so replays replace, never duplicate).
+   * The same composition slots in [[graft.ops.Agent.repair]] for a
+   * streaming hygiene sink.
    */
   def agentAuditQuery(turns: Dataset[Turn], outDir: String,
       checkpointDir: String, gapSeconds: Long = 1800)
@@ -112,12 +116,28 @@ object StreamingExtract {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
         if (!batch.isEmpty)
-          graft.ops.Agent.toolAudit(batch.toDF())
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(outDir)
+          idempotentBatchWrite(graft.ops.Agent.toolAudit(batch.toDF()),
+            batchId, outDir)
         ()
       }
       .start()
+
+  /**
+   * Idempotent micro-batch parquet sink: each batch lands in its own
+   * `batch_id=<id>` partition via DYNAMIC partition overwrite, so a batch
+   * replayed after a partial or completed write (foreachBatch is
+   * at-least-once — the checkpoint dedupes input offsets, not side
+   * effects) REPLACES its partition instead of appending duplicates.
+   * This is the standard Spark recipe for exactly-once foreachBatch
+   * output to a file sink.
+   */
+  private def idempotentBatchWrite(df: DataFrame, batchId: Long,
+      outDir: String): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
 
   final case class DocEvent(doc_id: String, text: String, ts: Timestamp)
 

@@ -110,6 +110,20 @@ class SnapshotIOSpec extends SparkSpec {
     intercept[IllegalArgumentException](io.commitAppend(df(2), "t", "s1"))
   }
 
+  test("reusing an OLDER chain id (not just the parent) is rejected") {
+    // s1 <- s2 <- s3; compact(..., "s1") would pass a parent-only guard and
+    // then Overwrite snapshot=s1 — a directory still part of the live chain
+    // AND of compact's own input. The guard must reject any used id.
+    val (io, _) = freshIo()
+    io.commit(df(1), "t", "s1")
+    io.commitAppend(df(2), "t", "s2")
+    io.commitAppend(df(3), "t", "s3")
+    intercept[IllegalArgumentException](io.compact(spark, "t", "s1", 1))
+    intercept[IllegalArgumentException](io.commit(df(9), "t", "s2"))
+    // chain is intact after the rejected attempts
+    assert(idsOf(io.read(spark, "t")) == Set(1L, 2L, 3L))
+  }
+
   test("extractIncremental consumes appends exactly once; result equals batch") {
     val sparkS = spark
     import sparkS.implicits._
