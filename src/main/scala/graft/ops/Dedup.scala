@@ -110,9 +110,21 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, k: Int = 16, n: Int = 5, rowsPerBand: Int = 4,
       idCol: String = "doc_id", textCol: String = "text",
       maxBucket: Int = 1000): DataFrame = {
-    val b = lshBucketsFromWide(minhashWide(docs, k, n, idCol, textCol), k, rowsPerBand, idCol)
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .where(col("bsz") <= maxBucket)
+    // barrier: three consumers (size agg, both self-join sides) would each
+    // recompute the shingle→minhash subtree after column pruning; the plan
+    // barrier pins ONE slim (id, band, bucket) frame whose upstream shuffle
+    // they all reuse as skipped stages
+    val bkts = graft.extract.Chunked.barrier(
+      lshBucketsFromWide(minhashWide(docs, k, n, idCol, textCol), k, rowsPerBand, idCol))
+    // cap via anti-join against the OVERSIZED buckets only: the partial
+    // agg ships bucket counts (not rows) and the oversized frame is tiny
+    // (broadcast anti-join under AQE), so the bucket frame itself never
+    // shuffles/sorts for the cap — cheaper than a count-over-window,
+    // which would shuffle AND sort the full exploded frame
+    val oversized = bkts.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz")).where(col("bsz") > maxBucket)
+      .select("band", "bucket")
+    val b = bkts.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
     val l = b.select(col(idCol).as("a"), col("band"), col("bucket"))
     val r = b.select(col(idCol).as("b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))

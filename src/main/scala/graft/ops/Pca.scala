@@ -80,12 +80,11 @@ object Pca {
     import spark.implicits._
     val basis = broadcast(Seq((model.mean, model.components))
       .toDF("pca_mean", "pca_comps"))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     corpus.crossJoin(basis)
       .withColumn("proj", transform(col("pca_comps"), row =>
-        dot(zip_with(col(vecCol).cast("array<double>"), col("pca_mean"),
-          (x, m) => x - m), row)))
+        graft.functions.VecMath.dotCol(
+          zip_with(col(vecCol).cast("array<double>"), col("pca_mean"),
+            (x, m) => x - m), row)))
       .drop("pca_mean", "pca_comps")
   }
 

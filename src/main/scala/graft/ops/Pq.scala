@@ -32,10 +32,12 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   /** Squared L2 between two array<double> columns (deterministic
-   * left-to-right fold — no aggregation-order drift). */
+   * left-to-right fold — no aggregation-order drift). Codegen'd kernel,
+   * bit-identical to the `zip_with`+`aggregate` fold it replaces; also
+   * evaluates as one JVM loop when nested inside HOF lambdas (encode /
+   * queryLuts), where Catalyst interprets. */
   def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecMath.dist2Col(a, b)
 
   private def subslice(v: Column, s: Column, w: Int): Column =
     slice(v, s * w + 1, lit(w))

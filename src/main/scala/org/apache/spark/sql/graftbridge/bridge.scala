@@ -10,4 +10,9 @@ import org.apache.spark.sql.classic.ExpressionColumnNode
   * are modified. */
 object bridge {
   def column(e: Expression): Column = new Column(ExpressionColumnNode(e))
+
+  /** Inverse direction: unwrap a Column (including lambda variables inside
+    * higher-order-function bodies) back to its Catalyst Expression. */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
