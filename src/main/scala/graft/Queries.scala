@@ -25,6 +25,18 @@ object Queries {
   def transcripts(s: SparkSession, dir: String): DataFrame =
     Structure.transcriptsFromDocuments(t(s, dir, "documents"))
 
+  /** Shared by zone_eval_report / zone_eval_floors: segmenter gold corpus
+   * → content zoner → (gold, predicted) pairs → eval.txt-style table. */
+  private def zoneEvalReport(s: SparkSession): DataFrame = {
+    val gold = graft.extract.Eval.segGoldLines(s)
+    val pred = Labeler.zonesContent(
+      gold.select("conv_id", "turn_idx", "line_in_turn", "line"))
+    val pairs = pred.select(col("conv_id"), col("turn_idx"), col("zone"))
+      .join(gold.select("conv_id", "turn_idx", "gold"),
+        Seq("conv_id", "turn_idx"))
+    graft.extract.Eval.labelReport(pairs, "gold", "zone")
+  }
+
   /** DuckDB CTE mirroring [[Structure.transcriptsFromDocuments]]. */
   private val transcriptsCte =
     """transcripts AS (
@@ -1256,6 +1268,29 @@ object Queries {
         .agg(array_join(transform(
           array_sort(collect_list(struct(col("turn_idx"), col("text")))),
           x => x.getField("text")), "\n").as("rawtext"))),
+
+    // — reference-style evaluation report as a shippable artifact
+    //   (AbstractTrainer.runEvaluation → eval.txt, invoked from
+    //   DatacatSegmenterTrainer.java:245): per-label P/R/F1/accuracy in
+    //   integer basis points over the full segmenter gold corpus, plus
+    //   micro/macro/instance rows. FSM labeler upstream → rows-only at
+    //   the driver; QUALITY is oracle-pinned by zone_eval_floors —
+    "zone_eval_report" -> ((s, dir) => zoneEvalReport(s)),
+
+    // quality floors as a constant-row invariant oracle (the
+    // pca_invariants pattern): a labeler regression flips the booleans
+    // and the driver goes red — eval is driver-pinned every round
+    "zone_eval_floors" -> ((s, dir) =>
+      zoneEvalReport(s).agg(
+        max(when(col("label") === "all_micro", col("accuracy_bp"))).as("acc"),
+        max(when(col("label") === "<front>", col("f1_bp"))).as("ff1"),
+        max(when(col("label") === "<body>", col("f1_bp"))).as("bf1"))
+        // floors just under the measured levels (micro acc 9402 bp,
+        // front line-F1 6457, body line-F1 9669 — vs the reference
+        // model's archived field-level front F1 62.16 / micro-F1 69.51)
+        .select((col("acc") >= 9300L).as("zone_acc_ok"),
+          (col("ff1") >= 6200L).as("front_f1_ok"),
+          (col("bf1") >= 9600L).as("body_f1_ok"))),
 
     // — deduplication —
     "dedup_exact" -> ((s, dir) =>
@@ -3055,6 +3090,10 @@ object Queries {
          |FROM com JOIN cnts ca ON ca.doc_id = com.a
          |JOIN cnts cb ON cb.doc_id = com.b
          |WHERE round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) >= 0.5""".stripMargin,
+
+    "zone_eval_floors" ->
+      """SELECT true AS zone_acc_ok, true AS front_f1_ok,
+        |       true AS body_f1_ok""".stripMargin,
 
     "pq_codebook" ->
       s"""WITH $pqCbCtes
