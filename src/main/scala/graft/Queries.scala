@@ -1418,6 +1418,21 @@ object Queries {
         nCells = 4, nProbe = 2, m = 8, kCodes = 16)
     }),
 
+    "sim_ivfpq_two_level_diff" -> ((s, dir) => {
+      // the flagship ANN composition on the growth path: with one coarse
+      // cell, two-level IVF-PQ must equal single-broadcast IVF-PQ exactly
+      // (same hash-ordered centroids, same 4dp ranking rules). Constant-
+      // empty oracle.
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      val two = Similarity.ivfPqTopKTwoLevel(e, q, k = 5, nCoarse = 1,
+        nFinePerCell = 4, nProbe = 2, m = 8, kCodes = 16)
+      val one = Similarity.ivfPqTopK(e, q, k = 5, nCells = 4, nProbe = 2,
+        m = 8, kCodes = 16)
+      two.exceptAll(one).union(one.exceptAll(two))
+        .agg(count(lit(1)).as("n_mismatch"))
+    }),
+
     "sim_two_level_diff" -> ((s, dir) => {
       // 10^9-vector growth path pinned as an invariant: with one coarse
       // cell, two-level assignment must equal single-level cellAssignments
@@ -2413,6 +2428,9 @@ object Queries {
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
 
     "sim_two_level_diff" ->
+      "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+
+    "sim_ivfpq_two_level_diff" ->
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
 
     "pipeline_rebuild_diff" ->

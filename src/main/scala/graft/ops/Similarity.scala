@@ -304,17 +304,82 @@ object Similarity {
     val coarse = graft.extract.Chunked.barrier(
       cellAssignments(corpus, nCoarse, idCol, vecCol)
         .withColumnRenamed("cell", "coarse_cell"))
+    val fine = twoLevelFine(coarse, nFinePerCell, idCol, vecCol)
+    coarse.join(fine, Seq("coarse_cell"))
+      .select(col(idCol), col(vecCol), col("coarse_cell"),
+        get(bestCells(col(vecCol), 1), lit(0)).getField("cell").as("cell"))
+  }
+
+  /** Fine-centroid frame of the two-level scheme: per coarse cell, the
+   * hash-ordered `nFinePerCell` member sample as a `cents` list — an
+   * nCoarse-ROW distributed frame joined by `coarse_cell`, never a single
+   * broadcast row (that is the whole point of the growth path). */
+  private def twoLevelFine(coarse: DataFrame, nFinePerCell: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val w = Window.partitionBy("coarse_cell")
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    val fine = coarse
+    coarse
       .withColumn("_rk", row_number().over(w))
       .where(col("_rk") <= nFinePerCell)
       .groupBy("coarse_cell")
       .agg(collect_list(struct(col(idCol).cast("long").as("cell"),
         col(vecCol).cast("array<double>").as("cv"))).as("cents"))
-    coarse.join(fine, Seq("coarse_cell"))
-      .select(col(idCol), col(vecCol), col("coarse_cell"),
+  }
+
+  /**
+   * Two-level IVF-PQ top-k — [[ivfPqTopK]] with its routing stage swapped
+   * for [[cellAssignmentsTwoLevel]], so the flagship ANN path has the
+   * 10⁹-vector growth shape END-TO-END: the only single-row broadcast is
+   * the `nCoarse` coarse centroids; fine centroids live on an nCoarse-row
+   * frame joined by coarse cell (total centroid count nCoarse ×
+   * nFinePerCell scales past any one-broadcast budget), and the corpus
+   * side still ships only PQ byte codes. Queries probe `nProbeCoarse`
+   * coarse cells, rank the fine centroids inside them by the SAME
+   * (4dp cosine desc, cell desc) rule as [[bestCells]], take `nProbe`
+   * fine cells, and ADC-rank the codes there. With nCoarse = 1 this is
+   * EXACTLY [[ivfPqTopK]] (nCells = nFinePerCell) — pinned by the
+   * sim_ivfpq_two_level_diff constant-empty oracle and SimilaritySpec.
+   */
+  def ivfPqTopKTwoLevel(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nCoarse: Int = 4, nFinePerCell: Int = 4, nProbe: Int = 2,
+      m: Int = 8, kCodes: Int = 16, nProbeCoarse: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = Pq.trainCodebook(corpus, m, kCodes, idCol, vecCol)
+    val coarse = graft.extract.Chunked.barrier(
+      cellAssignments(corpus, nCoarse, idCol, vecCol)
+        .withColumnRenamed("cell", "coarse_cell"))
+    val fine = twoLevelFine(coarse, nFinePerCell, idCol, vecCol)
+    // corpus: two-level fine cell + PQ codes; floats never leave the scan
+    val routed = coarse.join(fine, Seq("coarse_cell"))
+      .select(col(idCol).as("neighbor_id"),
         get(bestCells(col(vecCol), 1), lit(0)).getField("cell").as("cell"))
+      .join(Pq.encode(corpus, cb, idCol, vecCol)
+        .withColumnRenamed(idCol, "neighbor_id"), Seq("neighbor_id"))
+    // queries: coarse probe via the bounded coarse broadcast, then rank
+    // the probed cells' fine centroids, then the ADC lookup tables
+    val cents = centroidsRow(corpus, nCoarse, idCol, vecCol)
+    val qCoarse = Pq.queryLuts(queries, cb, idCol, vecCol,
+        extraCols = Seq(col(vecCol)))
+      .crossJoin(cents)
+      .select(col("query_id"), col("lut"), col(vecCol),
+        explode(transform(bestCells(col(vecCol), nProbeCoarse),
+          s => s.getField("cell"))).as("coarse_cell"))
+    val qRanked = qCoarse.join(fine, Seq("coarse_cell"))
+      .select(col("query_id"), col("lut"), col(vecCol),
+        explode(col("cents")).as("c"))
+      .select(col("query_id"), col("lut"),
+        round(cosine(col(vecCol), col("c").getField("cv")), 4).as("c4"),
+        col("c").getField("cell").as("cell"))
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("c4").desc, col("cell").desc)
+    val probes = broadcast(qRanked
+      .withColumn("_pr", row_number().over(pw))
+      .where(col("_pr") <= nProbe)
+      .select(col("query_id"), col("lut"), col("cell")))
+    Pq.adcRank(
+      routed.join(probes, Seq("cell"))
+        .where(col("neighbor_id") =!= col("query_id")),
+      k)
   }
 
   /**

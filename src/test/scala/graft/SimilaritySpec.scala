@@ -277,6 +277,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("two-level IVF-PQ: nCoarse=1 equals single-broadcast IVF-PQ; " +
+      "multi-coarse output is a well-formed top-k") {
+    val c = corpus()
+    val q = c.where(org.apache.spark.sql.functions.col("vec_id") < 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    val one = Similarity.ivfPqTopK(c, q, k = 3, nCells = 4, nProbe = 2,
+      m = 4, kCodes = 8)
+    val two = Similarity.ivfPqTopKTwoLevel(c, q, k = 3, nCoarse = 1,
+      nFinePerCell = 4, nProbe = 2, m = 4, kCodes = 8)
+    assert(key(two) === key(one))
+    // multi-coarse: per query at most k rows, ranks dense from 1, sorted
+    // by dist2, self excluded
+    val multi = Similarity.ivfPqTopKTwoLevel(c, q, k = 3, nCoarse = 3,
+      nFinePerCell = 2, nProbe = 2, m = 4, kCodes = 8, nProbeCoarse = 2)
+      .collect().groupBy(_.getLong(0))
+    assert(multi.nonEmpty)
+    multi.foreach { case (qid, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length))
+      assert(!rows.exists(_.getLong(1) == qid))
+      val byRank = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(byRank == byRank.sorted)
+    }
+  }
+
   test("semDedupEdges excludes cells over maxCell instead of exploding") {
     val sparkS = spark
     import sparkS.implicits._
