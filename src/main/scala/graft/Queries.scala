@@ -25,6 +25,44 @@ object Queries {
   def transcripts(s: SparkSession, dir: String): DataFrame =
     Structure.transcriptsFromDocuments(t(s, dir, "documents"))
 
+  /** ANN sweep operating points, shared by the Spark query and the oracle
+   * generator: (planes, tables, multiProbe) for SRP; nProbe for IVF at 16
+   * cells. */
+  private val annSrpConfigs: Seq[(Int, Int, Boolean)] =
+    Seq((8, 1, false), (8, 2, false), (8, 4, false), (8, 4, true),
+      (12, 4, false), (6, 8, true), (4, 8, true))
+  private val annIvfProbes: Seq[Int] = Seq(1, 2, 4, 8, 12)
+
+  /** Recall@5 of each ANN operating point against brute force over the
+   * embeddings table (20 query vectors). One row per configuration:
+   * (method, p1, p2, recall_bp). */
+  private def simAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.where(col("vec_id") < 20)
+    val truth = graft.extract.Chunked.barrier(
+      Similarity.bruteForceTopK(e, q, k = 5)
+        .select("query_id", "neighbor_id"))
+    def recall(method: String, p1: Int, p2: Int, approx: DataFrame): DataFrame = {
+      val hits = approx.select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      val tot = truth.agg(count(lit(1)).as("n_true"))
+      hits.crossJoin(tot).select(lit(method).as("method"),
+        lit(p1).cast("int").as("p1"), lit(p2).cast("int").as("p2"),
+        expr("(n_hit * 10000) div n_true").cast("long").as("recall_bp"))
+    }
+    val rows =
+      annSrpConfigs.map { case (pl, tb, mp) =>
+        recall(if (mp) "srp_mp" else "srp", pl, tb,
+          Similarity.lshTopK(e, q, k = 5, planes = pl, multiProbe = mp,
+            tables = tb))
+      } ++ annIvfProbes.map { np =>
+        recall("ivf", 16, np,
+          Similarity.ivfTopK(e, q, k = 5, nCentroids = 16, nProbe = np))
+      }
+    rows.reduce(_.unionByName(_))
+  }
+
   /** Shared by zone_eval_report / zone_eval_floors: segmenter gold corpus
    * → content zoner → (gold, predicted) pairs → eval.txt-style table. */
   private def zoneEvalReport(s: SparkSession): DataFrame = {
@@ -1114,6 +1152,96 @@ object Queries {
         s"THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB replay of [[simAnnRecall]]: per operating point, candidate
+   * generation (SRP bucket joins across tables with optional hamming-1
+   * probes / IVF probe-rank filters), exact 4dp re-rank, and recall
+   * against the brute-force truth set — the whole curve in ONE oracle. */
+  private def simAnnRecallOracle: String = {
+    val truthCtes =
+      """tq AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |                                 c.embedding::DOUBLE[]), 4) AS cosine
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |    FROM tq) WHERE rank <= 5),
+        |tn AS (SELECT count(*) AS n_true FROM truth)""".stripMargin
+    def topRec(i: String, method: String, p1: Int, p2: Int) =
+      s"""top$i AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT cd.query_id, cd.neighbor_id, row_number() OVER (
+         |      PARTITION BY cd.query_id ORDER BY
+         |        round(list_cosine_similarity(qe.embedding::DOUBLE[],
+         |                                     ce.embedding::DOUBLE[]), 4) DESC,
+         |        cd.neighbor_id) AS rank
+         |    FROM cand$i cd JOIN embeddings qe ON qe.vec_id = cd.query_id
+         |                   JOIN embeddings ce ON ce.vec_id = cd.neighbor_id)
+         |  WHERE rank <= 5),
+         |rec$i AS (SELECT '$method' AS method, CAST($p1 AS INT) AS p1,
+         |    CAST($p2 AS INT) AS p2,
+         |    CAST(((SELECT count(*) FROM top$i JOIN truth
+         |             USING (query_id, neighbor_id)) * 10000)
+         |         // (SELECT n_true FROM tn) AS BIGINT) AS recall_bp)""".stripMargin
+    val srpBlocks = annSrpConfigs.zipWithIndex.map { case ((pl, tb, mp), idx) =>
+      val i = s"s$idx"
+      val tblCtes = (0 until tb).map { tt =>
+        val b = bucketSql("e.embedding", pl, tt)
+        val probes =
+          if (mp) ("b" +: (0 until pl).map(p => s"xor(b, ${1 << p})"))
+            .mkString(", ")
+          else "b"
+        s"""cb${i}_$tt AS (SELECT e.vec_id, $b AS b FROM embeddings e),
+           |qp${i}_$tt AS (SELECT vec_id, unnest([$probes]) AS b
+           |       FROM cb${i}_$tt WHERE vec_id < 20)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 until tb).map(tt =>
+        s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           |  FROM qp${i}_$tt q JOIN cb${i}_$tt c
+           |    ON q.b = c.b AND q.vec_id <> c.vec_id""".stripMargin)
+        .mkString("\n  UNION\n  ")
+      s"""$tblCtes,
+         |cand$i AS (
+         |  $unions),
+         |${topRec(i, if (mp) "srp_mp" else "srp", pl, tb)}""".stripMargin
+    }
+    val ivfShared =
+      """icents AS (
+        |  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |iassign AS (
+        |  SELECT vec_id AS neighbor_id, cell FROM (
+        |    SELECT c.vec_id, ct.cell, row_number() OVER (
+        |      PARTITION BY c.vec_id ORDER BY
+        |        round(list_cosine_similarity(c.embedding::DOUBLE[], ct.cv), 4) DESC,
+        |        ct.cell DESC) AS rn
+        |    FROM embeddings c CROSS JOIN icents ct) WHERE rn = 1),
+        |iprob AS (
+        |  SELECT vec_id AS query_id, cell, rn FROM (
+        |    SELECT q.vec_id, ct.cell, row_number() OVER (
+        |      PARTITION BY q.vec_id ORDER BY
+        |        round(list_cosine_similarity(q.embedding::DOUBLE[], ct.cv), 4) DESC,
+        |        ct.cell DESC) AS rn
+        |    FROM embeddings q CROSS JOIN icents ct WHERE q.vec_id < 20))""".stripMargin
+    val ivfBlocks = annIvfProbes.zipWithIndex.map { case (np, idx) =>
+      val i = s"i$idx"
+      s"""cand$i AS (
+         |  SELECT p.query_id, a.neighbor_id
+         |  FROM iprob p JOIN iassign a
+         |    ON p.cell = a.cell AND p.rn <= $np AND a.neighbor_id <> p.query_id),
+         |${topRec(i, "ivf", 16, np)}""".stripMargin
+    }
+    val finals =
+      (annSrpConfigs.indices.map(i => s"SELECT * FROM recs$i") ++
+        annIvfProbes.indices.map(i => s"SELECT * FROM reci$i"))
+        .mkString("\nUNION ALL\n")
+    s"""WITH ${(truthCtes +: srpBlocks) .mkString(",\n")},
+       |$ivfShared,
+       |${ivfBlocks.mkString(",\n")}
+       |$finals""".stripMargin
+  }
+
   /** recall@5 of an ANN method vs the exact brute-force baseline, one row
    * per query vector (vec_id < 10), zero-recall queries included. */
   private def recallAt5(e: DataFrame,
@@ -1344,13 +1472,14 @@ object Queries {
 
     "sim_topk_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5, planes = 8)
+      Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5, planes = 8,
+        multiProbe = false, tables = 1)
     }),
 
     "sim_topk_lsh_mp" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5, planes = 8,
-        multiProbe = true)
+        multiProbe = true, tables = 1)
     }),
 
     "sim_topk_ivf" -> ((s, dir) => {
@@ -1417,6 +1546,13 @@ object Queries {
       Similarity.ivfPqTopK(e, e.where(col("vec_id") < 10), k = 5,
         nCells = 4, nProbe = 2, m = 8, kCodes = 16)
     }),
+
+    // — ANN operating-point evidence: recall@5 vs brute force across the
+    //   SRP (planes, tables, multi-probe) and IVF (nProbe) knobs — the
+    //   Dedup.lshPlan discipline applied to the vector side. The oracle
+    //   replays every configuration closed-form; SURVEY documents the
+    //   chosen defaults against this curve —
+    "sim_ann_recall" -> ((s, dir) => simAnnRecall(s, dir)),
 
     "sim_ivfpq_two_level_diff" -> ((s, dir) => {
       // the flagship ANN composition on the growth path: with one coarse
@@ -2432,6 +2568,8 @@ object Queries {
 
     "sim_ivfpq_two_level_diff" ->
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+
+    "sim_ann_recall" -> simAnnRecallOracle,
 
     "pipeline_rebuild_diff" ->
       "SELECT CAST(0 AS BIGINT) AS n_mismatch",
