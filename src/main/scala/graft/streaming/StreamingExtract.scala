@@ -159,6 +159,128 @@ object StreamingExtract {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** One (band, bucket) row of a document's MinHash signature, carrying
+   * the md5'd distinct-shingle set for Jaccard verification in state. */
+  final case class BandSig(doc_id: String, ts: Timestamp, band: Int,
+      bucket: String, n_bands: Int, sh_md5: Array[String])
+  final case class BandHit(doc_id: String, ts: Timestamp, n_bands: Int,
+      matched: Boolean)
+  final case class NearDupVerdict(doc_id: String, ts: Timestamp,
+      is_near_dup: Boolean)
+
+  /**
+   * STREAMING near-dedup — the LSH-signature state variant of
+   * [[dedupDocs]]: a document is flagged `is_near_dup` iff some EARLIER
+   * document within the watermark horizon shares a MinHash band bucket
+   * with it AND passes exact-Jaccard verification at `tau` — the same
+   * candidates → verify pipeline as the batch
+   * [[graft.ops.Dedup.verifiedEdges]], keyed by (band, bucket) in
+   * `flatMapGroupsWithState` with watermark expiry.
+   *
+   * Two chained stateful stages:
+   *  1. band-bucket stage: state = the bucket's members within the
+   *     horizon (doc id, event time, md5'd shingle set — md5 keeps state
+   *     at 16 bytes/shingle regardless of shingle text size). Each
+   *     arriving doc (processed in deterministic (ts, id) order) is
+   *     verified against the members; oversized buckets (≥ `maxBucket`)
+   *     switch to the batch star-edge regime — membership alone implies
+   *     duplicate. Entries behind the watermark are evicted on every
+   *     invocation; silent buckets time out entirely.
+   *  2. per-doc verdict stage: OR over the doc's `n_bands` hit rows (all
+   *     emitted in the doc's own micro-batch, so the group completes
+   *     immediately; a timeout path emits the partial verdict if bands
+   *     were ever lost).
+   *
+   * SEMANTICS vs batch ([[graft.ops.Dedup.keepCanonical]]): streaming
+   * keeps the FIRST ARRIVAL of each near-dup cluster, batch keeps the MIN
+   * ID — identical keep sets when arrival order follows ids and every
+   * cluster member verifies against its canonical (the planted-clone
+   * shape; StreamingNearDupSpec pins streamed ≡ batch there). A
+   * retroactive cluster merge (doc C arriving later, near both A and B)
+   * cannot re-drop an already-kept B — that tail, like cross-horizon
+   * duplicates, belongs to the periodic batch compaction downstream.
+   *
+   * State bound: members-per-bucket within the horizon × bands buckets
+   * per doc — bounded by the arrival-window near-dup distance, never
+   * corpus size.
+   *
+   * The chained stateful ops trip Spark's blanket global-watermark
+   * correctness check; it is a false positive HERE because stage 1 emits
+   * only rows for current-batch inputs with UNCHANGED event times (no
+   * buffered emission), so nothing reaches stage 2 later than the shared
+   * watermark allows. The session conf disables the check accordingly.
+   */
+  def nearDedupDocs(docs: Dataset[DocEvent], k: Int = 8, n: Int = 5,
+      rowsPerBand: Int = 4, tau: Double = 0.5, watermark: String = "1 hour",
+      maxBucket: Int = 1000): Dataset[NearDupVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    import graft.ops.LocalMinHash
+    val sigs: Dataset[BandSig] = docs.flatMap { d =>
+      val sh = LocalMinHash.shingles(Option(d.text).getOrElse(""), n)
+      val shMd5 = sh.map(LocalMinHash.md5Hex).toArray
+      val bbs = LocalMinHash.bandBuckets(LocalMinHash.minhash(sh, k), rowsPerBand)
+      bbs.map { case (b, bk) => BandSig(d.doc_id, d.ts, b, bk, bbs.size, shMd5) }
+    }
+    val hits: Dataset[BandHit] = sigs
+      .withWatermark("ts", watermark)
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, String), rows: Iterator[BandSig],
+            state: GroupState[List[(String, Long, Array[String])]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var members = state.getOption.getOrElse(Nil).filter(_._2 >= wm)
+            val out = List.newBuilder[BandHit]
+            rows.toList.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+              val mySh = r.sh_md5.toSet
+              val matched =
+                if (members.sizeIs >= maxBucket) true // star-edge regime
+                else members.exists { case (_, _, sh2) =>
+                  LocalMinHash.jaccard(mySh, sh2.toSet) >= tau }
+              out += BandHit(r.doc_id, r.ts, r.n_bands, matched)
+              if (!members.exists(_._1 == r.doc_id))
+                members = (r.doc_id, r.ts.getTime, r.sh_md5) :: members
+            }
+            state.update(members)
+            if (members.nonEmpty)
+              state.setTimeoutTimestamp(members.map(_._2).max, watermark)
+            out.result().iterator
+          }
+        })
+    hits
+      .withWatermark("ts", watermark)
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (docId: String, rows: Iterator[BandHit],
+            state: GroupState[(Int, Boolean, Long)]) => {
+          if (state.hasTimedOut) {
+            // bands were lost upstream (should not happen: a doc's band
+            // rows co-batch) — emit the partial verdict rather than none
+            val (_, m, t) = state.get
+            state.remove()
+            Iterator.single(NearDupVerdict(docId, new Timestamp(t), m))
+          } else {
+            val rs = rows.toList
+            val (pn, pm, pt) = state.getOption.getOrElse((0, false, 0L))
+            val nSeen = pn + rs.size
+            val matched = pm || rs.exists(_.matched)
+            val tsMs = math.max(pt, rs.map(_.ts.getTime).max)
+            if (nSeen >= rs.head.n_bands) {
+              state.remove()
+              Iterator.single(NearDupVerdict(docId, new Timestamp(tsMs), matched))
+            } else {
+              state.update((nSeen, matched, tsMs))
+              state.setTimeoutTimestamp(tsMs, watermark)
+              Iterator.empty
+            }
+          }
+        })
+  }
+
   /** Close a conversation after `gapSeconds` of event-time silence and emit
    * its ordered text (turn texts joined by newline — the Structure input). */
   def convClose(turns: Dataset[TurnEvent], gapSeconds: Long = 1800): Dataset[ClosedConv] = {
