@@ -2100,6 +2100,40 @@ object Queries {
           col("media_meta.height").as("height"))
     }),
 
+    // — real image embedding end-to-end: two-color 32x32 PNGs are ENCODED
+    //   from doc_id arithmetic (javax.imageio), then decoded and embedded
+    //   by patchEmbedding; because luma accumulates as exact integers the
+    //   oracle derives every float component closed-form from doc_id with
+    //   no decoder on the SQL side. Scalar grain (doc_id, pos, value) —
+    "mm_embed" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 64).as[Long]
+      val payloads = ids.map { id =>
+        val (w, h) = (32, 32)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val cA = new java.awt.Color(((id * 37) % 256).toInt,
+          ((id * 59) % 256).toInt, ((id * 83) % 256).toInt).getRGB
+        val cB = new java.awt.Color(((id * 41 + 7) % 256).toInt,
+          ((id * 67 + 11) % 256).toInt, ((id * 89 + 13) % 256).toInt).getRGB
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, if (x < w / 2) cA else cB); x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }.toDF("doc_id", "payload")
+      graft.ops.Multimodal.extractEmbedding(payloads, grid = 4)
+        .select(col("doc_id"), posexplode(col("media_embedding")))
+        .toDF("doc_id", "pos", "value")
+    }),
+
     // — real audio/video container probe: WAV RIFF and MP4 ISO-BMFF
     //   payloads are built byte-for-byte from doc_id, and the probe must
     //   recover true duration / sample rate / channels / video dims from
@@ -4593,6 +4627,32 @@ object Queries {
         |  CASE WHEN doc_id % 4 <= 2 THEN CAST(doc_id % 480 + 1 AS INT)
         |       ELSE NULL END AS height
         |FROM documents""".stripMargin,
+
+    "mm_embed" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+        |c AS (SELECT doc_id,
+        |  (doc_id*37)%256 AS ra, (doc_id*59)%256 AS ga, (doc_id*83)%256 AS ba,
+        |  (doc_id*41+7)%256 AS rb, (doc_id*67+11)%256 AS gb,
+        |  (doc_id*89+13)%256 AS bb
+        |  FROM ids),
+        |l AS (SELECT c.*, 299*ra+587*ga+114*ba AS la,
+        |             299*rb+587*gb+114*bb AS lb FROM c),
+        |p AS (SELECT l.*, CAST(unnest(generate_series(0, 22)) AS INT) AS pos
+        |      FROM l)
+        |SELECT doc_id, pos, CAST(
+        |  CASE pos
+        |    WHEN 0 THEN ((ra + rb) * 512 / 1024.0) / 255.0
+        |    WHEN 1 THEN ((ga + gb) * 512 / 1024.0) / 255.0
+        |    WHEN 2 THEN ((ba + bb) * 512 / 1024.0) / 255.0
+        |    WHEN 3 THEN ((la + lb) * 512 / 1024.0) / 255000.0
+        |    WHEN 4 THEN ((CASE WHEN la > 128000 THEN 512 ELSE 0 END)
+        |               + (CASE WHEN lb > 128000 THEN 512 ELSE 0 END)) / 1024.0
+        |    WHEN 5 THEN 32 / 4096.0
+        |    WHEN 6 THEN 32 / 4096.0
+        |    ELSE CASE WHEN (pos - 7) % 4 <= 1 THEN la / 255000.0
+        |              ELSE lb / 255000.0 END
+        |  END AS REAL) AS value
+        |FROM p""".stripMargin,
 
     "mm_av_probe" ->
       """SELECT doc_id,

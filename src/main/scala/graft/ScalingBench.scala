@@ -34,8 +34,21 @@ object ScalingBench {
       }
       (nTurns, sec)
     }
+    def convDedupScan(n: Long): (Long, Double) = {
+      // the corpus-scan stage alone (hash + conv-window signatures) — the
+      // leg that must scale; full-op minus this is the small-join fixed cost
+      val turns = graft.extract.Synthetic.transcripts(spark, n)
+      val nTurns = (0L until n).map(graft.extract.Synthetic.turnsPerConv(_).toLong).sum
+      val (_, sec) = Bench.time {
+        graft.ops.Agent.prefixSlimOnly(turns).write.mode("overwrite")
+          .parquet("/tmp/graft-bench-out/prefixslim")
+      }
+      (nTurns, sec)
+    }
     val run: Long => (Long, Double) =
-      if (job == "convdedup") convDedup else Bench.e2e(spark, _)
+      if (job == "convdedup") convDedup
+      else if (job == "convdedup_scan") convDedupScan
+      else Bench.e2e(spark, _)
 
     // deep JIT/codegen warmup: short runs alone leave C2 cold and measure 3x slow
     Seq(1000L, 10000L, 20000L).foreach(run)

@@ -248,6 +248,32 @@ object Agent {
    * Output: one row per conversation — (conv_id, n_turns, is_prefix_dup,
    * covered_by) with covered_by = min covering conv_id (null if none).
    */
+  /** The corpus-SCAN stage of [[prefixDedup]] (hash + per-conv window
+   * prefix signatures) behind the shared plan barrier — split out so the
+   * scaling bench can time the scan leg vs the small-join fixed costs
+   * separately (the Amdahl breakdown in BASELINE.md). */
+  private[graft] def prefixSlim(transcripts: DataFrame, idCol: String,
+      orderCol: String, h: org.apache.spark.sql.Column,
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      cum: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+    graft.extract.Chunked.barrier(transcripts
+      .select(col(idCol), col(orderCol), h.as("_h"))
+      .withColumn("_k", row_number().over(w))
+      .withColumn("_sig",
+        sum(pmod(col("_h") * col("_k"), lit(1L << 40))).over(cum)))
+
+  /** Scan-stage-only entry for the profiler: materializes the prefix
+   * signature frame exactly as [[prefixDedup]] builds it. */
+  private[graft] def prefixSlimOnly(transcripts: DataFrame,
+      idCol: String = "conv_id", orderCol: String = "turn_idx",
+      roleCol: String = "role", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(orderCol)
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val h = pmod(xxhash64(coalesce(col(roleCol), lit("")),
+      coalesce(col(textCol), lit(""))), lit(2147483647L))
+    prefixSlim(transcripts, idCol, orderCol, h, w, cum)
+  }
+
   def prefixDedup(transcripts: DataFrame, idCol: String = "conv_id",
       orderCol: String = "turn_idx", roleCol: String = "role",
       textCol: String = "text"): DataFrame = {
@@ -257,11 +283,7 @@ object Agent {
     // hash differently without an explicit separator
     val h = pmod(xxhash64(coalesce(col(roleCol), lit("")),
       coalesce(col(textCol), lit(""))), lit(2147483647L))
-    val slim = graft.extract.Chunked.barrier(transcripts
-      .select(col(idCol), col(orderCol), h.as("_h"))
-      .withColumn("_k", row_number().over(w))
-      .withColumn("_sig",
-        sum(pmod(col("_h") * col("_k"), lit(1L << 40))).over(cum)))
+    val slim = prefixSlim(transcripts, idCol, orderCol, h, w, cum)
     val full = slim.groupBy(idCol).agg(
       max(col("_k")).as("n_turns"),
       max_by(col("_sig"), col("_k")).as("_fsig"))

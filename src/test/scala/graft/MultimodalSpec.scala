@@ -213,4 +213,36 @@ class MultimodalSpec extends SparkSpec {
       .collect()(0)
     assert(txt.isNullAt(txt.fieldIndex("resized_width")))
   }
+
+  test("patch embedding is the exact closed form of a two-color image") {
+    // left half pure red, right half pure green, 32x32, grid 4
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0xff0000 else 0x00ff00)
+    val e = Multimodal.patchEmbedding(img, grid = 4)
+    assert(e.length === 7 + 16)
+    assert(e(0) === ((255.0 * 512 / 1024) / 255.0).toFloat)       // meanR = .5
+    assert(e(1) === ((255.0 * 512 / 1024) / 255.0).toFloat)       // meanG = .5
+    assert(e(2) === 0.0f)                                          // meanB
+    val lA = 299 * 255; val lB = 587 * 255
+    assert(e(3) === (((lA + lB) * 512L).toDouble / 1024 / 255000.0).toFloat)
+    assert(e(4) === 0.5f)                                          // only green half is bright
+    assert(e(5) === (32 / 4096.0).toFloat && e(6) === e(5))
+    // patch columns 0-1 are the red half, 2-3 the green half, every row
+    for (q <- 0 until 16) {
+      val want = if (q % 4 <= 1) lA / 255000.0 else lB / 255000.0
+      assert(e(7 + q) === want.toFloat, s"patch $q")
+    }
+    // embedding survives a PNG encode/decode round trip bit-for-bit
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(baos.toByteArray))
+    assert(Multimodal.patchEmbedding(back, 4).toSeq === e.toSeq)
+    // undecodable payloads pad the byte-fold stub to the embedding width
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = Multimodal.extractEmbedding(
+      Seq((1L, "junk".getBytes("UTF-8"))).toDF("media_id", "payload"), grid = 4)
+    assert(df.collect()(0).getSeq[Float](2).length === 23)
+  }
 }
