@@ -2390,7 +2390,10 @@ object Queries {
       // ANN quality harness: OR-amplified multi-table SRP, recall@5 as a
       // NUMBER per query (zero-hit queries included, not dropped)
       recallAt5(t(s, dir, "embeddings"), (e, q) =>
-        Similarity.lshTopK(e, q, k = 5, planes = 4, tables = 16))),
+        // multiProbe pinned OFF: the oracle replays plain table∪bucket
+        // candidates; the multi-probe point is pinned by sim_ann_recall
+        Similarity.lshTopK(e, q, k = 5, planes = 4, tables = 16,
+          multiProbe = false))),
 
     "sim_brute_vs_ivf_recall" -> ((s, dir) =>
       // same recall harness for the IVF-flat scale path (probes widened for
