@@ -2460,13 +2460,14 @@ object Queries {
 
     // passage→document embedding rollup: exact fixed-point mean pooling
     // (micro-unit longs — order-independent, unlike float sums). Driver
-    // grain is scalar (group_id, n_vecs, pos, component) via posexplode;
-    // the array-returning meanPoolFp stays the API.
+    // grain is scalar (group_id, n_vecs, pos, component) via the
+    // explode-FIRST twin — map-side-combinable and codegen-clean, unlike
+    // posexplode over the array API's nested-lambda output (which cost
+    // 4-5x in plan/codegen alone). The array-returning meanPoolFp stays
+    // the API; SimilaritySpec pins the two forms equal.
     "emb_mean_pool" -> ((s, dir) =>
-      Similarity.meanPoolFp(t(s, dir, "embeddings"),
-        expr("vec_id div 10"), dim = 64)
-        .select(col("group_id"), col("n_vecs"), posexplode(col("embedding_fp")))
-        .withColumnRenamed("col", "component")),
+      Similarity.meanPoolFpScalar(t(s, dir, "embeddings"),
+        expr("vec_id div 10"))),
 
     // LSH banding auto-tuner (MMDS S-curve): fixed-point so the DuckDB
     // mirror replays the same argmin + probabilities exactly

@@ -598,4 +598,29 @@ object Similarity {
            |  s -> CAST(floor(s * 1.0 / n_vecs) AS BIGINT)
            |) AS embedding_fp""".stripMargin)
   }
+
+  /** Scalar-grain twin of [[meanPoolFp]]: one row per (group, component)
+   * instead of an array column — (group_id, n_vecs, pos, component).
+   *
+   * This is also the better 100 TB shape: posexplode BEFORE the aggregate
+   * turns the rollup into a plain `groupBy(group, pos).sum` with map-side
+   * partial aggregation, so the shuffle carries only groups×dim partial
+   * sums instead of every input vector riding a `collect_list` — and the
+   * whole plan stays inside whole-stage codegen (no nested higher-order
+   * lambdas, whose analysis/codegen alone dominated the array form's
+   * small-input runtime). Identical fixed-point semantics: micro-unit
+   * quantization before summation, mean = floor(sum/n). */
+  def meanPoolFpScalar(embeddings: DataFrame, group: Column,
+      vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .where(col(vecCol).isNotNull)
+      .select(group.as("group_id"),
+        posexplode(col(vecCol)).as(Seq("pos", "_x")))
+      .groupBy(col("group_id"), col("pos"))
+      .agg(sum(round(col("_x").cast("double") * 1000000).cast("long"))
+        .as("_sfp"), count(lit(1)).as("n_vecs"))
+      .select(col("group_id"), col("n_vecs"),
+        col("pos").cast("int").as("pos"),
+        floor(col("_sfp").cast("double") / col("n_vecs")).cast("long")
+          .as("component"))
 }

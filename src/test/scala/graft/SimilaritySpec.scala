@@ -336,4 +336,26 @@ class SimilaritySpec extends SparkSpec {
     // order/partitioning independence: reversed, repartitioned input
     assert(pool(e.orderBy(col("vec_id").desc).repartition(5)) === got)
   }
+
+  test("meanPoolFpScalar equals posexplode(meanPoolFp) and skips null vectors") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, -1.0f)), (1L, Array(2.0f, -0.000001f)),
+      (10L, Array(-1.0f, 0.5f)), (11L, Array(-0.000001f, 0.5f)),
+      (12L, null.asInstanceOf[Array[Float]])) // must not deflate group 1's mean
+      .toDF("vec_id", "embedding")
+    val viaArray = Similarity.meanPoolFp(e, expr("vec_id div 10"), dim = 2)
+      .select(col("group_id"), col("n_vecs"),
+        posexplode(col("embedding_fp")).as(Seq("pos", "component")))
+      .select(col("group_id"), col("n_vecs"),
+        col("pos").cast("int").as("pos"), col("component"))
+      .as[(Long, Long, Int, Long)].collect().sorted
+    val scalar = Similarity.meanPoolFpScalar(e, expr("vec_id div 10"))
+      .as[(Long, Long, Int, Long)].collect().sorted
+    assert(scalar === viaArray)
+    assert(scalar.toSeq === Seq(
+      (0L, 2L, 0, 1500000L), (0L, 2L, 1, -500001L),
+      (1L, 2L, 0, -500001L), (1L, 2L, 1, 500000L)))
+  }
 }
