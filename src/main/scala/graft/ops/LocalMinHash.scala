@@ -6,7 +6,7 @@ import java.math.RoundingMode
  * Row-local Scala replica of the [[Dedup]] minhash/LSH/Jaccard column
  * expressions, for the STREAMING near-dedup path where signatures must be
  * computed per event inside typed operators. Every function is
- * byte-equivalent to its batch column twin (LocalMinHashSpec pins the
+ * byte-equivalent to its batch column twin (StreamingNearDupSpec pins the
  * equality against the Spark expressions on real rows):
  *
  *  - words      ≡ `TextStats.words` (lower ∘ space-trim ∘ \s+ split,
