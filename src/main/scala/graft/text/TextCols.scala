@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
  * no UDFs). Semantics are pinned byte-for-byte against the reference corpus:
  * recomputing these columns over all 798,543 segmenter fixture rows and all
  * 32,335 body fixture rows of /root/reference reproduces the fixture values
- * with zero mismatches (see `ScalarFeatureFixtureSpec`).
+ * with zero mismatches (see `SegFeatureFixtureSpec` / `BodyFeatureFixtureSpec`).
  *
  * Reference behavior sites (for semantics, not code):
  *  - capitalisation/digit/singleChar: `DatacatSegmenterParser.java:497-528`,
