@@ -2396,8 +2396,9 @@ object Queries {
           multiProbe = false))),
 
     "sim_brute_vs_ivf_recall" -> ((s, dir) =>
-      // same recall harness for the IVF-flat scale path (probes widened for
-      // the quality measurement; search defaults stay nProbe=2)
+      // same recall harness for the IVF-flat scale path (nProbe=6 here is
+      // the quality measurement point; ivfTopK's retuned default is
+      // nProbe=12 — see the sim_ann_recall curve that chose it)
       recallAt5(t(s, dir, "embeddings"), (e, q) =>
         Similarity.ivfTopK(e, q, k = 5, nCentroids = 16, nProbe = 6))),
 

@@ -37,10 +37,13 @@ object Eval {
    */
   def segGoldLines(spark: SparkSession,
       teiDir: String = segGoldTeiDir): DataFrame = {
-    val files = Files.list(Paths.get(teiDir)).iterator.asScala
-      .map(_.toString)
-      .filter(_.endsWith(".training.datacat.tei.xml"))
-      .toSeq.sorted
+    val dirStream = Files.list(Paths.get(teiDir))
+    val files =
+      try dirStream.iterator.asScala
+        .map(_.toString)
+        .filter(_.endsWith(".training.datacat.tei.xml"))
+        .toSeq.sorted
+      finally dirStream.close() // Files.list holds an fd until closed
     import spark.implicits._
     spark.createDataset(files)
       .repartition(math.min(files.size,

@@ -383,7 +383,12 @@ object Multimodal {
               if (img != null) patchEmbedding(img, grid)
               else StubCodec.features(bytes).padTo(width, 0.0f)
             } catch {
-              case _: java.io.IOException =>
+              // NonFatal, not just IOException: JDK ImageIO plugins throw
+              // CMMException / IllegalArgumentException / NegativeArraySize
+              // on payloads whose magic number is valid but whose body is
+              // corrupt — those must fall back, not kill the task, or the
+              // "column stays total" contract breaks on adversarial bytes
+              case scala.util.control.NonFatal(_) =>
                 StubCodec.features(bytes).padTo(width, 0.0f)
             }
           Row.fromSeq(r.toSeq :+ emb)

@@ -44,7 +44,9 @@ object Ppx {
    *
    * The driver-side collect is HARD-BOUNDED: the effective rate is
    * `min(sampleRate, maxSample / n)` with `n` from a cheap count
-   * aggregate (a scan, never a collect), so the collected sample is
+   * aggregate (a scan, never a collect) over a PERSISTED (id, xent_fp)
+   * projection — the scoring pipeline evaluates once, not once for the
+   * count and again for the sample — so the collected sample is
    * ~`maxSample` rows in expectation regardless of corpus size — at 10⁹
    * docs the default collects ~64k longs (~512 KB), not the corpus.
    * Both the count and the hash predicate are exactly replayable in SQL
@@ -58,18 +60,27 @@ object Ppx {
     require(headQ > 0 && headQ <= tailQ && tailQ < 1,
       "need 0 < headQ <= tailQ < 1")
     require(maxSample > 0, "maxSample must be positive")
+    // Persist the two-column projection before counting: the count and
+    // the sample collect otherwise EACH recompute the upstream scoring
+    // pipeline (model join + per-doc cross-entropy) — the most expensive
+    // stage, run twice at exactly the 10⁹-doc scale the bound targets.
+    // The persisted frame is (id, xent_fp) only, ~16 bytes/doc, spillable.
     val base = withXentFp(scored).where(col("xent_fp").isNotNull)
-    val nAll = base.count()
-    val effRate = math.min(sampleRate,
-      maxSample.toDouble / math.max(nAll, 1L))
-    val sample = Decontam.hashSample(base, effRate, seed, idCol)
-      .select(col("xent_fp"))
-      .collect().map(_.getLong(0)).sorted
-    require(sample.nonEmpty,
-      "ppx cutoff sample is empty: raise sampleRate or check the model")
-    val n = sample.length
-    def at(q: Double): Long = sample(math.floor((n - 1) * q).toInt)
-    Cuts(at(headQ), at(tailQ), n.toLong)
+      .select(col(idCol), col("xent_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nAll = base.count()
+      val effRate = math.min(sampleRate,
+        maxSample.toDouble / math.max(nAll, 1L))
+      val sample = Decontam.hashSample(base, effRate, seed, idCol)
+        .select(col("xent_fp"))
+        .collect().map(_.getLong(0)).sorted
+      require(sample.nonEmpty,
+        "ppx cutoff sample is empty: raise sampleRate or check the model")
+      val n = sample.length
+      def at(q: Double): Long = sample(math.floor((n - 1) * q).toInt)
+      Cuts(at(headQ), at(tailQ), n.toLong)
+    } finally base.unpersist(blocking = false)
   }
 
   /** Assign buckets from fitted cutoffs: one shuffle-free projection. */
