@@ -608,8 +608,15 @@ object Similarity {
    * sums instead of every input vector riding a `collect_list` — and the
    * whole plan stays inside whole-stage codegen (no nested higher-order
    * lambdas, whose analysis/codegen alone dominated the array form's
-   * small-input runtime). Identical fixed-point semantics: micro-unit
-   * quantization before summation, mean = floor(sum/n). */
+   * small-input runtime). Same fixed-point rule (micro-unit quantization
+   * before summation, mean = floor(sum/n)) and identical output to
+   * [[meanPoolFp]] on the operator's input contract: non-null vectors of
+   * uniform length (whole-null vectors are filtered identically by both).
+   * Outside the contract they diverge by construction — a null ELEMENT
+   * at position p poisons the array form's whole component p (the
+   * zip_with sum propagates null) but is skipped by this form's sum(),
+   * and ragged lengths give this form per-position n_vecs where the
+   * array form keeps one group-level count. */
   def meanPoolFpScalar(embeddings: DataFrame, group: Column,
       vecCol: String = "embedding"): DataFrame =
     embeddings

@@ -118,7 +118,11 @@ object TextStats {
       .select(col(keyCol), metric.cast("long").as("value"), col(idCol).as("_id"))
       .where(col("value").isNotNull)
     val counts = vals.groupBy(keyCol).agg(count(lit(1)).as("_n_group"))
-    val s = vals.join(broadcast(counts), Seq(keyCol))
+      .withColumnRenamed(keyCol, "_gq_key")
+    // null-safe join: a NULL group key is a real group (groupBy emits its
+    // count row and the SQL mirror's PARTITION BY keeps its partition); a
+    // plain equi-join would never match NULL==NULL and silently drop it
+    val s = vals.join(broadcast(counts), col(keyCol) <=> col("_gq_key"))
       .where(Decontam.hashUnit(col("_id"), seed) <
         least(lit(math.min(sampleRate, 1.0)),
           lit(maxSamplePerGroup.toDouble) / col("_n_group")))

@@ -130,6 +130,13 @@ object StreamingExtract {
    * effects) REPLACES its partition instead of appending duplicates.
    * This is the standard Spark recipe for exactly-once foreachBatch
    * output to a file sink.
+   *
+   * Layout contract: `outDir` is partitioned parquet — readers load the
+   * whole directory and get `batch_id` back as an inferred partition
+   * column (integer-typed), not a stored data column. An `outDir`
+   * written by a flat-append sink cannot be reused with this one (mixed
+   * flat files and `batch_id=` directories don't read as one table);
+   * point resumed queries at a fresh directory.
    */
   private def idempotentBatchWrite(df: DataFrame, batchId: Long,
       outDir: String): Unit =
@@ -208,17 +215,24 @@ object StreamingExtract {
    * correctness check; it is a false positive HERE because stage 1 emits
    * only rows for current-batch inputs with UNCHANGED event times (no
    * buffered emission), so nothing reaches stage 2 later than the shared
-   * watermark allows. The session conf disables the check accordingly.
+   * watermark allows. The exemption is scoped to THIS query: the returned
+   * Dataset is bound to a CLONE of the caller's session with the check
+   * disabled on the clone only — the caller's own conf is untouched, so
+   * other streaming queries in the session keep the safety check. One
+   * consequence: sinks started from the result live in the clone (e.g. a
+   * memory sink's table registers in `result.sparkSession`, and the query
+   * appears in that session's `streams` manager).
    */
   def nearDedupDocs(docs: Dataset[DocEvent], k: Int = 8, n: Int = 5,
       rowsPerBand: Int = 4, tau: Double = 0.5, watermark: String = "1 hour",
       maxBucket: Int = 1000): Dataset[NearDupVerdict] = {
-    val spark = docs.sparkSession
+    import org.apache.spark.sql.graftbridge.bridge
+    val spark = bridge.sessionWithConf(docs.sparkSession,
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled" -> "false")
     import spark.implicits._
-    spark.conf.set(
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val docsScoped = bridge.rebind(docs.toDF(), spark).as[DocEvent]
     import graft.ops.LocalMinHash
-    val sigs: Dataset[BandSig] = docs.flatMap { d =>
+    val sigs: Dataset[BandSig] = docsScoped.flatMap { d =>
       val sh = LocalMinHash.shingles(Option(d.text).getOrElse(""), n)
       val shMd5 = sh.map(LocalMinHash.md5Hex).toArray
       val bbs = LocalMinHash.bandBuckets(LocalMinHash.minhash(sh, k), rowsPerBand)

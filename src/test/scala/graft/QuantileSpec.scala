@@ -35,6 +35,18 @@ class QuantileSpec extends SparkSpec {
     assert(got === Seq(("A", 500L, 5L, 4L))) // null row excluded from n
   }
 
+  test("a NULL group key is a group of its own, not silently dropped") {
+    val df = Seq(
+      (Some("A"), 1L, 10L), (None, 2L, 5L), (None, 3L, 9L))
+      .toDF("source", "doc_id", "len")
+    val got = TextStats.groupQuantiles(df, "source", col("len"),
+      qsPermille = Seq(500))
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (Some("A"), 500L, 10L, 1L),
+      (None, 500L, 5L, 2L))) // rank floor(1*.5)=0 of (5, 9)
+  }
+
   test("sampleRate < 1 is deterministic and bounds the window partition") {
     val df = (0L until 400L).map(i => ("S", i, i)).toDF("source", "doc_id", "len")
     val a = TextStats.groupQuantiles(df, "source", col("len"),

@@ -91,7 +91,15 @@ class StreamingNearDupSpec extends SparkSpec {
       input.addData(corpus.drop(10).map { case (id, tx) => DocEvent(id, tx, at(1)) })
       q.processAllAvailable()
 
-      val streamed = sparkS.sql("SELECT * FROM ndv").collect()
+      // the conf exemption is scoped to the query's cloned session: the
+      // memory sink's table lives there, and the CALLER's session keeps
+      // the global-watermark safety check enabled
+      assert(sparkS.conf.get(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+        "true") == "true",
+        "nearDedupDocs must not mutate the caller's session conf")
+      val scoped = verdicts.sparkSession
+      val streamed = scoped.sql("SELECT * FROM ndv").collect()
         .map(r => r.getString(0) -> r.getBoolean(2)).toMap
       assert(streamed.size == 20, "every doc gets exactly one verdict")
       val streamKeep = streamed.filter(!_._2).keys.toSet
@@ -111,7 +119,7 @@ class StreamingNearDupSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(Seq(DocEvent("doc00_late", docText(0), at(205))))
       q.processAllAvailable()
-      val late = sparkS.sql("SELECT * FROM ndv WHERE doc_id = 'doc00_late'")
+      val late = scoped.sql("SELECT * FROM ndv WHERE doc_id = 'doc00_late'")
         .collect()
       assert(late.length == 1 && !late.head.getBoolean(2),
         "cross-horizon duplicate must be kept (state expired)")
