@@ -377,12 +377,12 @@ object Queries {
          |                i -> array_to_string(list_slice(ws, i + 1, i + $n), ' '))
          |    END AS g$n""".stripMargin
     def dupCharFrac(a: String, outName: String) =
-      s"""    CASE WHEN ${charsum(a)} > 0 THEN round(
-         |      (${charsum(a)} - ${charsum(s"list_distinct($a)")}) * 1.0 /
-         |      ${charsum(a)}, 4) ELSE 0.0 END AS $outName""".stripMargin
+      s"""    CASE WHEN ${charsum(a)} > 0 THEN ${r4(
+               s"${charsum(a)} - ${charsum(s"list_distinct($a)")}",
+               charsum(a))} ELSE 0.0 END AS $outName""".stripMargin
     def dupCountFrac(a: String, outName: String) =
-      s"""    CASE WHEN len($a) > 0 THEN round(
-         |      (len($a) - len(list_distinct($a))) * 1.0 / len($a), 4)
+      s"""    CASE WHEN len($a) > 0 THEN ${r4(
+               s"len($a) - len(list_distinct($a))", s"len($a)")}
          |      ELSE 0.0 END AS $outName""".stripMargin
     def topBlock(n: Int) =
       s"""c$n AS (SELECT doc_id, g, count(*) AS c
@@ -393,7 +393,7 @@ object Queries {
          |    PARTITION BY doc_id ORDER BY c DESC, length(g) DESC, g DESC) AS rn
          |  FROM c$n),
          |top$n AS (SELECT r.doc_id,
-         |    CASE WHEN t.total > 0 THEN round(r.mass * 1.0 / t.total, 4)
+         |    CASE WHEN t.total > 0 THEN ${r4("r.mass", "t.total")}
          |         ELSE 0.0 END AS top_${n}gram_char_frac
          |  FROM r$n r JOIN t$n t USING (doc_id) WHERE r.rn = 1)""".stripMargin
     val norm = "l -> regexp_replace(lower(trim(l)), '\\s+', ' ', 'g')"
@@ -661,6 +661,18 @@ object Queries {
   private val dirtySuffix = "  tail​  end  "
 
   private def sqlLit(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  /** DuckDB mirror of [[graft.ops.Cols.ratio4dp]]: exact half-up 4dp
+    * rounding of the integer ratio p/q by integer division — engine-stable
+    * where `round(p/q, 4)` is not (see Cols.ratio4dp doc). */
+  private def r4(p: String, q: String): String =
+    s"((($p) * 20000 + ($q)) // (2 * ($q))) / 10000.0"
+
+  /** [[r4]] at `dp` places. */
+  private def rDp(p: String, q: String, dp: Int): String = {
+    val s = math.pow(10, dp).toLong
+    s"((($p) * ${2 * s} + ($q)) // (2 * ($q))) / $s.0"
+  }
 
   /** DuckDB mirror of [[graft.ops.TextNorm.canonicalize]] applied to the
    * SQL expression `e` — the exact same replace/translate/regex chain. */
@@ -936,7 +948,7 @@ object Queries {
    * rowsPerBand=4) + [[Dedup.keepCanonical]]. Needs `WITH RECURSIVE` and
    * [[wordsCte]]/[[shinglesCte]] upstream. */
   private val dedupChainCtes =
-    """d AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+    s"""d AS (SELECT DISTINCT doc_id, shingle FROM shingles),
       |seeds AS (SELECT CAST(unnest(range(8)) AS INT) AS seed),
       |sig AS (
       |  SELECT doc_id, seed,
@@ -961,8 +973,7 @@ object Queries {
       |vprs AS (
       |  SELECT com.a, com.b FROM com
       |  JOIN cnts ca ON ca.doc_id = com.a JOIN cnts cb ON cb.doc_id = com.b
-      |  WHERE round(com.n_common * 1.0
-      |    / (ca.n_sh + cb.n_sh - com.n_common), 4) >= 0.5),
+      |  WHERE ${r4("com.n_common", "ca.n_sh + cb.n_sh - com.n_common")} >= 0.5),
       |bigstars AS (
       |  SELECT DISTINCT a, b FROM (
       |    SELECT min(doc_id) OVER (PARTITION BY band, bucket) AS a, doc_id AS b
@@ -3222,10 +3233,11 @@ object Queries {
          |    ${stopRatioSql("de")} AS r_de, ${stopRatioSql("en")} AS r_en,
          |    ${stopRatioSql("es")} AS r_es, ${stopRatioSql("fr")} AS r_fr,
          |    round(CASE WHEN len(ws) = 0 THEN 0 ELSE 1.0
-         |      - least(0.4, (length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0
-         |          / greatest(length(text), 1)) * 2)
-         |      - least(0.3, length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
-         |          / greatest(length(text), 1))
+         |      - least(0.4, ${r4(
+                  "length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))",
+                  "greatest(length(text), 1)")} * 2)
+         |      - least(0.3, ${r4("length(regexp_replace(text, '[^A-Z]', '', 'g'))",
+                  "greatest(length(text), 1)")})
          |      - (CASE WHEN len(ws) < 5 THEN 0.3 ELSE 0 END) END, 4) AS quality_score
          |  FROM words)
          |SELECT doc_id,
@@ -3281,10 +3293,10 @@ object Queries {
          |  JOIN d db ON db.doc_id = p.b AND db.shingle = da.shingle
          |  GROUP BY p.a, p.b)
          |SELECT com.a, com.b, n_common,
-         |  round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) AS jaccard
+         |  ${r4("n_common", "ca.n_sh + cb.n_sh - n_common")} AS jaccard
          |FROM com JOIN cnts ca ON ca.doc_id = com.a
          |JOIN cnts cb ON cb.doc_id = com.b
-         |WHERE round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) >= 0.5""".stripMargin,
+         |WHERE ${r4("n_common", "ca.n_sh + cb.n_sh - n_common")} >= 0.5""".stripMargin,
 
     "zone_eval_floors" ->
       """SELECT true AS zone_acc_ok, true AS front_f1_ok,
@@ -3615,25 +3627,32 @@ object Queries {
 
     "text_quality" -> {
       val en = TextStats.stopwords("en").map(w => s"'$w'").mkString(", ")
-      s"""WITH $wordsCte
-         |SELECT doc_id, len(ws) AS n_words,
-         |  CASE WHEN len(ws) > 0
-         |    THEN round((length(text) + 1.0) / len(ws) - 1, 4) ELSE 0 END AS mean_word_len,
-         |  CASE WHEN length(text) > 0
-         |    THEN round(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0
-         |      / length(text), 4) ELSE 0 END AS punct_ratio,
-         |  CASE WHEN length(text) > 0
-         |    THEN round(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
-         |      / length(text), 4) ELSE 0 END AS upper_ratio,
-         |  round(len(list_filter(ws, w -> w IN ($en))) * 1.0 / greatest(len(ws), 1), 4)
-         |    AS stopword_ratio,
-         |  round(CASE WHEN len(ws) = 0 THEN 0 ELSE 1.0
-         |    - least(0.4, (length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0
-         |        / greatest(length(text), 1)) * 2)
-         |    - least(0.3, length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
-         |        / greatest(length(text), 1))
-         |    - (CASE WHEN len(ws) < 5 THEN 0.3 ELSE 0 END) END, 4) AS quality_score
-         |FROM words""".stripMargin
+      s"""WITH $wordsCte,
+         |q AS (
+         |  SELECT doc_id, len(ws) AS n_words,
+         |    CASE WHEN len(ws) > 0
+         |      THEN ${r4("length(text) + 1 - len(ws)", "len(ws)")}
+         |      ELSE 0 END AS mean_word_len,
+         |    CASE WHEN length(text) > 0
+         |      THEN ${r4("length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))",
+                          "length(text)")}
+         |      ELSE 0 END AS punct_ratio,
+         |    CASE WHEN length(text) > 0
+         |      THEN ${r4("length(regexp_replace(text, '[^A-Z]', '', 'g'))",
+                          "length(text)")}
+         |      ELSE 0 END AS upper_ratio,
+         |    CASE WHEN len(ws) > 0
+         |      THEN ${r4(s"len(list_filter(ws, w -> w IN ($en)))", "len(ws)")}
+         |      ELSE 0 END AS stopword_ratio
+         |  FROM words)
+         |SELECT doc_id, n_words, mean_word_len, punct_ratio, upper_ratio,
+         |  stopword_ratio,
+         |  round(CASE WHEN n_words = 0 THEN 0 ELSE 1.0
+         |    - least(0.4, punct_ratio * 2)
+         |    - least(0.3, upper_ratio)
+         |    - (CASE WHEN n_words < 5 THEN 0.3 ELSE 0 END) END, 4)
+         |    AS quality_score
+         |FROM q""".stripMargin
     },
 
     "text_token_count" ->
@@ -3788,21 +3807,26 @@ object Queries {
          |  FROM words)
          |SELECT doc_id,
          |  CAST(len(ws) AS INT) AS n_words,
-         |  CASE WHEN len(ws) > 0 THEN round(
-         |    length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) / len(ws), 4)
+         |  CASE WHEN len(ws) > 0 THEN ${r4(
+              "length(regexp_replace(coalesce(text, ''), '\\s', '', 'g'))",
+              "len(ws)")}
          |    ELSE 0.0 END AS mean_word_len,
-         |  CASE WHEN len(ws) > 0 THEN round(
-         |    (len(regexp_extract_all(coalesce(text, ''), '#'))
-         |     + len(regexp_extract_all(coalesce(text, ''), '\\.{3}|…'))) / len(ws), 4)
+         |  CASE WHEN len(ws) > 0 THEN ${r4(
+              "len(regexp_extract_all(coalesce(text, ''), '#'))" +
+              " + len(regexp_extract_all(coalesce(text, ''), '\\.{3}|…'))",
+              "len(ws)")}
          |    ELSE 0.0 END AS symbol_word_ratio,
-         |  CASE WHEN len(ls) > 0 THEN round(
-         |    len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) / len(ls), 4)
+         |  CASE WHEN len(ls) > 0 THEN ${r4(
+              "len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))",
+              "len(ls)")}
          |    ELSE 0.0 END AS bullet_line_frac,
-         |  CASE WHEN len(ls) > 0 THEN round(
-         |    len(list_filter(ls, l -> regexp_matches(l, '(\\.{3}|…)$$'))) / len(ls), 4)
+         |  CASE WHEN len(ls) > 0 THEN ${r4(
+              "len(list_filter(ls, l -> regexp_matches(l, '(\\.{3}|…)$')))",
+              "len(ls)")}
          |    ELSE 0.0 END AS ellipsis_line_frac,
-         |  CASE WHEN len(ws) > 0 THEN round(
-         |    len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) / len(ws), 4)
+         |  CASE WHEN len(ws) > 0 THEN ${r4(
+              "len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))",
+              "len(ws)")}
          |    ELSE 0.0 END AS alpha_word_frac,
          |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
          |                       s -> list_contains(ws, s))) AS INT) AS n_stop_hits
@@ -3813,26 +3837,31 @@ object Queries {
          |st AS (
          |  SELECT doc_id,
          |    len(ws) AS n_words,
-         |    CASE WHEN len(ws) > 0 THEN round(
-         |      length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) / len(ws), 4)
+         |    CASE WHEN len(ws) > 0 THEN ${r4(
+                "length(regexp_replace(coalesce(text, ''), '\\s', '', 'g'))",
+                "len(ws)")}
          |      ELSE 0.0 END AS mwl,
-         |    CASE WHEN len(ws) > 0 THEN round(
-         |      (len(regexp_extract_all(coalesce(text, ''), '#'))
-         |       + len(regexp_extract_all(coalesce(text, ''), '\\.{3}|…'))) / len(ws), 4)
+         |    CASE WHEN len(ws) > 0 THEN ${r4(
+                "len(regexp_extract_all(coalesce(text, ''), '#'))" +
+                " + len(regexp_extract_all(coalesce(text, ''), '\\.{3}|…'))",
+                "len(ws)")}
          |      ELSE 0.0 END AS swr,
-         |    CASE WHEN len(ws) > 0 THEN round(
-         |      len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) / len(ws), 4)
+         |    CASE WHEN len(ws) > 0 THEN ${r4(
+                "len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))",
+                "len(ws)")}
          |      ELSE 0.0 END AS awf,
          |    list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
          |                               l -> trim(l)), l -> l <> '') AS ls
          |  FROM words),
          |st2 AS (
          |  SELECT doc_id, n_words, mwl, swr, awf,
-         |    CASE WHEN len(ls) > 0 THEN round(
-         |      len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) / len(ls), 4)
+         |    CASE WHEN len(ls) > 0 THEN ${r4(
+                "len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))",
+                "len(ls)")}
          |      ELSE 0.0 END AS blf,
-         |    CASE WHEN len(ls) > 0 THEN round(
-         |      len(list_filter(ls, l -> regexp_matches(l, '(\\.{3}|…)$$'))) / len(ls), 4)
+         |    CASE WHEN len(ls) > 0 THEN ${r4(
+                "len(list_filter(ls, l -> regexp_matches(l, '(\\.{3}|…)$')))",
+                "len(ls)")}
          |      ELSE 0.0 END AS elf
          |  FROM st)
          |SELECT doc_id,
@@ -3917,27 +3946,27 @@ object Queries {
          |  FROM wc2),
          |wgs AS (
          |  SELECT doc_id, text, len(ws) AS n_words,
-         |    CASE WHEN len(ws) > 0 THEN round(
-         |      length(regexp_replace(coalesce(text, ''), '\\s', '', 'g'))
-         |        / len(ws), 4) ELSE 0.0 END AS mwl,
-         |    CASE WHEN len(ws) > 0 THEN round(
-         |      (len(regexp_extract_all(coalesce(text, ''), '#'))
-         |       + len(regexp_extract_all(coalesce(text, ''), '\\.{3}|…')))
-         |        / len(ws), 4) ELSE 0.0 END AS swr,
-         |    CASE WHEN len(ws) > 0 THEN round(
-         |      len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
-         |        / len(ws), 4) ELSE 0.0 END AS awf,
+         |    CASE WHEN len(ws) > 0 THEN ${r4(
+                "length(regexp_replace(coalesce(text, ''), '\\s', '', 'g'))",
+                "len(ws)")} ELSE 0.0 END AS mwl,
+         |    CASE WHEN len(ws) > 0 THEN ${r4(
+                "len(regexp_extract_all(coalesce(text, ''), '#'))" +
+                " + len(regexp_extract_all(coalesce(text, ''), '\\.{3}|…'))",
+                "len(ws)")} ELSE 0.0 END AS swr,
+         |    CASE WHEN len(ws) > 0 THEN ${r4(
+                "len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))",
+                "len(ws)")} ELSE 0.0 END AS awf,
          |    list_filter(list_transform(string_split(coalesce(text, ''),
          |      chr(10)), l -> trim(l)), l -> l <> '') AS gls
          |  FROM wgw),
          |wgs2 AS (
          |  SELECT *,
-         |    CASE WHEN len(gls) > 0 THEN round(
-         |      len(list_filter(gls, l -> regexp_matches(l, '^[-*•]')))
-         |        / len(gls), 4) ELSE 0.0 END AS blf,
-         |    CASE WHEN len(gls) > 0 THEN round(
-         |      len(list_filter(gls, l -> regexp_matches(l, '(\\.{3}|…)$$')))
-         |        / len(gls), 4) ELSE 0.0 END AS elf
+         |    CASE WHEN len(gls) > 0 THEN ${r4(
+                "len(list_filter(gls, l -> regexp_matches(l, '^[-*•]')))",
+                "len(gls)")} ELSE 0.0 END AS blf,
+         |    CASE WHEN len(gls) > 0 THEN ${r4(
+                "len(list_filter(gls, l -> regexp_matches(l, '(\\.{3}|…)$')))",
+                "len(gls)")} ELSE 0.0 END AS elf
          |  FROM wgs),
          |wc3 AS (
          |  SELECT doc_id, text FROM wgs2
@@ -4055,26 +4084,31 @@ object Queries {
          |  FROM documents),
          |gst AS (
          |  SELECT doc_id, text, len(ws) AS n_words,
-         |    CASE WHEN len(ws) > 0 THEN round(
-         |      length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) / len(ws), 4)
+         |    CASE WHEN len(ws) > 0 THEN ${r4(
+                "length(regexp_replace(coalesce(text, ''), '\\s', '', 'g'))",
+                "len(ws)")}
          |      ELSE 0.0 END AS mwl,
-         |    CASE WHEN len(ws) > 0 THEN round(
-         |      (len(regexp_extract_all(coalesce(text, ''), '#'))
-         |       + len(regexp_extract_all(coalesce(text, ''), '\\.{3}|…'))) / len(ws), 4)
+         |    CASE WHEN len(ws) > 0 THEN ${r4(
+                "len(regexp_extract_all(coalesce(text, ''), '#'))" +
+                " + len(regexp_extract_all(coalesce(text, ''), '\\.{3}|…'))",
+                "len(ws)")}
          |      ELSE 0.0 END AS swr,
-         |    CASE WHEN len(ws) > 0 THEN round(
-         |      len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) / len(ws), 4)
+         |    CASE WHEN len(ws) > 0 THEN ${r4(
+                "len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))",
+                "len(ws)")}
          |      ELSE 0.0 END AS awf,
          |    list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
          |                               l -> trim(l)), l -> l <> '') AS gls
          |  FROM gws),
          |gst2 AS (
          |  SELECT *,
-         |    CASE WHEN len(gls) > 0 THEN round(
-         |      len(list_filter(gls, l -> regexp_matches(l, '^[-*•]'))) / len(gls), 4)
+         |    CASE WHEN len(gls) > 0 THEN ${r4(
+                "len(list_filter(gls, l -> regexp_matches(l, '^[-*•]')))",
+                "len(gls)")}
          |      ELSE 0.0 END AS blf,
-         |    CASE WHEN len(gls) > 0 THEN round(
-         |      len(list_filter(gls, l -> regexp_matches(l, '(\\.{3}|…)$$'))) / len(gls), 4)
+         |    CASE WHEN len(gls) > 0 THEN ${r4(
+                "len(list_filter(gls, l -> regexp_matches(l, '(\\.{3}|…)$')))",
+                "len(gls)")}
          |      ELSE 0.0 END AS elf
          |  FROM gst),
          |g AS (
@@ -4124,7 +4158,7 @@ object Queries {
          |SELECT tot.doc_id, n_ngrams,
          |  coalesce(contaminated_ngrams, 0) AS contaminated_ngrams,
          |  coalesce(n_bench_docs, 0) AS n_bench_docs,
-         |  round(coalesce(contaminated_ngrams, 0) / n_ngrams, 4) AS contamination
+         |  ${r4("coalesce(contaminated_ngrams, 0)", "n_ngrams")} AS contamination
          |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id""".stripMargin,
 
     "decon_filter" ->
@@ -4138,7 +4172,7 @@ object Queries {
          |  FROM d JOIN bench USING (sh) GROUP BY 1),
          |m AS (
          |  SELECT tot.doc_id,
-         |    round(coalesce(contaminated_ngrams, 0) / n_ngrams, 4) AS contamination
+         |    ${r4("coalesce(contaminated_ngrams, 0)", "n_ngrams")} AS contamination
          |  FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id)
          |SELECT documents.doc_id, lang, source, n_chars, contamination
          |FROM documents JOIN m ON documents.doc_id = m.doc_id
@@ -4384,11 +4418,11 @@ object Queries {
          |         regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') AS line_norm
          |       FROM l1)
          |SELECT line_norm, count(*) AS n_docs,
-         |  round(count(*) / (SELECT count(*) FROM corpus), 4) AS doc_frac
+         |  ${r4("count(*)", "(SELECT count(*) FROM corpus)")} AS doc_frac
          |FROM ln WHERE line_norm <> ''
          |GROUP BY line_norm
          |HAVING count(*) >= 2
-         |   AND round(count(*) / (SELECT count(*) FROM corpus), 4) >= 0.05""".stripMargin,
+         |   AND ${r4("count(*)", "(SELECT count(*) FROM corpus)")} >= 0.05""".stripMargin,
 
     "clean_boiler_strip" ->
       s"""WITH $boilerCorpusCte,
@@ -4400,7 +4434,7 @@ object Queries {
          |  SELECT line_norm FROM ln WHERE line_norm <> ''
          |  GROUP BY line_norm
          |  HAVING count(*) >= 2
-         |     AND round(count(*) / (SELECT count(*) FROM corpus), 4) >= 0.05),
+         |     AND ${r4("count(*)", "(SELECT count(*) FROM corpus)")} >= 0.05),
          |lx AS (SELECT doc_id, ls FROM
          |         (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus)),
          |pos AS (SELECT doc_id, unnest(ls) AS line,
@@ -4422,12 +4456,12 @@ object Queries {
          |           l -> l <> '') AS ls
          |       FROM documents),
          |lf AS (SELECT doc_id, CASE WHEN len(ls) > 0
-         |         THEN round(1.0 - len(list_distinct(ls)) / len(ls), 4)
+         |         THEN ${r4("len(ls) - len(list_distinct(ls))", "len(ls)")}
          |         ELSE 0.0 END AS dup_line_frac FROM dl),
-         |t2 AS (SELECT doc_id, round(max(c) / sum(c), 4) AS top_2gram_frac
+         |t2 AS (SELECT doc_id, ${r4("max(c)", "sum(c)")} AS top_2gram_frac
          |       FROM (SELECT doc_id, sh, count(*) AS c FROM g2 GROUP BY 1, 2)
          |       GROUP BY 1),
-         |t3 AS (SELECT doc_id, round(max(c) / sum(c), 4) AS top_3gram_frac
+         |t3 AS (SELECT doc_id, ${r4("max(c)", "sum(c)")} AS top_3gram_frac
          |       FROM (SELECT doc_id, sh, count(*) AS c FROM g3 GROUP BY 1, 2)
          |       GROUP BY 1)
          |SELECT lf.doc_id, dup_line_frac,
@@ -4452,8 +4486,9 @@ object Queries {
       s"""WITH $mcBlocksCtes
          |SELECT doc_id, block_no, text, CAST(len(text) AS INT) AS n_chars,
          |  CAST(link_chars AS INT) AS link_chars, CAST(n_tags AS INT) AS n_tags,
-         |  round(CAST(link_chars AS DOUBLE) / len(text), 4) AS link_density,
-         |  round(ttr, 4) AS text_tag_ratio, round(sttr, 4) AS smoothed_ttr
+         |  ${r4("link_chars", "len(text)")} AS link_density,
+         |  ${r4("len(text)", "greatest(n_tags, 1)")} AS text_tag_ratio,
+         |  floor(sttr * 10000.0 + 0.5) / 10000.0 AS smoothed_ttr
          |FROM sm WHERE len(text) > 0""".stripMargin,
 
     "mc_density_content" ->
@@ -4522,7 +4557,8 @@ object Queries {
       s"""WITH $lmXentCtes
          |SELECT doc_id, label, n_bigrams, sum_fp,
          |  CASE WHEN n_bigrams > 0
-         |       THEN round(-sum_fp / 1e6 / n_bigrams, 4)
+         |       THEN (((-sum_fp) * 20000 + n_bigrams * 1000000)
+         |             // (n_bigrams * 2000000)) / 10000.0
          |       ELSE 0.0 END AS xent
          |FROM xs""".stripMargin,
 

@@ -232,6 +232,8 @@ object Bpe {
     encoded.select(col(idCol), size(col("tokens")).as("n_tokens"),
       length(coalesce(col(textCol), lit(""))).as("n_chars"))
       .withColumn("tokens_per_100_chars",
+        // exact-integer 2dp on the rational 100·tokens/chars
         when(col("n_chars") > 0,
-          round(col("n_tokens") * 100.0 / col("n_chars"), 2)).otherwise(0.0))
+          Cols.ratioDp(col("n_tokens") * 100, col("n_chars"), 2))
+          .otherwise(0.0))
 }

@@ -49,7 +49,8 @@ object CorpusClean {
       .distinct() // per-doc presence, not occurrence count
       .groupBy("line_norm").agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(total))
-      .withColumn("doc_frac", round(col("n_docs") / col("_n_docs_total"), 4))
+      // exact-integer 4dp: engine-stable where round(p/q, 4) is not
+      .withColumn("doc_frac", Cols.ratio4dp(col("n_docs"), col("_n_docs_total")))
       .where(col("n_docs") >= minDocs && col("doc_frac") >= minFrac)
       .drop("_n_docs_total")
   }
@@ -87,8 +88,10 @@ object CorpusClean {
       filter(transform(split(col(textCol), "\n"), l => normLine(l)),
         l => l =!= "").as("ls"))
     val lineFrac = lines.select(col(idCol),
+      // 1 − distinct/total = (total − distinct)/total as exact rationals
       when(size(col("ls")) > 0,
-        round(lit(1.0) - size(array_distinct(col("ls"))).cast("double") / size(col("ls")), 4))
+        Cols.ratio4dp(size(col("ls")) - size(array_distinct(col("ls"))),
+          size(col("ls"))))
         .otherwise(0.0).as("dup_line_frac"))
 
     def topGramFrac(n: Int): DataFrame = {
@@ -96,7 +99,7 @@ object CorpusClean {
         explode(Dedup.shingles(col(textCol), n)).as("g"))
       grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col(idCol))
-        .agg(round(max(col("c")).cast("double") / sum(col("c")), 4)
+        .agg(Cols.ratio4dp(max(col("c")), sum(col("c")))
           .as(s"top_${n}gram_frac"))
     }
     lineFrac

@@ -83,7 +83,8 @@ object Decontam {
       .join(broadcast(hits), Seq(idCol), "left")
       .na.fill(0L, Seq("contaminated_ngrams", "n_bench_docs"))
       .withColumn("contamination",
-        round(col("contaminated_ngrams").cast("double") / col("n_ngrams"), 4))
+        // exact-integer 4dp: engine-stable where round(p/q, 4) is not
+        Cols.ratio4dp(col("contaminated_ngrams"), col("n_ngrams")))
   }
 
   /**

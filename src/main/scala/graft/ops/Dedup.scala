@@ -263,8 +263,12 @@ object Dedup {
       .join(counts.withColumnRenamed(idCol, "a").withColumnRenamed("n_sh", "n_a"), Seq("a"))
       .join(counts.withColumnRenamed(idCol, "b").withColumnRenamed("n_sh", "n_b"), Seq("b"))
       .withColumn("jaccard",
-        round(col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")), 4))
+        // exact-integer 4dp (Cols.ratio4dp): round(p/q, 4) over doubles is
+        // engine-dependent at ten-thousandth-half rationals, and small
+        // shingle-set unions hit them (e.g. |∩|=3, |∪|=160 → 0.01875).
+        // LocalMinHash.jaccard mirrors this kernel bit-for-bit.
+        Cols.ratio4dp(col("n_common"),
+          col("n_a") + col("n_b") - col("n_common")))
       .select("a", "b", "n_common", "jaccard")
   }
 

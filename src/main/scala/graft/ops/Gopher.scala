@@ -29,9 +29,11 @@ object Gopher {
     filter(transform(split(coalesce(text, lit("")), "\n"), l => trim(l)),
       l => l =!= "")
 
+  // all ratio outputs are exact-integer 4dp (Cols.ratio4dp): round(p/q, 4)
+  // over doubles is engine-dependent at ten-thousandth-half rationals
   private def lineFrac(lines: Column, pred: Column => Column): Column =
     when(size(lines) > 0,
-      round(size(filter(lines, pred)).cast("double") / size(lines), 4))
+      Cols.ratio4dp(size(filter(lines, pred)), size(lines)))
       .otherwise(0.0)
 
   /**
@@ -54,16 +56,15 @@ object Gopher {
         Cols.bound(size(ws)) { nw =>
           struct(
             nw.as("n_words"),
-            when(nw > 0, round(
-              length(regexp_replace(text, "\\s", "")).cast("double") / nw, 4))
+            when(nw > 0, Cols.ratio4dp(
+              length(regexp_replace(text, "\\s", "")), nw))
               .otherwise(0.0).as("mean_word_len"),
-            when(nw > 0, round(
-              (size(regexp_extract_all(text, lit("#"), lit(0)))
-                + size(regexp_extract_all(text, lit("\\.{3}|…"), lit(0))))
-                .cast("double") / nw, 4)).otherwise(0.0)
-              .as("symbol_word_ratio"),
-            when(nw > 0, round(
-              size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nw, 4))
+            when(nw > 0, Cols.ratio4dp(
+              size(regexp_extract_all(text, lit("#"), lit(0)))
+                + size(regexp_extract_all(text, lit("\\.{3}|…"), lit(0))), nw))
+              .otherwise(0.0).as("symbol_word_ratio"),
+            when(nw > 0, Cols.ratio4dp(
+              size(filter(ws, w => w.rlike("[a-z]"))), nw))
               .otherwise(0.0).as("alpha_word_frac"),
             size(filter(array(requiredStopwords.map(lit): _*),
               s => array_contains(ws, s))).as("n_stop_hits"))
@@ -96,13 +97,12 @@ object Gopher {
     // the two output columns would re-split the text (~10 evaluations/row)
     val fracN = Cols.bound(arr) { a =>
       when(size(a) > 0,
-        round((size(a) - size(array_distinct(a))).cast("double") / size(a), 4))
+        Cols.ratio4dp(size(a) - size(array_distinct(a)), size(a)))
         .otherwise(0.0)
     }
     val fracC = Cols.bound(arr) { a =>
       Cols.bound(chars(a)) { tc =>
-        when(tc > 0,
-          round((tc - chars(array_distinct(a))).cast("double") / tc, 4))
+        when(tc > 0, Cols.ratio4dp(tc - chars(array_distinct(a)), tc))
           .otherwise(0.0)
       }
     }
@@ -141,8 +141,8 @@ object Gopher {
         Cols.bound(chars(grams)) { totalChars =>
           Cols.bound(array_max(runs)) { best =>
             when(totalChars > 0,
-              round((best.getField("c") * best.getField("l")).cast("double")
-                / totalChars, 4)).otherwise(0.0)
+              Cols.ratio4dp(best.getField("c") * best.getField("l"),
+                totalChars)).otherwise(0.0)
           }
         }
       }

@@ -81,10 +81,27 @@ object LangModel {
 
   /**
    * Score documents: `n_bigrams`, the exact integer log-likelihood
-   * `sum_fp` (micro-nats), and `xent` = −sum/n in nats rounded to 4
-   * places (0.0 for documents under two tokens). Lower is more fluent
-   * under the training distribution.
+   * `sum_fp` (micro-nats), and `xent` = −sum/n in nats rounded half-up
+   * to 4 places (0.0 for documents under two tokens). Lower is more
+   * fluent under the training distribution.
+   *
+   * The 4-place rounding is EXACT INTEGER arithmetic on the rational
+   * −sum_fp/(10⁶·n) — `(2·p·10⁴ + q) div 2q` with p = −sum_fp·1, q =
+   * 10⁶·n — not `round(double, 4)`: when the true value is an exact
+   * ten-thousandth-half (e.g. 3.35835), its nearest double sits a hair
+   * BELOW the half, so binary-value rounding (Spark) says 3.3583 while
+   * decimal-string rounding (DuckDB et al.) says 3.3584 — an
+   * engine-dependent answer. Integer division of the exact rational is
+   * bit-stable everywhere, and the final /10⁴ is exact in binary for
+   * every 4-place value in range.
    */
+  /** −sumFp/(10⁶·n) in nats, rounded half-up to 4 places by exact
+    * integer division (see [[xent]] doc): `(2·(−sumFp)·10⁴ + 10⁶·n) div
+    * (2·10⁶·n)`, then an exact /10⁴. Requires sumFp ≤ 0 < n (log-probs
+    * are never positive). Overflow-safe to ~4.6·10¹⁴ micro-nats. */
+  def xent4dp(sumFp: Column, n: Column): Column =
+    Cols.ratio4dp(-sumFp, n * lit(1000000L))
+
   def xent(docs: DataFrame, model: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val big = model.where(col("w") =!= unseenTok)
@@ -104,8 +121,7 @@ object LangModel {
           .otherwise(coalesce(col("w_fp"), col("u_fp"), col("g_fp"))))
           .as("sum_fp"))
       .select(col(idCol), col("n_bigrams"), col("sum_fp"),
-        when(col("n_bigrams") > 0,
-          round(-col("sum_fp") / lit(1e6) / col("n_bigrams"), 4))
+        when(col("n_bigrams") > 0, xent4dp(col("sum_fp"), col("n_bigrams")))
           .otherwise(lit(0.0)).as("xent"))
   }
 }

@@ -68,8 +68,9 @@ private[graft] object LocalMinHash {
   def jaccard(a: Set[String], b: Set[String]): Double = {
     val common = a.count(b.contains)
     val union = a.size + b.size - common
+    // exact-integer 4dp half-up on the rational common/union — the local
+    // twin of Cols.ratio4dp, bit-equivalent to Dedup.jaccard's column
     if (union == 0) 0.0
-    else new java.math.BigDecimal(common.toDouble / union)
-      .setScale(4, RoundingMode.HALF_UP).doubleValue()
+    else ((common.toLong * 20000L + union) / (2L * union)) / 10000.0
   }
 }

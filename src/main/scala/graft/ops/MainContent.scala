@@ -169,9 +169,18 @@ object MainContent {
         explode(filter(enriched, s => s.getField("n_chars") > 0)).as("b"))
       .select(col(idCol), col("b.block_no"), col("b.text"), col("b.n_chars"),
         col("b.link_chars"), col("b.n_tags"),
-        round(col("b.link_chars") / col("b.n_chars"), 4).as("link_density"),
-        round(col("b.ttr"), 4).as("text_tag_ratio"),
-        round(col("b.sttr"), 4).as("smoothed_ttr"))
+        // integer ratios: exact-integer 4dp (engine-stable where
+        // round(p/q, 4) is not — see Cols.ratio4dp)
+        Cols.ratio4dp(col("b.link_chars"), col("b.n_chars"))
+          .as("link_density"),
+        Cols.ratio4dp(col("b.n_chars"), greatest(col("b.n_tags"), lit(1)))
+          .as("text_tag_ratio"),
+        // sttr is a 3-term double mean, not an integer ratio: quantize the
+        // bit-identical double the same way on both engines —
+        // floor(x·10⁴ + ½)/10⁴ is deterministic on the binary value,
+        // unlike round(x, 4) whose half handling is engine-dependent
+        (floor(col("b.sttr") * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .as("smoothed_ttr"))
   }
 
   /**

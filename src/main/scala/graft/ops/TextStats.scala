@@ -52,7 +52,9 @@ object TextStats {
   def tokenCount(text: Column): Column =
     size(filter(split(text, "\\s+|(?=[^\\w\\s])|(?<=[^\\w\\s])"), t => t =!= ""))
 
-  /** Quality features + a composite score in [0,1]. */
+  /** Quality features + a composite score in [0,1]. All ratio columns are
+    * exact-integer 4dp ([[Cols.ratio4dp]]) — `round(p/q, 4)` over doubles
+    * is engine-dependent at ten-thousandth-half rationals. */
   def quality(df: DataFrame, textCol: String = "text"): DataFrame = {
     val text = col(textCol)
     val ws = words(text)
@@ -60,17 +62,24 @@ object TextStats {
     df.withColumn("n_chars_q", length(text))
       .withColumn("n_words", size(ws))
       .withColumn("mean_word_len",
-        when(size(ws) > 0, round((length(text) + 1).cast("double") / size(ws) - 1, 4))
+        // (len+1)/nw − 1 = (len+1−nw)/nw as exact rationals
+        when(size(ws) > 0,
+          Cols.ratio4dp(length(text) + 1 - size(ws), size(ws)))
           .otherwise(0.0))
       .withColumn("punct_ratio",
         when(length(text) > 0,
-          round(length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
-            length(text), 4)).otherwise(0.0))
+          Cols.ratio4dp(
+            length(regexp_replace(text, "[^\\p{Punct}]", "")), length(text)))
+          .otherwise(0.0))
       .withColumn("upper_ratio",
         when(length(text) > 0,
-          round(length(regexp_replace(text, "[^A-Z]", "")).cast("double") /
-            length(text), 4)).otherwise(0.0))
-      .withColumn("stopword_ratio", round(stopwordRatio(ws, en), 4))
+          Cols.ratio4dp(
+            length(regexp_replace(text, "[^A-Z]", "")), length(text)))
+          .otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(size(ws) > 0,
+          Cols.ratio4dp(size(filter(ws, w => w.isInCollection(en))), size(ws)))
+          .otherwise(0.0))
       .withColumn("quality_score", round(
         when(col("n_words") === 0, 0.0).otherwise(
           lit(1.0)

@@ -49,14 +49,28 @@ class LangModelSpec extends SparkSpec {
       .toMap
     val ab = fp(math.log(4.0 / 6)); val bU = fp(math.log(1.0 / 5))
     val ba = fp(math.log(2.0 / 5)); val g = fp(math.log(1.0 / 3))
-    assert(got(10L) === ((2L, ab + bU,
-      BigDecimal(-(ab + bU) / 1e6 / 2)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // 4dp rounding is exact-integer half-up on the rational −sum/(10⁶·n)
+    val s10 = ab + bU
+    val e4 = ((-s10) * 20000L + 2L * 1000000L) / (2L * 2000000L)
+    assert(got(10L) === ((2L, s10, e4 / 10000.0)))
     assert(got(11L)._2 === g)
     assert(got(12L) === ((0L, 0L, 0.0)))
     assert(got(13L)._2 === ab + ba + ab)
     // fluent doc scores lower than out-of-distribution doc
     assert(got(13L)._3 < got(11L)._3)
+  }
+
+  test("xent4dp is exact at a representation-boundary half") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // −171275850/(10⁶·51) = 3.35835 exactly, but the nearest double is a
+    // hair BELOW the half — round(double, 4) says 3.3583 on Spark and
+    // 3.3584 on decimal-string engines (the sf0.001 oracle divergence
+    // this pins). Exact integer rounding half-up gives 3.3584 everywhere.
+    val df = Seq((-171275850L, 51L)).toDF("s", "n")
+    val got = df.select(
+      graft.ops.LangModel.xent4dp(col("s"), col("n"))).as[Double].head()
+    assert(got === 3.3584)
   }
 
   test("minCount pushes rare bigrams to the backoff tier") {

@@ -10,6 +10,34 @@ class OpsRobustnessSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
 
+  test("ratio4dp rounds the exact rational half-up at every boundary") {
+    // 3/160 = 0.01875 exactly: its nearest double is BELOW the half, so
+    // round(double, 4) gives 0.0187 on Spark and 0.0188 on DuckDB — the
+    // engine divergence ratio4dp exists to remove. 1/32 = 0.03125 is a
+    // binary-EXACT half (engines agreed, half-up). Both must be .…88/.…13.
+    val df = Seq((3L, 160L), (1L, 32L), (1L, 3L), (0L, 7L), (7L, 20000L))
+      .toDF("p", "q")
+    val got = df.select(graft.ops.Cols.ratioDp(col("p"), col("q"), 4))
+      .as[Double].collect().toSeq
+    assert(got === Seq(0.0188, 0.0313, 0.3333, 0.0, 0.0004))
+    // property: equals BigDecimal exact HALF_UP for a (p, q) sweep
+    val cases = for (q <- 1L to 40L; p <- 0L to q) yield (p, q)
+    val expect = cases.map { case (p, q) =>
+      BigDecimal(p)./(BigDecimal(q))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val swept = cases.toDF("p", "q")
+      .select(graft.ops.Cols.ratioDp(col("p"), col("q"), 4))
+      .as[Double].collect().toSeq
+    assert(swept === expect)
+    // null/zero-divisor semantics match round(p/q): null out
+    val edge = Seq((Some(1L), Some(0L)), (None, Some(3L)))
+      .toDF("p", "q")
+      .select(graft.ops.Cols.ratioDp(col("p"), col("q"), 4))
+      .as[Option[Double]].collect().toSeq
+    assert(edge === Seq(None, None))
+  }
+
   test("C4 line and page filters survive null/empty/unicode text") {
     val d = docs((0L, null), (1L, ""), (2L, "   \n\t\n  "),
       (3L, "«Unicode» sentence with five words héré."),

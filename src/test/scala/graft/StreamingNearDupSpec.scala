@@ -59,7 +59,7 @@ class StreamingNearDupSpec extends SparkSpec {
         }
     }
 
-    // jaccard (4dp HALF_UP) — md5'd sets give the same value
+    // jaccard (exact-integer 4dp half-up) — md5'd sets give the same value
     val pair = Seq(("a", "b")).toDF("a", "b")
     val docs2 = Seq(("a", docText(3)), ("b", docText(3) + " extra"))
       .toDF("doc_id", "text")
