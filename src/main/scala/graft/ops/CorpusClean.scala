@@ -95,8 +95,12 @@ object CorpusClean {
         .otherwise(0.0).as("dup_line_frac"))
 
     def topGramFrac(n: Int): DataFrame = {
+      // array_remove("") keeps MULTIPLICITY (unlike Dedup.contentShingles,
+      // which is distinct) while dropping the zero-word degenerate: an
+      // empty doc has no n-grams, so its fraction is 0.0 via the left-join
+      // fill below — not 1/1 over the "" shingle
       val grams = docs.select(col(idCol),
-        explode(Dedup.shingles(col(textCol), n)).as("g"))
+        explode(array_remove(Dedup.shingles(col(textCol), n), "")).as("g"))
       grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col(idCol))
         .agg(Cols.ratio4dp(max(col("c")), sum(col("c")))

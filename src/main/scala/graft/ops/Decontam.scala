@@ -65,11 +65,14 @@ object Decontam {
   def overlap(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
       idCol: String = "doc_id", textCol: String = "text",
       benchIdCol: String = "bench_id", benchTextCol: String = "text"): DataFrame = {
+    // contentShingles: a zero-word benchmark or corpus row has no n-gram
+    // content — the degenerate "" shingle would otherwise mark every empty
+    // corpus doc as "contaminated" by any empty benchmark row
     val benchSh = benchmark.select(col(benchIdCol).as("_bench_id"),
-        explode(array_distinct(Dedup.shingles(col(benchTextCol), n))).as("_sh"))
+        explode(Dedup.contentShingles(col(benchTextCol), n)).as("_sh"))
       .distinct()
     val docSh = Par.spread(corpus).select(col(idCol),
-      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("_sh"))
+      explode(Dedup.contentShingles(col(textCol), n)).as("_sh"))
     val hits = docSh.join(broadcast(benchSh), "_sh")
       .groupBy(col(idCol))
       .agg(countDistinct(col("_sh")).as("contaminated_ngrams"),
@@ -79,12 +82,14 @@ object Decontam {
     // frame never shuffles either
     corpus
       .select(col(idCol),
-        size(array_distinct(Dedup.shingles(col(textCol), n))).cast("long").as("n_ngrams"))
+        size(Dedup.contentShingles(col(textCol), n)).cast("long").as("n_ngrams"))
       .join(broadcast(hits), Seq(idCol), "left")
       .na.fill(0L, Seq("contaminated_ngrams", "n_bench_docs"))
       .withColumn("contamination",
-        // exact-integer 4dp: engine-stable where round(p/q, 4) is not
-        Cols.ratio4dp(col("contaminated_ngrams"), col("n_ngrams")))
+        // exact-integer 4dp: engine-stable where round(p/q, 4) is not;
+        // n_ngrams = 0 (empty/null doc) → 0.0: no content, no contamination
+        when(col("n_ngrams") === 0, lit(0.0))
+          .otherwise(Cols.ratio4dp(col("contaminated_ngrams"), col("n_ngrams"))))
   }
 
   /**
@@ -128,7 +133,7 @@ object Decontam {
     // md5(shingle) == Passage's window hash: shingles are lowercased
     // space-joined words, Passage hashes md5(lower(join(words, ' ')))
     val benchKeys = benchmark.select(
-      explode(array_distinct(Dedup.shingles(col(benchTextCol), n))).as("sh"))
+      explode(Dedup.contentShingles(col(benchTextCol), n)).as("sh"))
       .select(md5(col("sh")).as("gram")).distinct()
     val covered = graft.extract.Chunked.barrier(
       Passage.occurrences(corpus, n, idCol, textCol)

@@ -30,7 +30,10 @@ object Dedup {
    * the file splits give full parallelism and no shuffle is added. */
   def spread(docs: DataFrame): DataFrame = Par.spread(docs)
 
-  /** Word 5-gram shingles (n configurable), SQL-parity construction. */
+  /** Word 5-gram shingles (n configurable), SQL-parity construction.
+   * A zero-word document yields the single degenerate shingle `""` (the
+   * join of no words) — callers that feed CROSS-document matching must use
+   * [[contentShingles]] instead, which drops it. */
   def shingles(text: Column, n: Int = 5): Column =
     // Cols.bound: the slice lambda would otherwise re-run the tokenizing
     // split per WINDOW — O(words·len) per row, ×9 in the Gopher
@@ -40,6 +43,20 @@ object Dedup {
         .otherwise(transform(sequence(lit(0), size(ws) - n),
           i => array_join(slice(ws, i + 1, lit(n)), " ")))
     }
+
+  /** Distinct shingles with the zero-word degenerate removed, never null.
+   * This is the candidacy contract for every cross-document n-gram match
+   * (minhash/LSH, Jaccard verification, benchmark decontamination): a
+   * document with no words has NO n-gram content, so it must not match
+   * anything. Feeding the `""` shingle through instead would glue every
+   * empty/whitespace/null document on a 100 TB corpus into one mega-bucket
+   * (quadratic candidate blowup + a false all-empty duplicate cluster);
+   * identical-text documents are exact-dedup's job ([[exact]]), not LSH's.
+   * A ≥1-word document never produces an empty shingle, so the removal is
+   * exactly the zero-word guard. */
+  def contentShingles(text: Column, n: Int = 5): Column =
+    coalesce(array_remove(array_distinct(shingles(text, n)), ""),
+      array().cast("array<string>"))
 
   /** Exact dedup verdict per document: keeper = min id per fingerprint. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -57,7 +74,7 @@ object Dedup {
    * minhash(seed) = min over distinct shingles of md5(seed:shingle). */
   def minhashSignatures(docs: DataFrame, k: Int = 16, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = spread(docs).select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    val sh = spread(docs).select(col(idCol), explode(contentShingles(col(textCol), n)).as("shingle"))
     val seeds = docs.sparkSession.range(k).select(col("id").cast("int").as("seed"))
     sh.crossJoin(broadcast(seeds))
       .groupBy(col(idCol), col("seed"))
@@ -70,7 +87,7 @@ object Dedup {
    * to [[minhashSignatures]]. */
   def minhashWide(docs: DataFrame, k: Int = 16, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = spread(docs).select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    val sh = spread(docs).select(col(idCol), explode(contentShingles(col(textCol), n)).as("shingle"))
     val aggs = (0 until k).map(s =>
       min(md5(concat(lit(s), lit(":"), col("shingle")))).as(s"m$s"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -250,7 +267,7 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for given (a,b) id pairs. */
   def jaccard(docs: DataFrame, pairs: DataFrame, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = spread(docs).select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    val sh = spread(docs).select(col(idCol), explode(contentShingles(col(textCol), n)).as("shingle"))
     val counts = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     // intersection via an equi-join on (b, shingle): linear in shingle count
     // — joining on b alone and filtering s_a === s_b afterwards would blow

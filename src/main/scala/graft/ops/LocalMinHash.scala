@@ -11,8 +11,9 @@ import java.math.RoundingMode
  *
  *  - words      ≡ `TextStats.words` (lower ∘ space-trim ∘ \s+ split,
  *    empties dropped)
- *  - shingles   ≡ `Dedup.shingles` + `array_distinct` (word n-grams;
- *    short docs contribute the whole text)
+ *  - shingles   ≡ `Dedup.contentShingles` (distinct word n-grams; short
+ *    docs contribute the whole text, ZERO-word docs contribute nothing —
+ *    the cross-document candidacy contract)
  *  - minhash    ≡ `min(md5(seed:shingle))` per seed (lexicographic min of
  *    lowercase hex, exactly Spark's StringType min)
  *  - bandBuckets≡ `Dedup.lshBucketsFromWide` (md5 of the sorted
@@ -40,18 +41,23 @@ private[graft] object LocalMinHash {
     sparkTrim(if (text == null) "" else text).toLowerCase
       .split("\\s+").iterator.filter(_.nonEmpty).toVector
 
-  /** Distinct word n-gram shingles; < n words → the whole text as one. */
+  /** Distinct word n-gram shingles; < n words → the whole text as one;
+   * ZERO words → empty (≡ [[Dedup.contentShingles]]: no content, no
+   * near-dup candidacy — an empty doc must never bucket with another). */
   def shingles(text: String, n: Int = 5): Vector[String] = {
     val ws = words(text)
     val all =
-      if (ws.length < n) Vector(ws.mkString(" "))
+      if (ws.isEmpty) Vector.empty
+      else if (ws.length < n) Vector(ws.mkString(" "))
       else ws.sliding(n).map(_.mkString(" ")).toVector
     all.distinct
   }
 
-  /** k-seed minhash signature over the distinct shingle set. */
+  /** k-seed minhash signature over the distinct shingle set; empty set →
+   * empty signature (the doc emits no bands — see [[shingles]]). */
   def minhash(sh: Vector[String], k: Int): Array[String] =
-    Array.tabulate(k)(s => sh.iterator.map(x => md5Hex(s"$s:$x")).min)
+    if (sh.isEmpty) Array.empty
+    else Array.tabulate(k)(s => sh.iterator.map(x => md5Hex(s"$s:$x")).min)
 
   /** (band, bucket) pairs from a signature — `Dedup.lshBucketsFromWide`
    * bytes. */

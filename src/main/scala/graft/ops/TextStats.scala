@@ -81,7 +81,11 @@ object TextStats {
           Cols.ratio4dp(size(filter(ws, w => w.isInCollection(en))), size(ws)))
           .otherwise(0.0))
       .withColumn("quality_score", round(
-        when(col("n_words") === 0, 0.0).otherwise(
+        // null-safe zero-word guard: size(null words) is NULL, and a bare
+        // `NULL === 0` is falsy — without the coalesce a NULL-text doc
+        // falls through every ratio guard (each 0.0) and scores a
+        // "perfect" 1.0, surviving quality-floor corpus prep
+        when(coalesce(col("n_words"), lit(0)) === 0, 0.0).otherwise(
           lit(1.0)
             - least(lit(0.4), col("punct_ratio") * 2)
             - least(lit(0.3), col("upper_ratio"))

@@ -238,6 +238,13 @@ object StreamingExtract {
       val bbs = LocalMinHash.bandBuckets(LocalMinHash.minhash(sh, k), rowsPerBand)
       bbs.map { case (b, bk) => BandSig(d.doc_id, d.ts, b, bk, bbs.size, shMd5) }
     }
+    // zero-shingle docs emit no bands (Dedup.contentShingles contract:
+    // no content, no candidacy) — verdict them matched=false immediately,
+    // stateless, so every input doc still yields exactly one verdict row
+    val noContent: Dataset[NearDupVerdict] = docsScoped
+      .filter((d: DocEvent) =>
+        LocalMinHash.shingles(Option(d.text).getOrElse(""), n).isEmpty)
+      .map((d: DocEvent) => NearDupVerdict(d.doc_id, d.ts, is_near_dup = false))
     val hits: Dataset[BandHit] = sigs
       .withWatermark("ts", watermark)
       .groupByKey(r => (r.band, r.bucket))
@@ -293,6 +300,7 @@ object StreamingExtract {
             }
           }
         })
+      .union(noContent)
   }
 
   /** Close a conversation after `gapSeconds` of event-time silence and emit

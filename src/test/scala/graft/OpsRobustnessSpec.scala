@@ -75,6 +75,33 @@ class OpsRobustnessSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Boolean]("gopher_rep_keep")))
   }
 
+  test("quality scores null/empty/whitespace docs 0.0, never a fall-through 1.0") {
+    // size(words(NULL)) is NULL: without a null-safe zero-word guard the
+    // composite skips every ratio penalty and a NULL-text doc scores a
+    // "perfect" 1.0, surviving quality-floor corpus prep
+    val d = docs((0L, null), (1L, ""), (2L, "  \t "), (3L, "enough plain words " +
+      "in this sentence to score well"))
+    val q = graft.ops.TextStats.quality(d).select("doc_id", "quality_score")
+      .as[(Long, Double)].collect().toMap
+    assert(q(0L) === 0.0); assert(q(1L) === 0.0); assert(q(2L) === 0.0)
+    assert(q(3L) === 1.0)
+  }
+
+  test("contentShingles: zero-word docs have no cross-document candidacy") {
+    import graft.ops.Dedup
+    val d = docs((0L, null), (1L, ""), (2L, " \n\t "), (3L, "one two"),
+      (4L, "a b c d e f g"))
+    val sh = d.select(col("doc_id"), Dedup.contentShingles(col("text"), 5).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(0L).isEmpty && sh(1L).isEmpty && sh(2L).isEmpty,
+      "no-content docs must emit zero shingles")
+    assert(sh(3L) === Seq("one two"))
+    assert(sh(4L).size === 3 && sh(4L).forall(_.nonEmpty))
+    // downstream: empty docs emit no minhash signature rows at all
+    val sig = Dedup.minhashSignatures(d, k = 4)
+    assert(sig.select("doc_id").distinct().as[Long].collect().toSet === Set(3L, 4L))
+  }
+
   test("DSIR handles null/empty docs and an all-empty target gracefully") {
     val raw = docs((0L, null), (1L, ""), (2L, "some words appear here"))
     val target = docs((10L, "some words appear here too"))

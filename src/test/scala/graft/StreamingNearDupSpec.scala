@@ -31,32 +31,40 @@ class StreamingNearDupSpec extends SparkSpec {
     val df = texts.zipWithIndex.map { case (t, i) => (s"d$i", t) }
       .toDF("doc_id", "text")
 
-    // shingles (distinct)
+    // shingles (distinct, zero-word degenerate removed — contentShingles)
     val sparkSh = df.select(col("doc_id"),
-      array_distinct(Dedup.shingles(col("text"), 5)).as("sh"))
+      Dedup.contentShingles(col("text"), 5).as("sh"))
       .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
     texts.zipWithIndex.foreach { case (t, i) =>
       assert(LocalMinHash.shingles(t, 5) == sparkSh(s"d$i"), s"shingles d$i")
     }
+    assert(LocalMinHash.shingles("", 5).isEmpty, "empty doc has no shingles")
 
-    // minhash signature (k = 8)
+    // minhash signature (k = 8); a zero-shingle doc emits NO signature row
+    // on the batch side and an empty signature from the local kernel
     val wide = Dedup.minhashWide(df, k = 8, n = 5).collect()
       .map(r => r.getString(0) -> (0 until 8).map(s => r.getString(1 + s)).toArray)
       .toMap
     texts.zipWithIndex.foreach { case (t, i) =>
       val local = LocalMinHash.minhash(LocalMinHash.shingles(t, 5), 8)
-      assert(local.toSeq == wide(s"d$i").toSeq, s"minhash d$i")
+      wide.get(s"d$i") match {
+        case Some(sig) => assert(local.toSeq == sig.toSeq, s"minhash d$i")
+        case None => assert(local.isEmpty, s"minhash d$i: batch emitted no " +
+          "row, local kernel must emit the empty signature")
+      }
     }
 
-    // band buckets (rowsPerBand = 4)
+    // band buckets (rowsPerBand = 4); zero-shingle docs emit no bands
     val bks = Dedup.lshBucketsFromWide(Dedup.minhashWide(df, 8, 5), 8, 4)
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
     texts.zipWithIndex.foreach { case (t, i) =>
-      LocalMinHash.bandBuckets(
+      val localBands = LocalMinHash.bandBuckets(
         LocalMinHash.minhash(LocalMinHash.shingles(t, 5), 8), 4)
-        .foreach { case (b, bk) =>
-          assert(bks((s"d$i", b)) == bk, s"bucket d$i band $b")
-        }
+      assert(localBands.isEmpty == !bks.keys.exists(_._1 == s"d$i"),
+        s"band presence d$i")
+      localBands.foreach { case (b, bk) =>
+        assert(bks((s"d$i", b)) == bk, s"bucket d$i band $b")
+      }
     }
 
     // jaccard (exact-integer 4dp half-up) — md5'd sets give the same value
@@ -85,8 +93,11 @@ class StreamingNearDupSpec extends SparkSpec {
     val q = verdicts.writeStream.format("memory").queryName("ndv")
       .outputMode("append").start()
     try {
-      // originals arrive first (minute 0), clones second (minute 1)
-      input.addData(corpus.take(10).map { case (id, tx) => DocEvent(id, tx, at(0)) })
+      // originals arrive first (minute 0), clones second (minute 1);
+      // a whitespace-only doc rides along: zero shingles → no bands → the
+      // stateless no-content branch must still verdict it (kept)
+      input.addData(corpus.take(10).map { case (id, tx) => DocEvent(id, tx, at(0)) }
+        :+ DocEvent("doc_blank", "  \t ", at(0)))
       q.processAllAvailable()
       input.addData(corpus.drop(10).map { case (id, tx) => DocEvent(id, tx, at(1)) })
       q.processAllAvailable()
@@ -101,16 +112,17 @@ class StreamingNearDupSpec extends SparkSpec {
       val scoped = verdicts.sparkSession
       val streamed = scoped.sql("SELECT * FROM ndv").collect()
         .map(r => r.getString(0) -> r.getBoolean(2)).toMap
-      assert(streamed.size == 20, "every doc gets exactly one verdict")
+      assert(streamed.size == 21, "every doc gets exactly one verdict")
       val streamKeep = streamed.filter(!_._2).keys.toSet
 
-      val docsDf = corpus.toDF("doc_id", "text")
+      val docsDf = (corpus :+ ("doc_blank", "  \t ")).toDF("doc_id", "text")
       val edges = Dedup.verifiedEdges(docsDf, k = 8, rowsPerBand = 4, tau = 0.5)
       val batchKeep = Dedup.keepCanonical(docsDf, edges)
         .select("doc_id").collect().map(_.getString(0)).toSet
       assert(streamKeep == batchKeep,
         s"streamed $streamKeep != batch $batchKeep")
-      assert(streamKeep == (0 until 10).map(i => f"doc$i%02d").toSet)
+      assert(streamKeep ==
+        ((0 until 10).map(i => f"doc$i%02d").toSet + "doc_blank"))
 
       // expiry: a clone of doc00 arriving 3 hours later (horizon = 1h,
       // watermark pushed past the originals) is KEPT — bucket state is
