@@ -89,21 +89,6 @@ object Queries {
       |           + (doc_id % 10) * INTERVAL 1 SECOND AS ts
       |  FROM documents)""".stripMargin
 
-  /** DuckDB token explode mirroring the delimiter tokenizer: pad every
-   * delimiter char with spaces, split on whitespace. Equivalent to
-   * graft.text.Tok for the token sequence (separators aside). */
-  private val tokensCte =
-    """toks AS (
-      |  SELECT conv_id, turn_idx, role, tool,
-      |         unnest(ws) AS tok, CAST(unnest(range(len(ws))) AS INT) AS tok_idx
-      |  FROM (
-      |    SELECT conv_id, turn_idx, role, tool,
-      |           list_filter(string_split_regex(
-      |             regexp_replace(text, '([(\[•*,:;?.!/)\-–−‐«»„”“‘’''`$\]"])',
-      |                            ' \1 ', 'g'),
-      |             '[ \n\r\t\f\x{00a0}]+'), x -> x <> '') AS ws
-      |    FROM transcripts WHERE text IS NOT NULL AND trim(text, ' ') <> ''))""".stripMargin
-
   /** Spark-side token explode used by token-level queries (same output). */
   private def tokensOf(s: SparkSession, dir: String): DataFrame =
     Structure.tokens(transcripts(s, dir))
@@ -172,8 +157,9 @@ object Queries {
 
   /** Per-kept-line delimiter tokenization (mirrors
    * [[Structure.tokensFromLines]]' token/tok_idx grain: `tok_idx` restarts
-   * per line). Same pad-and-split trick as [[tokensCte]], applied to the
-   * line. Requires [[keptLinesCtes]]. */
+   * per line): pad every delimiter char with spaces, split on the
+   * tokenizer's whitespace class — equivalent to graft.text.Tok for the
+   * token sequence (separators aside). Requires [[keptLinesCtes]]. */
   private val lineToksCte =
     """ltoks AS (
       |  SELECT conv_id, turn_idx, line_in_turn, block_idx, line_idx,
@@ -186,6 +172,38 @@ object Queries {
       |                            ' \1 ', 'g'),
       |             '[ \n\r\t\f\x{00a0}]+'), x -> x <> '') AS tks
       |    FROM klines WHERE kept))""".stripMargin
+
+  /** Shared mirror for w2_statuses and its chunk-parallel twin: token-level
+   * block/line boundary statuses from conv-ordered adjacency over the
+   * line-grain token stream (Features.adjacent semantics). */
+  private lazy val w2StatusesSql =
+      s"""WITH $transcriptsCte, $keptLinesCtes, $lineToksCte,
+         |x AS (
+         |  SELECT conv_id, turn_idx, tok_idx,
+         |    CAST(turn_idx AS VARCHAR) || '#' || CAST(block_idx AS VARCHAR) AS bk,
+         |    CAST(turn_idx AS VARCHAR) || '#' || CAST(line_in_turn AS VARCHAR) AS lk,
+         |    line_in_turn
+         |  FROM ltoks),
+         |y AS (
+         |  SELECT conv_id, turn_idx, tok_idx,
+         |    coalesce(lag(bk) OVER wc <> bk, TRUE) AS first_b,
+         |    coalesce(lead(bk) OVER wc <> bk, TRUE) AS last_b,
+         |    coalesce(lag(lk) OVER wc <> lk, TRUE) AS first_l,
+         |    coalesce(lead(lk) OVER wc <> lk, TRUE) AS last_l,
+         |    lead(tok_idx) OVER wc IS NULL AS conv_last
+         |  FROM x
+         |  WINDOW wc AS (PARTITION BY conv_id
+         |                ORDER BY turn_idx, line_in_turn, tok_idx))
+         |SELECT conv_id, turn_idx, tok_idx,
+         |  CASE WHEN first_b THEN 'BLOCKSTART'
+         |       WHEN last_b AND NOT conv_last THEN 'BLOCKEND'
+         |       ELSE 'BLOCKIN' END AS block_status,
+         |  CASE WHEN first_b THEN 'LINESTART'
+         |       WHEN last_b AND NOT conv_last THEN 'LINEEND'
+         |       WHEN first_l THEN 'LINESTART'
+         |       WHEN last_l AND NOT conv_last THEN 'LINEEND'
+         |       ELSE 'LINEIN' END AS line_status
+         |FROM y""".stripMargin
 
   /** Documents with a deterministic shared footer line planted (5 footer
    * variants, each in 1/5 of the corpus) — the boilerplate-census corpus. */
@@ -1085,15 +1103,23 @@ object Queries {
     s"len(list_filter(ws, w -> w IN ($list))) * 1.0 / greatest(len(ws), 1)"
   }
 
-  /** The langId CASE over text + r_de/r_en/r_es/r_fr ratio columns. */
-  private val langCaseSql =
-    """CASE WHEN length(regexp_replace(text, '[^\p{Han}]', '', 'g')) * 2
-      |       > length(text) THEN 'zh'
-      |     WHEN greatest(r_de, r_en, r_es, r_fr) <= 0.05 THEN 'und'
-      |     WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de THEN 'fr'
-      |     WHEN r_es >= r_en AND r_es >= r_de THEN 'es'
-      |     WHEN r_en >= r_de THEN 'en'
-      |     ELSE 'de' END""".stripMargin
+  /** The langId CASE over `textCol` + r_de/r_en/r_es/r_fr ratio columns;
+   * `noScore` is the zero/NULL-evidence verdict ('und' for TextStats.langId,
+   * 'fr' for the TEI default in Assemble.teiDocuments).
+   * Engine parity on NULL text: every ratio is NULL, so the guard must be
+   * `best > 0.05 -> argmax` (falsy -> noScore), exactly TextStats.langId's
+   * shape — an inverted `<= 0.05 -> noScore` fall-through routes NULLs
+   * to 'de'. */
+  private def langCaseSql(textCol: String = "text",
+      noScore: String = "und"): String =
+    s"""CASE WHEN length(regexp_replace($textCol, '[^\\p{Han}]', '', 'g')) * 2
+       |       > length($textCol) THEN 'zh'
+       |     WHEN greatest(r_de, r_en, r_es, r_fr) > 0.05 THEN
+       |       CASE WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de THEN 'fr'
+       |            WHEN r_es >= r_en AND r_es >= r_de THEN 'es'
+       |            WHEN r_en >= r_de THEN 'en'
+       |            ELSE 'de' END
+       |     ELSE '$noScore' END""".stripMargin
 
   /** Planted lang-ID probes: ids 0-3 are stopword-free sentences the
    * heuristic langId scores 'und' (LangIdSpec pins that miss), 4-7 are
@@ -2775,63 +2801,9 @@ object Queries {
       s"""WITH $transcriptsCte, $keptLinesCtes, $lineToksCte
          |SELECT conv_id, turn_idx, tok_idx, tok FROM ltoks""".stripMargin,
 
-    "w2_statuses" ->
-      s"""WITH $transcriptsCte, $keptLinesCtes, $lineToksCte,
-         |x AS (
-         |  SELECT conv_id, turn_idx, tok_idx,
-         |    CAST(turn_idx AS VARCHAR) || '#' || CAST(block_idx AS VARCHAR) AS bk,
-         |    CAST(turn_idx AS VARCHAR) || '#' || CAST(line_in_turn AS VARCHAR) AS lk,
-         |    line_in_turn
-         |  FROM ltoks),
-         |y AS (
-         |  SELECT conv_id, turn_idx, tok_idx,
-         |    coalesce(lag(bk) OVER wc <> bk, TRUE) AS first_b,
-         |    coalesce(lead(bk) OVER wc <> bk, TRUE) AS last_b,
-         |    coalesce(lag(lk) OVER wc <> lk, TRUE) AS first_l,
-         |    coalesce(lead(lk) OVER wc <> lk, TRUE) AS last_l,
-         |    lead(tok_idx) OVER wc IS NULL AS conv_last
-         |  FROM x
-         |  WINDOW wc AS (PARTITION BY conv_id
-         |                ORDER BY turn_idx, line_in_turn, tok_idx))
-         |SELECT conv_id, turn_idx, tok_idx,
-         |  CASE WHEN first_b THEN 'BLOCKSTART'
-         |       WHEN last_b AND NOT conv_last THEN 'BLOCKEND'
-         |       ELSE 'BLOCKIN' END AS block_status,
-         |  CASE WHEN first_b THEN 'LINESTART'
-         |       WHEN last_b AND NOT conv_last THEN 'LINEEND'
-         |       WHEN first_l THEN 'LINESTART'
-         |       WHEN last_l AND NOT conv_last THEN 'LINEEND'
-         |       ELSE 'LINEIN' END AS line_status
-         |FROM y""".stripMargin,
+    "w2_statuses" -> w2StatusesSql,
 
-    "w2_statuses_chunked" ->
-      s"""WITH $transcriptsCte, $keptLinesCtes, $lineToksCte,
-         |x AS (
-         |  SELECT conv_id, turn_idx, tok_idx,
-         |    CAST(turn_idx AS VARCHAR) || '#' || CAST(block_idx AS VARCHAR) AS bk,
-         |    CAST(turn_idx AS VARCHAR) || '#' || CAST(line_in_turn AS VARCHAR) AS lk,
-         |    line_in_turn
-         |  FROM ltoks),
-         |y AS (
-         |  SELECT conv_id, turn_idx, tok_idx,
-         |    coalesce(lag(bk) OVER wc <> bk, TRUE) AS first_b,
-         |    coalesce(lead(bk) OVER wc <> bk, TRUE) AS last_b,
-         |    coalesce(lag(lk) OVER wc <> lk, TRUE) AS first_l,
-         |    coalesce(lead(lk) OVER wc <> lk, TRUE) AS last_l,
-         |    lead(tok_idx) OVER wc IS NULL AS conv_last
-         |  FROM x
-         |  WINDOW wc AS (PARTITION BY conv_id
-         |                ORDER BY turn_idx, line_in_turn, tok_idx))
-         |SELECT conv_id, turn_idx, tok_idx,
-         |  CASE WHEN first_b THEN 'BLOCKSTART'
-         |       WHEN last_b AND NOT conv_last THEN 'BLOCKEND'
-         |       ELSE 'BLOCKIN' END AS block_status,
-         |  CASE WHEN first_b THEN 'LINESTART'
-         |       WHEN last_b AND NOT conv_last THEN 'LINEEND'
-         |       WHEN first_l THEN 'LINESTART'
-         |       WHEN last_l AND NOT conv_last THEN 'LINEEND'
-         |       ELSE 'LINEIN' END AS line_status
-         |FROM y""".stripMargin,
+    "w2_statuses_chunked" -> w2StatusesSql,
 
     "w5_font_status" ->
       s"""WITH $transcriptsCte, $keptLinesCtes, $segLinesCte,
@@ -2879,12 +2851,12 @@ object Queries {
     "scalar_features" ->
       s"""WITH $transcriptsCte, $keptLinesCtes, $lineToksCte
          |SELECT conv_id, turn_idx, tok_idx,
-         |  CASE WHEN regexp_matches(tok, '^[0-9]+$$') THEN 'NOCAPS'
+         |  CASE WHEN regexp_matches(tok, '^\\p{Nd}+$$') THEN 'NOCAPS'
          |       WHEN NOT regexp_matches(tok, '\\p{Ll}') THEN 'ALLCAP'
          |       WHEN regexp_matches(substr(tok, 1, 1), '^\\p{Lu}') THEN 'INITCAP'
          |       ELSE 'NOCAPS' END AS capitalisation,
-         |  CASE WHEN regexp_matches(tok, '^[0-9]+$$') THEN 'ALLDIGIT'
-         |       WHEN regexp_matches(tok, '[0-9]') THEN 'CONTAINSDIGITS'
+         |  CASE WHEN regexp_matches(tok, '^\\p{Nd}+$$') THEN 'ALLDIGIT'
+         |       WHEN regexp_matches(tok, '\\p{Nd}') THEN 'CONTAINSDIGITS'
          |       ELSE 'NODIGIT' END AS digit,
          |  CASE WHEN tok IN ('(', '[') THEN 'OPENBRACKET'
          |       WHEN tok IN (')', ']') THEN 'ENDBRACKET'
@@ -3134,13 +3106,7 @@ object Queries {
          |  FROM lw),
          |lg AS (
          |  SELECT conv_id, spans_xml,
-         |    CASE WHEN length(regexp_replace(sample, '[^\\p{Han}]', '', 'g')) * 2
-         |           > length(sample) THEN 'zh'
-         |         WHEN greatest(r_de, r_en, r_es, r_fr) <= 0.05 THEN 'fr'
-         |         WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de THEN 'fr'
-         |         WHEN r_es >= r_en AND r_es >= r_de THEN 'es'
-         |         WHEN r_en >= r_de THEN 'en'
-         |         ELSE 'de' END AS lang
+         |    ${langCaseSql("sample", noScore = "fr")} AS lang
          |  FROM lr)
          |SELECT conv_id,
          |  e'<?xml version="1.0" ?>\\n<tei xml:space="preserve">\\n\\t<teiHeader>' ||
@@ -3245,12 +3211,12 @@ object Queries {
          |       WHEN fsz > prev_fsz THEN 'HIGHERFONT'
          |       ELSE 'LOWERFONT' END,
          |  '0', '0',
-         |  CASE WHEN regexp_matches(tok, '^[0-9]+$$') THEN 'NOCAPS'
+         |  CASE WHEN regexp_matches(tok, '^\\p{Nd}+$$') THEN 'NOCAPS'
          |       WHEN NOT regexp_matches(tok, '\\p{Ll}') THEN 'ALLCAP'
          |       WHEN regexp_matches(substr(tok, 1, 1), '^\\p{Lu}') THEN 'INITCAP'
          |       ELSE 'NOCAPS' END,
-         |  CASE WHEN regexp_matches(tok, '^[0-9]+$$') THEN 'ALLDIGIT'
-         |       WHEN regexp_matches(tok, '[0-9]') THEN 'CONTAINSDIGITS'
+         |  CASE WHEN regexp_matches(tok, '^\\p{Nd}+$$') THEN 'ALLDIGIT'
+         |       WHEN regexp_matches(tok, '\\p{Nd}') THEN 'CONTAINSDIGITS'
          |       ELSE 'NODIGIT' END,
          |  CASE WHEN length(tok) = 1 THEN '1' ELSE '0' END,
          |  CASE WHEN tok IN ('(', '[') THEN 'OPENBRACKET'
@@ -3361,14 +3327,7 @@ object Queries {
                   "greatest(length(text), 1)")})
          |      - (CASE WHEN len(ws) < 5 THEN 0.3 ELSE 0 END) END, 4) AS quality_score
          |  FROM words)
-         |SELECT doc_id,
-         |  CASE WHEN length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) * 2
-         |         > length(text) THEN 'zh'
-         |       WHEN greatest(r_de, r_en, r_es, r_fr) <= 0.05 THEN 'und'
-         |       WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de THEN 'fr'
-         |       WHEN r_es >= r_en AND r_es >= r_de THEN 'es'
-         |       WHEN r_en >= r_de THEN 'en'
-         |       ELSE 'de' END AS lang,
+         |SELECT doc_id, ${langCaseSql()} AS lang,
          |  quality_score
          |FROM q
          |WHERE doc_id NOT IN (SELECT id FROM dupes) AND quality_score >= 0.5""".stripMargin
@@ -3712,31 +3671,14 @@ object Queries {
         |  ON a.qid = b.query_id AND a.nid = b.neighbor_id
         |GROUP BY b.query_id""".stripMargin,
 
-    "text_lang_id" -> {
-      def ratio(lang: String): String = {
-        val list = TextStats.stopwords(lang).map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(ws, w -> w IN ($list))) * 1.0 / greatest(len(ws), 1)"
-      }
+    "text_lang_id" ->
       s"""WITH $wordsCte,
          |sc AS (SELECT doc_id, text, ws,
-         |  ${ratio("de")} AS r_de, ${ratio("en")} AS r_en,
-         |  ${ratio("es")} AS r_es, ${ratio("fr")} AS r_fr
+         |  ${stopRatioSql("de")} AS r_de, ${stopRatioSql("en")} AS r_en,
+         |  ${stopRatioSql("es")} AS r_es, ${stopRatioSql("fr")} AS r_fr
          |  FROM words)
-         |SELECT doc_id,
-         |  CASE WHEN length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) * 2
-         |         > length(text) THEN 'zh'
-         |       -- engine parity on NULL text: every ratio is NULL, so the
-         |       -- guard must be `best > 0.05 -> argmax` (falsy -> 'und'),
-         |       -- exactly TextStats.langId's shape — an inverted
-         |       -- `<= 0.05 -> 'und'` fall-through routes NULLs to 'de'
-         |       WHEN greatest(r_de, r_en, r_es, r_fr) > 0.05 THEN
-         |         CASE WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de THEN 'fr'
-         |              WHEN r_es >= r_en AND r_es >= r_de THEN 'es'
-         |              WHEN r_en >= r_de THEN 'en'
-         |              ELSE 'de' END
-         |       ELSE 'und' END AS lang_pred
-         |FROM sc""".stripMargin
-    },
+         |SELECT doc_id, ${langCaseSql()} AS lang_pred
+         |FROM sc""".stripMargin,
 
     "lang_trigram_model" ->
       s"""WITH $langTriCtes
@@ -4271,7 +4213,7 @@ object Queries {
          |    ${stopRatioSql("de")} AS r_de, ${stopRatioSql("en")} AS r_en,
          |    ${stopRatioSql("es")} AS r_es, ${stopRatioSql("fr")} AS r_fr
          |  FROM lr)
-         |SELECT doc_id, $langCaseSql AS lang, CAST(len(ws) AS INT) AS n_tokens,
+         |SELECT doc_id, ${langCaseSql()} AS lang, CAST(len(ws) AS INT) AS n_tokens,
          |       was_stripped
          |FROM l2""".stripMargin,
 
@@ -4744,7 +4686,7 @@ object Queries {
          |           WHERE tok NOT IN ('__PRIOR__', '__UNSEEN__')) w
          |          ON sct.tok = w.tok),
          |scs AS (SELECT doc_id, sum(wv) AS tok_sum FROM scj GROUP BY doc_id)
-         |SELECT lr.doc_id, $langCaseSql AS lang,
+         |SELECT lr.doc_id, ${langCaseSql()} AS lang,
          |  CAST(coalesce(scs.tok_sum, 0) +
          |    (SELECT w_fp FROM wt WHERE tok = '__PRIOR__') AS BIGINT)
          |    AS score_fp

@@ -232,26 +232,31 @@ object StreamingExtract {
     import spark.implicits._
     val docsScoped = bridge.rebind(docs.toDF(), spark).as[DocEvent]
     import graft.ops.LocalMinHash
+    // zero-shingle docs (Dedup.contentShingles contract: no content, no
+    // candidacy) ride the SAME single pass as real signatures — a sentinel
+    // band -1 keyed by doc_id (its own singleton group), produced in the
+    // one shingling flatMap so the source is scanned and tokenized once
+    // per micro-batch; stage 1 verdicts the sentinel matched=false without
+    // ever creating state, and n_bands=1 completes stage 2 immediately
     val sigs: Dataset[BandSig] = docsScoped.flatMap { d =>
       val sh = LocalMinHash.shingles(Option(d.text).getOrElse(""), n)
       val shMd5 = sh.map(LocalMinHash.md5Hex).toArray
       val bbs = LocalMinHash.bandBuckets(LocalMinHash.minhash(sh, k), rowsPerBand)
-      bbs.map { case (b, bk) => BandSig(d.doc_id, d.ts, b, bk, bbs.size, shMd5) }
+      if (bbs.isEmpty)
+        Seq(BandSig(d.doc_id, d.ts, -1, d.doc_id, 1, Array.empty[String]))
+      else bbs.map { case (b, bk) => BandSig(d.doc_id, d.ts, b, bk, bbs.size, shMd5) }
     }
-    // zero-shingle docs emit no bands (Dedup.contentShingles contract:
-    // no content, no candidacy) — verdict them matched=false immediately,
-    // stateless, so every input doc still yields exactly one verdict row
-    val noContent: Dataset[NearDupVerdict] = docsScoped
-      .filter((d: DocEvent) =>
-        LocalMinHash.shingles(Option(d.text).getOrElse(""), n).isEmpty)
-      .map((d: DocEvent) => NearDupVerdict(d.doc_id, d.ts, is_near_dup = false))
     val hits: Dataset[BandHit] = sigs
       .withWatermark("ts", watermark)
       .groupByKey(r => (r.band, r.bucket))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (_: (Int, String), rows: Iterator[BandSig],
+        (key: (Int, String), rows: Iterator[BandSig],
             state: GroupState[List[(String, Long, Array[String])]]) => {
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          if (key._1 == -1)
+            // no-content sentinel: stateless immediate miss (no state is
+            // ever created for these groups, nothing to expire)
+            rows.map(r => BandHit(r.doc_id, r.ts, 1, matched = false))
+          else if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val wm = state.getCurrentWatermarkMs()
             var members = state.getOption.getOrElse(Nil).filter(_._2 >= wm)
@@ -300,7 +305,6 @@ object StreamingExtract {
             }
           }
         })
-      .union(noContent)
   }
 
   /** Close a conversation after `gapSeconds` of event-time silence and emit
