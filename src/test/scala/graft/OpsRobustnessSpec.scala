@@ -87,6 +87,22 @@ class OpsRobustnessSpec extends SparkSpec {
     assert(q(3L) === 1.0)
   }
 
+  test("digit/capitalisation classes are Unicode: non-ASCII digits are ALLDIGIT") {
+    // the engine classifies with \p{Nd}; the oracle mirrors must match
+    // (an ASCII [0-9] mirror calls Arabic-Indic or fullwidth digits
+    // NODIGIT/ALLCAP — the review-caught divergence class)
+    val toks = Seq("٣٤", "１２", "42", "4x", "abc").toDF("tok")
+    val got = toks.select(col("tok"),
+      graft.text.TextCols.digitClass(col("tok")).as("d"))
+      .withColumn("c", graft.text.TextCols.capitalisation(col("tok"), col("d")))
+      .as[(String, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("٣٤") === (("ALLDIGIT", "NOCAPS")))
+    assert(got("１２") === (("ALLDIGIT", "NOCAPS")))
+    assert(got("42") === (("ALLDIGIT", "NOCAPS")))
+    assert(got("4x") === (("CONTAINSDIGITS", "NOCAPS")))
+    assert(got("abc") === (("NODIGIT", "NOCAPS")))
+  }
+
   test("contentShingles: zero-word docs have no cross-document candidacy") {
     import graft.ops.Dedup
     val d = docs((0L, null), (1L, ""), (2L, " \n\t "), (3L, "one two"),
