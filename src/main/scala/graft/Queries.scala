@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.extract.{Assemble, Features, Labeler, Pipeline, Structure}
-import graft.ops.{Bpe, C4, Chunker, CorpusClean, Decontam, Dedup, Dsir, Gopher, LangModel, MainContent, Passage, Ppx, QualityModel, Search, Sft, Similarity, TextNorm, TextStats, UrlOps, Winnow}
+import graft.ops.{Bpe, C4, Chunker, CorpusClean, Decontam, Dedup, Dsir, Gopher, LangModel, MainContent, Par, Passage, Ppx, QualityModel, Search, Sft, Similarity, TextNorm, TextStats, UrlOps, Winnow}
 import graft.text.TextCols
 
 /**
@@ -21,9 +21,18 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Transcripts view over documents (same derivation as [[transcriptsCte]]). */
+  /** Transcripts view over documents (same derivation as [[transcriptsCte]]).
+   * Clustered by conv_id up front (the [[graft.ops.Par.clusterBy]] guard the
+   * flagship pipeline already applies): every transcript consumer's first
+   * shuffle IS hash(conv_id) — window cascades, conv-grain groupBys, the
+   * agent ops — so pinning it at the source replaces the planner's
+   * ENSURE_REQUIREMENTS exchange with an equivalent user exchange that AQE
+   * will not coalesce below the session parallelism. Same exchange count at
+   * any scale; on a single-split local corpus it keeps the compute-heavy
+   * map stages parallel instead of serializing them onto one task. */
   def transcripts(s: SparkSession, dir: String): DataFrame =
-    Structure.transcriptsFromDocuments(t(s, dir, "documents"))
+    Par.clusterBy(Structure.transcriptsFromDocuments(t(s, dir, "documents")),
+      "conv_id")
 
   /** ANN sweep operating points, shared by the Spark query and the oracle
    * generator: (planes, tables, multiProbe) for SRP; nProbe for IVF at 16
@@ -221,6 +230,7 @@ object Queries {
   /** Embeddings with planted semantic twins: every vec_id < 20 appears
    * again as vec_id + 10000 with the identical vector. */
   private def dupEmbCorpus(s: SparkSession, dir: String): DataFrame = {
+    // no spread here: cellAssignments/semDedupEdges spread internally
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     e.unionByName(e.where(col("vec_id") < 20)
       .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
@@ -427,7 +437,10 @@ object Queries {
    * repeats its own text (within-doc duplicate), and every doc_id < 20 doc
    * appears again verbatim at doc_id + 10000 (cross-doc duplicate). */
   private def passageCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("doc_id"),
+    // Par.spread: the n-gram window explode below is the heavy map stage —
+    // a single-split local scan would serialize it onto one task (no-op on
+    // multi-split inputs, guide §2.5 "input skew")
+    val d = Par.spread(t(s, dir, "documents")).select(col("doc_id"),
       when(col("doc_id") % 7 === 3, concat(col("text"), lit(" "), col("text")))
         .otherwise(col("text")).as("text"))
     d.unionByName(d.where(col("doc_id") < 20)
@@ -438,7 +451,9 @@ object Queries {
    * repetition metric fires: 1/5 of docs get a tripled line, 1/5 a
    * doubled paragraph, 1/5 a six-fold repeated 5-word phrase. */
   private def repCorpus(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
+    // Par.spread: the 13-metric repetition suite is pure per-row compute —
+    // keep it parallel on a single-split local scan (no-op at scale)
+    Par.spread(t(s, dir, "documents")).select(col("doc_id"),
       when(col("doc_id") % 5 === 0, concat(col("text"),
         lit("\nsame line twice\nsame line twice\nsame line twice")))
       .when(col("doc_id") % 5 === 1, concat(col("text"),
@@ -532,7 +547,7 @@ object Queries {
    * line ends in a period with ≥5 words so it survives the line filter
    * and reaches the page rule it is meant to trip. */
   private def c4Corpus(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
+    Par.spread(t(s, dir, "documents")).select(col("doc_id"),
       when(col("doc_id") % 7 === 1, concat(col("text"),
         lit("\nThis page includes Lorem Ipsum placeholder filler text.")))
       .when(col("doc_id") % 7 === 2, concat(col("text"),
@@ -572,7 +587,11 @@ object Queries {
     val base = concat(lit("Intro sentence for doc "), id, lit(". "),
       col("text"), lit(". End of document "), id, lit("."))
     val repLine = "Same repeated filler line over here."
-    t(s, dir, "documents").select(col("doc_id"),
+    // Par.spread: the whole curation cascade (C4 line filter → Gopher
+    // quality → 13-metric repetition suite → DSIR featurization) is narrow
+    // per-row compute over this frame — one spread at the head keeps every
+    // map stage parallel on a single-split local scan (no-op at scale)
+    Par.spread(t(s, dir, "documents")).select(col("doc_id"),
       when(col("doc_id") % 13 === 1,
         concat(base, lit(" Buy viagra now over here.")))
       .when(col("doc_id") % 13 === 2,
@@ -601,7 +620,8 @@ object Queries {
   /** Documents with a shared three-sentence block appended to every fifth
    * doc — the C4 span-dedup corpus (canonical = lowest doc_id). */
   private def c4SpanCorpus(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
+    // Par.spread: sentence-window hashing below is the heavy map stage
+    Par.spread(t(s, dir, "documents")).select(col("doc_id"),
       when(col("doc_id") % 5 === 0, concat(col("text"), lit(
         " Alpha block sentence one. Beta block sentence two." +
           " Gamma block sentence three.")))
@@ -930,7 +950,8 @@ object Queries {
    * even doc_ids get a deterministic spam string (label 0). doc_id%5==4
    * is the held-out eval split used by qm_scores. */
   private def qualityCorpus(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
+    // Par.spread: bigram explode + model scoring are the heavy map stages
+    Par.spread(t(s, dir, "documents")).select(col("doc_id"),
       (col("doc_id") % 2).cast("int").as("label"),
       when(col("doc_id") % 2 === 1, col("text"))
         .otherwise(concat(
@@ -1786,7 +1807,9 @@ object Queries {
 
     // — BM25 keyword retrieval (three fixed probe queries) —
     "search_bm25" -> ((s, dir) =>
-      Search.bm25TopK(t(s, dir, "documents"),
+      // Par.spread: the postings explode + doc-length term splits are the
+      // heavy map stages (no-op at scale)
+      Search.bm25TopK(Par.spread(t(s, dir, "documents")),
         s.createDataFrame(Seq((0, "hash join spark"), (1, "window sort merge"),
           (2, "customer query table"))).toDF("query_id", "query"),
         k = 10)),
@@ -1860,28 +1883,33 @@ object Queries {
         .localCheckpoint()
       val keepIds = Dedup.exact(gr).where(!col("is_dup")).select("doc_id")
       val dd = gr.join(keepIds, Seq("doc_id"), "left_semi").localCheckpoint()
-      val model = Dsir.fit(dd.where(col("doc_id") % 10 === 0), dd, b = 256)
-      Dsir.score(dd, model, b = 256)
+      // fused DSIR fit+score: one featurization pass over the survivors
+      // (identical result to score(dd, fit(target, dd)) — oracle-pinned)
+      Dsir.fitScored(dd, col("doc_id") % 10 === 0, b = 256)
         .select("doc_id", "n_grams", "dsir_score_fp")
     }),
 
     // — DSIR importance resampling (target = every 10th doc as the
     //   "domain sample", raw = the whole corpus) —
-    "dsir_weights" -> ((s, dir) =>
-      Dsir.fit(t(s, dir, "documents").where(col("doc_id") % 10 === 0),
-        t(s, dir, "documents"), b = 256)),
+    "dsir_weights" -> ((s, dir) => {
+      // Par.spread: the hashed-n-gram featurization is the heavy map stage
+      val docs = Par.spread(t(s, dir, "documents"))
+      Dsir.fit(docs.where(col("doc_id") % 10 === 0), docs, b = 256)
+    }),
 
-    "dsir_scores" -> ((s, dir) =>
-      Dsir.score(t(s, dir, "documents"),
-        Dsir.fit(t(s, dir, "documents").where(col("doc_id") % 10 === 0),
-          t(s, dir, "documents"), b = 256), b = 256)
-        .select("doc_id", "n_grams", "dsir_score_fp")),
+    "dsir_scores" -> ((s, dir) => {
+      // fused fit+score: one featurization pass (Dsir.fitScored; result
+      // identical to score(docs, fit(target, docs)) — oracle-pinned)
+      val docs = Par.spread(t(s, dir, "documents"))
+      Dsir.fitScored(docs, col("doc_id") % 10 === 0, b = 256)
+        .select("doc_id", "n_grams", "dsir_score_fp")
+    }),
 
-    "dsir_resample" -> ((s, dir) =>
-      Dsir.resample(t(s, dir, "documents"),
-        Dsir.fit(t(s, dir, "documents").where(col("doc_id") % 10 === 0),
-          t(s, dir, "documents"), b = 256), k = 50, b = 256)
-        .select("doc_id", "dsir_score_fp", "key_fp")),
+    "dsir_resample" -> ((s, dir) => {
+      val docs = Par.spread(t(s, dir, "documents"))
+      Dsir.fitResampled(docs, col("doc_id") % 10 === 0, k = 50, b = 256)
+        .select("doc_id", "dsir_score_fp", "key_fp")
+    }),
 
     // — context-window chunking —
     "chunk_text" -> ((s, dir) =>
@@ -2181,7 +2209,12 @@ object Queries {
       val qc = qualityCorpus(s, dir)
       val model = LangModel.train(
         qc.where(col("label") === 1 && col("doc_id") % 5 < 4), minCount = 2)
-      val scored = LangModel.xent(qc, model)
+      // barrier the scored frame: Ppx.cuts (count + sample collect) AND the
+      // final withBuckets projection both consume it — without the barrier
+      // the whole xent pipeline (explode → model joins → doc aggregate)
+      // re-runs for the final pass; with it the second consumer reuses the
+      // doc-grain shuffle as skipped stages
+      val scored = graft.extract.Chunked.barrier(LangModel.xent(qc, model))
       // exercises BOTH bounding legs: explicit rate < 1 AND the
       // count-derived maxSample cap (n·0.5 > 128 at sf0.01) — the driver
       // collect is never corpus-sized at any scale
@@ -2584,7 +2617,13 @@ object Queries {
         .where(col("conv_id").isin((0 until 3).map("conv" + _): _*) &&
           col("turn_idx") < 6)
         .withColumn("conv_id", concat(col("conv_id"), lit("p")))
-      val rep = graft.ops.Agent.repair(base.unionByName(clones))
+      // barrier the repaired frame: THREE consumers below (prefixDedup's
+      // slim scan, its verification re-read, and the final render join)
+      // would each re-plan — and re-run — the whole two-window repair
+      // cascade; the barrier shares one lineage so its shuffle stages run
+      // once and the composed plan stays small
+      val rep = graft.extract.Chunked.barrier(
+        graft.ops.Agent.repair(base.unionByName(clones)))
       val keep = graft.ops.Agent.prefixDedup(rep)
         .where(!col("is_prefix_dup")).select("conv_id")
       Sft.render(rep.join(keep, Seq("conv_id")))
@@ -2599,6 +2638,8 @@ object Queries {
     // 4-5x in plan/codegen alone). The array-returning meanPoolFp stays
     // the API; SimilaritySpec pins the two forms equal.
     "emb_mean_pool" -> ((s, dir) =>
+      // no spread: the map work (posexplode + partial sum) is too light to
+      // amortize an exchange at local scale (measured 0.53 → 0.88 s with it)
       Similarity.meanPoolFpScalar(t(s, dir, "embeddings"),
         expr("vec_id div 10"))),
 

@@ -237,11 +237,17 @@ object Dedup {
       // near-dup drift, where star edges bound diameter only per bucket),
       // not 20. Labels only decrease, so least() keeps monotonicity.
       val ptrs = stepped.select(col("id").as("pid"), col("mid").as("pmid"))
+      // convergence rides the SAME job as the checkpoint via observe():
+      // the former `updated.where(...).isEmpty` probe was one extra job
+      // per round — pure scheduling overhead at any scale
+      val obs = org.apache.spark.sql.Observation()
       val updated = stepped.join(ptrs, stepped("mid") === ptrs("pid"), "left")
         .select(col("id"), col("cluster_id"),
           least(col("mid"), coalesce(col("pmid"), col("mid"))).as("next_label"))
+        .observe(obs, sum(when(col("next_label") < col("cluster_id"), 1L)
+          .otherwise(0L)).as("n_changed"))
         .localCheckpoint()
-      converged = updated.where(col("next_label") < col("cluster_id")).isEmpty
+      converged = obs.get("n_changed").asInstanceOf[Long] == 0L
       labels = updated.select(col("id"), col("next_label").as("cluster_id"))
       i += 1
     }

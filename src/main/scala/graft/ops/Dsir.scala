@@ -70,31 +70,84 @@ object Dsir {
    */
   def fit(target: DataFrame, raw: DataFrame, b: Int = 1024,
       textCol: String = "text"): DataFrame = {
-    // materialize the two ≤b-row count tables: each feeds BOTH the totals
-    // aggregate and the dense join below — without the checkpoint the
-    // corpus-wide bucket aggregation runs twice per side (the
-    // QualityModel.train discipline)
-    def bucketCounts(df: DataFrame): DataFrame =
-      df.select(explode(buckets(col(textCol), b)).as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-    val tc = bucketCounts(target)
-    val rc = bucketCounts(raw)
-    // coalesce: an all-empty side sums to NULL, which would null every
-    // weight — with 0 the Laplace smoothing degrades gracefully to ln(1/b)
-    val tot = tc.agg(coalesce(sum("c"), lit(0L)).as("tt"))
-      .crossJoin(rc.agg(coalesce(sum("c"), lit(0L)).as("tr")))
-    val dense = target.sparkSession.range(b)
-      .select(col("id").cast("int").as("bucket"))
-    dense
-      .join(tc.withColumnRenamed("c", "ct"), Seq("bucket"), "left")
-      .join(rc.withColumnRenamed("c", "cr"), Seq("bucket"), "left")
-      .crossJoin(broadcast(tot))
+    // ONE union-tagged aggregation computes both sides' bucket counts in a
+    // single job (the two per-side passes each paid a localCheckpoint job,
+    // plus a dense join + two totals crossJoins afterwards); the ≤b-row
+    // result is collected once — a bounded model artifact, the same
+    // discipline as ZoneModel/BPE/PCA — and the dense model is rebuilt as
+    // a LOCAL relation whose w_fp arithmetic still runs through the exact
+    // Spark expressions (log + fp rounding), so values are bit-identical
+    // to the former distributed form.
+    val counts = target
+      .select(explode(buckets(col(textCol), b)).as("bucket"), lit(true).as("_t"))
+      .unionByName(raw
+        .select(explode(buckets(col(textCol), b)).as("bucket"), lit(false).as("_t")))
+      .groupBy("bucket")
+      .agg(sum(when(col("_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("_t"), 0L).otherwise(1L)).as("cr"))
+      .collect()
+    denseModel(target.sparkSession, b,
+      counts.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))))
+  }
+
+  /** Dense b-row model from collected (bucket, ct, cr) triples: local
+   * relation in, Spark-expression arithmetic out (bit-identical weights). */
+  private def denseModel(spark: org.apache.spark.sql.SparkSession, b: Int,
+      counts: Seq[(Int, Long, Long)]): DataFrame = {
+    val ct = Array.ofDim[Long](b)
+    val cr = Array.ofDim[Long](b)
+    counts.foreach { case (i, t, r) => ct(i) = t; cr(i) = r }
+    val tt = ct.sum
+    val tr = cr.sum
+    import spark.implicits._
+    (0 until b).map(i => (i, ct(i), cr(i))).toDF("bucket", "ct", "cr")
       .select(col("bucket"),
-        fp(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
-            (col("tt") + b)) -
-          log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
-            (col("tr") + b))).as("w_fp"))
+        fp(log((col("ct") + 1).cast("double") / (lit(tt) + b)) -
+          log((col("cr") + 1).cast("double") / (lit(tr) + b))).as("w_fp"))
+  }
+
+  /**
+   * Fused fit + score over ONE featurization pass — the §8 "decide on
+   * small rows" shape for the common case `target = docs WHERE cond`:
+   * the corpus is exploded to hashed buckets ONCE and aggregated to
+   * (doc, bucket, count) grain behind a plan barrier; bucket-grain model
+   * counts roll up from that small frame (never re-reading text), and
+   * scoring joins the broadcast model back onto the same frame. Output
+   * and model values are identical to `score(docs, fit(docs.where(cond),
+   * docs))` — pinned by DsirSpec and the dsir_scores/resample oracles —
+   * but text is featurized once instead of three times (fit target, fit
+   * raw, score).
+   */
+  def fitScored(docs: DataFrame, targetCond: Column, b: Int = 1024,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val db = graft.extract.Chunked.barrier(
+      docs.select(col(idCol), targetCond.as("_t"),
+          explode_outer(buckets(col(textCol), b)).as("bucket"))
+        .groupBy(col(idCol), col("_t"), col("bucket"))
+        .agg(count(lit(1)).as("c")))
+    val counts = db.where(col("bucket").isNotNull)
+      .groupBy("bucket")
+      .agg(sum(when(col("_t"), col("c")).otherwise(0L)).as("ct"),
+        sum(col("c")).as("cr"))
+      .collect()
+    val model = denseModel(docs.sparkSession, b,
+      counts.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))))
+    db.join(broadcast(model), Seq("bucket"), "left")
+      .groupBy(idCol)
+      .agg(sum(when(col("bucket").isNotNull, col("c")).otherwise(0L))
+          .as("n_grams"),
+        coalesce(sum(col("c") * col("w_fp")), lit(0L)).as("dsir_score_fp"))
+  }
+
+  /** [[resample]] on top of [[fitScored]] — same selection, one
+   * featurization pass. */
+  def fitResampled(docs: DataFrame, targetCond: Column, k: Int,
+      b: Int = 1024, seed: String = "dsir", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    fitScored(docs, targetCond, b, idCol, textCol)
+      .withColumn("key_fp", col("dsir_score_fp") + gumbelFp(seed, idCol))
+      .orderBy(col("key_fp").desc, col(idCol))
+      .limit(k)
   }
 
   /**
@@ -119,14 +172,18 @@ object Dsir {
    */
   def resample(docs: DataFrame, model: DataFrame, k: Int, b: Int = 1024,
       seed: String = "dsir", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    score(docs, model, b, idCol, textCol)
+      .withColumn("key_fp", col("dsir_score_fp") + gumbelFp(seed, idCol))
+      .orderBy(col("key_fp").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic Gumbel noise key shared by [[resample]]/[[fitResampled]]:
+   * round(−10⁶·ln(−ln u)) with u = (md5-int + ½)/2²⁴ of `seed:id`. */
+  private def gumbelFp(seed: String, idCol: String): Column = {
     val u = (conv(substring(md5(concat(lit(seed + ":"),
       col(idCol).cast("string"))), 1, 6), 16, 10).cast("double") + 0.5) /
       16777216.0
-    val gumbelFp = round(lit(-1e6) * log(-log(u)), 0).cast("long")
-    score(docs, model, b, idCol, textCol)
-      .withColumn("key_fp", col("dsir_score_fp") + gumbelFp)
-      .orderBy(col("key_fp").desc, col(idCol))
-      .limit(k)
+    round(lit(-1e6) * log(-log(u)), 0).cast("long")
   }
 }

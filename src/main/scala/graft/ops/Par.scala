@@ -30,7 +30,18 @@ object Par {
       if (size == spark.sessionState.conf.defaultSizeInBytes)
         BigInt(df.rdd.getNumPartitions)
       else size / maxSplit
-    if (estSplits < target) df.repartition(target) else df
+    // The small branch pins a plan barrier ABOVE the repartition: the
+    // optimizer pushes downstream filters/projections through a bare
+    // Repartition (measured: web_curation's whole C4→Gopher cascade sank
+    // into the single-split map side — one 6.9 s task while 31 cores
+    // idled), and the barrier is the wall that keeps the heavy compute on
+    // the spread side. Only the small branch pays it: a sub-parallelism
+    // input is a few MB, so losing scan-side column pruning there is
+    // irrelevant, while the large branch (real corpora) keeps the bare
+    // frame — untouched plan, full pruning/pushdown.
+    if (estSplits < target)
+      graft.extract.Chunked.barrier(df.repartition(target))
+    else df
   }
 
   /**
@@ -68,7 +79,26 @@ object Par {
         }
       case _ => false
     }
-    if (already) df else df.repartition(col(key))
+    if (already) df
+    else {
+      // Same size guard as [[spread]]: a SMALL input pins the partition
+      // count at defaultParallelism — a keyless `repartition(col)` shuffle
+      // is AQE-coalescible (REPARTITION_BY_COL) and tiny shuffle bytes
+      // would fold the whole downstream window cascade onto one task even
+      // though its per-row compute is the actual cost. A large input keeps
+      // the AQE-managed form: partition count follows the data, and AQE
+      // coalescing/skew-handling stay available at scale.
+      val spark = df.sparkSession
+      val target = spark.sparkContext.defaultParallelism
+      val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+      val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val estSplits =
+        if (size == spark.sessionState.conf.defaultSizeInBytes)
+          BigInt(df.rdd.getNumPartitions)
+        else size / maxSplit
+      if (estSplits < target) df.repartition(target, col(key))
+      else df.repartition(col(key))
+    }
   }
 
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
