@@ -21,18 +21,22 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Transcripts view over documents (same derivation as [[transcriptsCte]]).
-   * Clustered by conv_id up front (the [[graft.ops.Par.clusterBy]] guard the
-   * flagship pipeline already applies): every transcript consumer's first
-   * shuffle IS hash(conv_id) — window cascades, conv-grain groupBys, the
-   * agent ops — so pinning it at the source replaces the planner's
-   * ENSURE_REQUIREMENTS exchange with an equivalent user exchange that AQE
-   * will not coalesce below the session parallelism. Same exchange count at
-   * any scale; on a single-split local corpus it keeps the compute-heavy
-   * map stages parallel instead of serializing them onto one task. */
+  /** Transcripts view over documents (same derivation as [[transcriptsCte]]). */
   def transcripts(s: SparkSession, dir: String): DataFrame =
-    Par.clusterBy(Structure.transcriptsFromDocuments(t(s, dir, "documents")),
-      "conv_id")
+    Structure.transcriptsFromDocuments(t(s, dir, "documents"))
+
+  /** [[transcripts]] clustered by conv_id up front (the
+   * [[graft.ops.Par.clusterBy]] guard the flagship pipeline already
+   * applies) — for the heavy window-cascade consumers (structure →
+   * features → zones) whose every window key starts with conv_id: the
+   * user exchange replaces the planner's ENSURE_REQUIREMENTS exchange
+   * (same shuffle count at any scale) and AQE will not coalesce it below
+   * session parallelism, so the compute-heavy cascade stays parallel on a
+   * single-split local corpus. NOT used where consumers union or re-key
+   * the frame (agent/sft queries): there the pinned exchange cannot be
+   * reused and is a pure tax. */
+  private def convTranscripts(s: SparkSession, dir: String): DataFrame =
+    Par.clusterBy(transcripts(s, dir), "conv_id")
 
   /** ANN sweep operating points, shared by the Spark query and the oracle
    * generator: (planes, tables, multiProbe) for SRP; nProbe for IVF at 16
@@ -100,7 +104,7 @@ object Queries {
 
   /** Spark-side token explode used by token-level queries (same output). */
   private def tokensOf(s: SparkSession, dir: String): DataFrame =
-    Structure.tokens(transcripts(s, dir))
+    Structure.tokens(convTranscripts(s, dir))
 
   /** Full-fidelity mirror of [[Structure.lines]]: explode turns on
    * newlines, drop blank lines, assign paragraph blocks at blank→non-blank
@@ -1466,7 +1470,7 @@ object Queries {
 
     // — extraction operators over the transcripts view —
     "f1_filter_lines" -> ((s, dir) =>
-      Structure.keptLines(transcripts(s, dir))
+      Structure.keptLines(convTranscripts(s, dir))
         .select("conv_id", "turn_idx", "line_in_turn")),
 
     "s2_tokenize" -> ((s, dir) =>
@@ -1488,13 +1492,13 @@ object Queries {
           col("f_lineStatus").as("line_status"))),
 
     "w5_font_status" -> ((s, dir) =>
-      Features.segmenter(Structure.keptLines(transcripts(s, dir)))
+      Features.segmenter(Structure.keptLines(convTranscripts(s, dir)))
         .select(col("conv_id"), col("turn_idx"),
           col("f_fontStatus").as("font_status"),
           col("f_fontSize").as("font_size_status"))),
 
     "w8_positions" -> ((s, dir) =>
-      Features.segmenter(Structure.keptLines(transcripts(s, dir)))
+      Features.segmenter(Structure.keptLines(convTranscripts(s, dir)))
         .select(col("conv_id"), col("turn_idx"),
           col("f_relDocPos").as("rel_doc_pos"),
           col("f_lineLength").as("line_length_bin"))),
@@ -1525,7 +1529,7 @@ object Queries {
 
     "a7_zone_segments" -> ((s, dir) => {
       val zoned = Labeler.zones(
-        Features.segmenter(Structure.keptLines(transcripts(s, dir))))
+        Features.segmenter(Structure.keptLines(convTranscripts(s, dir))))
         .withColumnRenamed("zone_label", "label")
       Assemble.withSegmentIds(zoned, Seq("turn_idx", "line_in_turn"))
         .groupBy("conv_id", "segment_id")
@@ -1534,14 +1538,14 @@ object Queries {
 
     "k2_zone_spans" -> ((s, dir) => {
       val zoned = Labeler.zones(
-        Features.segmenter(Structure.keptLines(transcripts(s, dir))))
+        Features.segmenter(Structure.keptLines(convTranscripts(s, dir))))
       Assemble.zoneSpans(zoned)
         .select(col("conv_id"), col("segment_id"), col("label"), col("text"))
     }),
 
     "w11_zones_content" -> ((s, dir) =>
       // content-based segmenter (no role signal): zone line counts per conv
-      Labeler.zonesContent(Structure.keptLines(transcripts(s, dir)))
+      Labeler.zonesContent(Structure.keptLines(convTranscripts(s, dir)))
         .groupBy("conv_id", "zone").agg(count(lit(1)).as("n_lines"))),
 
     "k3_rawtext" -> ((s, dir) =>
@@ -1882,7 +1886,10 @@ object Queries {
         .where(col("gopher_rep_keep")).select("doc_id", "text")
         .localCheckpoint()
       val keepIds = Dedup.exact(gr).where(!col("is_dup")).select("doc_id")
-      val dd = gr.join(keepIds, Seq("doc_id"), "left_semi").localCheckpoint()
+      // no checkpoint on dd: the fused fitScored below is its ONLY consumer
+      // (fit+score used to read it three times), and it sits on the
+      // checkpointed gr via a broadcast semi-join — nothing recomputes
+      val dd = gr.join(keepIds, Seq("doc_id"), "left_semi")
       // fused DSIR fit+score: one featurization pass over the survivors
       // (identical result to score(dd, fit(target, dd)) — oracle-pinned)
       Dsir.fitScored(dd, col("doc_id") % 10 === 0, b = 256)
@@ -2357,7 +2364,7 @@ object Queries {
 
     // — full-pipeline surfaces (not SQL-expressible: rows-only checks) —
     "f5_size_guard" -> ((s, dir) =>
-      Structure.sizeGuard(Structure.keptLines(transcripts(s, dir)),
+      Structure.sizeGuard(Structure.keptLines(convTranscripts(s, dir)),
         maxLines = 9, maxBlocks = 1000)
         .groupBy("conv_id").agg(count(lit(1)).as("n_lines"))),
 
@@ -2380,7 +2387,7 @@ object Queries {
       // fully SQL-expressible (the FSM-labeled body TEI is the rows-only
       // sibling tei_body_documents, byte-covered by AssemblyFixtureSpec)
       val zoned = Labeler.zones(
-        Features.segmenter(Structure.keptLines(transcripts(s, dir))))
+        Features.segmenter(Structure.keptLines(convTranscripts(s, dir))))
       Assemble.teiDocuments(Assemble.zoneSpans(zoned))
     }),
 
@@ -2396,7 +2403,7 @@ object Queries {
       // body-grain twin (reference createTrainingBlankBody): only the
       // stage-1 body-zone text, escaped, unlabeled, same wrapper
       Assemble.blankTrainingBodyTei(
-        Labeler.zones(Features.segmenter(Structure.keptLines(transcripts(s, dir))))
+        Labeler.zones(Features.segmenter(Structure.keptLines(convTranscripts(s, dir))))
           .where(col("zone") === "<body>"))),
 
     "tei_sharded_diff" -> ((s, dir) => {

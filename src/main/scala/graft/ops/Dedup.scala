@@ -217,10 +217,68 @@ object Dedup {
    * alternating large-star/small-star — same per-round shape.
    */
   def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, localEdgeCap: Int = 1 << 16): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
+    // Driver fast path (the broadcast-join-threshold idea applied to
+    // cluster resolution): a SMALL edge set resolves by union-find in one
+    // collect instead of ~5 jobs per label-propagation round. `limit(cap+1)
+    // .collect` bounds driver memory the way a broadcast threshold does —
+    // when the graph exceeds the cap the distributed loop below runs
+    // unchanged. Labels are identical by construction: both compute
+    // cluster_id = min id of the connected component, with "min" for
+    // strings replicated as Spark's unsigned UTF-8 byte ordering.
+    val idType = edges.schema.head.dataType
+    val localizable = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType ||
+      idType == org.apache.spark.sql.types.StringType
+    if (localizable) {
+      val probe = edges.limit(localEdgeCap + 1).collect()
+      if (probe.length <= localEdgeCap) {
+        edges.unpersist(blocking = false)
+        def lt(x: Any, y: Any): Boolean = (x, y) match {
+          case (a: Long, b: Long) => a < b
+          case (a: Int, b: Int) => a < b
+          case (a: String, b: String) =>
+            // Spark's StringType ordering: unsigned byte-wise UTF-8
+            val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val n = math.min(ab.length, bb.length)
+            var i = 0
+            while (i < n) {
+              val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+              if (c != 0) return c < 0
+              i += 1
+            }
+            ab.length < bb.length
+          case _ => throw new IllegalStateException("unreachable")
+        }
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        def find(x: Any): Any = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        probe.foreach { r =>
+          val (s, d) = (r.get(0), r.get(1))
+          parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(d, d)
+          val (rs, rd) = (find(s), find(d))
+          if (rs != rd) { if (lt(rs, rd)) parent(rd) = rs else parent(rs) = rd }
+        }
+        val spark = pairs.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("cluster_id", idType)))
+        val rows = parent.keys.toSeq
+          .map(id => org.apache.spark.sql.Row(id, find(id)))
+        return spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      }
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")).localCheckpoint()
     var converged = false

@@ -70,13 +70,20 @@ object Search {
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text",
       queryIdCol: String = "query_id", queryCol: String = "query"): DataFrame = {
-    // corpus constants in one broadcast row
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      avg(size(terms(col(textCol)))).as("avgdl"))
-    // doc length from the scan projection — no shuffle
-    val dl = docs.select(col(idCol), size(terms(col(textCol))).as("dl"))
-    score(postings(docs, idCol, textCol), dl, stats, queries, k, k1, b,
+    // Postings are computed ONCE behind a plan barrier, and doc length +
+    // corpus stats derive FROM them: dl = Σtf per doc and total tokens =
+    // Σtf — identical values to size(terms(text)) (every token occurrence
+    // is counted by exactly one (doc, term) row; integer-valued double
+    // sums are order-exact below 2^53), so the corpus text is scanned and
+    // term-split once instead of three times. Only n_docs still touches
+    // `docs` (a count — column-pruned scan, no splitting).
+    val post = graft.extract.Chunked.barrier(postings(docs, idCol, textCol))
+    val dl = post.groupBy(idCol).agg(sum("tf").as("dl"))
+    val stats = post.agg(coalesce(sum("tf"), lit(0L)).as("_tt"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"),
+        (col("_tt").cast("double") / col("n_docs")).as("avgdl"))
+    score(post, dl, stats, queries, k, k1, b,
       idCol, queryIdCol, queryCol)
   }
 

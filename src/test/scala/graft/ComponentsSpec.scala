@@ -41,6 +41,27 @@ class ComponentsSpec extends SparkSpec {
     assert(fwd == rev)
   }
 
+  test("driver fast path ≡ distributed loop (longs and strings)") {
+    // localEdgeCap = 0 forces the distributed label-propagation loop; the
+    // default cap takes the driver union-find. Both must produce identical
+    // (id, cluster_id) labels — including Spark's unsigned-UTF-8 string
+    // ordering for the min-id pick (é sorts AFTER z byte-wise).
+    val sparkS = spark
+    import sparkS.implicits._
+    val longPairs = Seq((5L, 2L), (2L, 9L), (7L, 8L), (3L, 3L)).toDF("a", "b")
+    val lLocal = Dedup.components(longPairs).as[(Long, Long)].collect().sorted.toSeq
+    val lDist = Dedup.components(longPairs, localEdgeCap = 0)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(lLocal == lDist)
+    val strPairs = Seq(("zeta", "éta"), ("éta", "beta"), ("conv2", "conv10"))
+      .toDF("a", "b")
+    val sLocal = Dedup.components(strPairs).as[(String, String)].collect().sorted.toSeq
+    val sDist = Dedup.components(strPairs, localEdgeCap = 0)
+      .as[(String, String)].collect().sorted.toSeq
+    assert(sLocal == sDist)
+    assert(sLocal.toMap.apply("éta") == "beta") // min by utf8 bytes, not codepoints
+  }
+
   test("keepCanonical drops every non-representative duplicate") {
     val sparkS = spark
     import sparkS.implicits._
