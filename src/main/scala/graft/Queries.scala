@@ -18,8 +18,16 @@ import graft.text.TextCols
  */
 object Queries {
 
+  // Memoized table handles (a catalog, in effect): `s.read.parquet` runs a
+  // schema-inference job and builds a fresh FileIndex on EVERY call, and the
+  // query set calls t() several times per query. Reusing the DataFrame
+  // handle reuses the resolved schema + file listing; it caches a PLAN, not
+  // data — every action still computes from the parquet files.
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    tables.computeIfAbsent((s, s"$dir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   /** Transcripts view over documents (same derivation as [[transcriptsCte]]). */
   def transcripts(s: SparkSession, dir: String): DataFrame =

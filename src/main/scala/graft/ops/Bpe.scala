@@ -232,8 +232,9 @@ object Bpe {
     encoded.select(col(idCol), size(col("tokens")).as("n_tokens"),
       length(coalesce(col(textCol), lit(""))).as("n_chars"))
       .withColumn("tokens_per_100_chars",
-        // exact-integer 2dp on the rational 100·tokens/chars
+        // exact-integer 2dp on the rational 100·tokens/chars; cast BEFORE
+        // the ×100 — int·int arithmetic would wrap past ~21.4M tokens/doc
         when(col("n_chars") > 0,
-          Cols.ratioDp(col("n_tokens") * 100, col("n_chars"), 2))
+          Cols.ratioDp(col("n_tokens").cast("long") * 100, col("n_chars"), 2))
           .otherwise(0.0))
 }

@@ -43,7 +43,14 @@ private[graft] object Cols {
   def ratio4dp(p: Column, q: Column): Column = ratioDp(p, q, 4)
 
   /** [[ratio4dp]] at `dp` decimal places: `(p·2·10^dp + q) div (2·q)`,
-    * then an exact /10^dp. */
+    * then an exact /10^dp.
+    *
+    * PRECONDITION: p ≥ 0 (q > 0 guarded to null below). The half-up
+    * identity holds only for non-negative numerators — Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, so a NEGATIVE p
+    * would silently reintroduce the cross-engine divergence this helper
+    * exists to remove. Every current caller passes counts/lengths (or
+    * negates first, as xent4dp does); keep it that way. */
   def ratioDp(p: Column, q: Column, dp: Int): Column = {
     import org.apache.spark.sql.graftbridge.bridge
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide

@@ -328,7 +328,15 @@ object Dedup {
     docs.join(dupes, Seq(idCol), "left_anti")
   }
 
-  /** Exact n-gram Jaccard similarity for given (a,b) id pairs. */
+  /** Exact n-gram Jaccard similarity for given (a,b) id pairs.
+   *
+   * Contract note: ids follow the [[contentShingles]] candidacy rule — a
+   * zero-word (empty/whitespace/NULL) document has no shingle rows and
+   * therefore no `counts` row, so a requested pair touching one is
+   * DROPPED from the output (inner joins), not returned as jaccard 0.0.
+   * LSH candidate generators never emit such pairs (no candidacy ⇒ no
+   * bucket), so the composed paths are unaffected; callers passing
+   * hand-built pairs must not rely on a row for no-content ids. */
   def jaccard(docs: DataFrame, pairs: DataFrame, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = spread(docs).select(col(idCol), explode(contentShingles(col(textCol), n)).as("shingle"))

@@ -444,32 +444,38 @@ object Similarity {
   def kmeans(corpus: DataFrame, nCentroids: Int = 8, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val base = Par.spread(corpus)
       .select(col(vecCol).cast("array<double>").as("v"))
     var cents = centroidsRow(corpus, nCentroids, idCol, vecCol)
-    var byDim: DataFrame = null
+    var byDim: Array[(Long, Int, Double, Long)] = null
     for (_ <- 1 to iters) {
       val assigned = base.crossJoin(cents).select(
         get(bestCells(col("v"), 1), lit(0)).getField("cell").as("cell"),
         col("v"))
-      // per-round plan barrier: without it every iteration nests the whole
-      // prior plan inside the next crossJoin and Catalyst analysis cost
-      // grows combinatorially past ~10 Lloyd rounds (the chunked-cascade
-      // failure mode). The barrier caps each round's plan at one join +
-      // one agg; the k×d centroid frame it materializes is model-sized.
-      byDim = graft.extract.Chunked.barrier(assigned
+      // The k×d centroid frame is model-sized: COLLECT it each round (one
+      // job) and rebuild the next round's broadcast row as a local
+      // relation. This keeps every round's plan flat (the former per-round
+      // plan barrier did too — without one, Catalyst analysis grows
+      // combinatorially past ~10 rounds) while dropping the barrier
+      // materialization + distributed re-aggregation + broadcast-build
+      // jobs each round. All arithmetic (assignment cosines, 6dp-rounded
+      // means) still runs in Spark expressions — the collect is pure data
+      // movement, so centroids are bit-identical to the distributed form.
+      byDim = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
-        .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("n")))
-      cents = broadcast(byDim
-        .groupBy("cell")
-        .agg(collect_list(struct(col("dim"), col("m"))).as("dm"))
-        .select(col("cell"),
-          transform(array_sort(col("dm")), s => s.getField("m")).as("cv"))
+        .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      val cvs = byDim.groupBy(_._1).toSeq
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_._2).map(_._3).toSeq) }
+      cents = broadcast(cvs.toDF("cell", "cv")
         .agg(collect_list(struct(col("cell"), col("cv"))).as("cents")))
     }
-    byDim.select(col("cell"), col("dim"), col("m").as("centroid_val"),
-      col("n").as("n_members"))
+    byDim.toSeq.toDF("cell", "dim", "centroid_val", "n_members")
   }
 
   /**
