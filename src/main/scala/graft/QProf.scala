@@ -8,7 +8,9 @@ import scala.collection.concurrent.TrieMap
  * and stage counts per rep, and optional formatted-plan dump. The job and
  * stage counters expose fixed costs (localCheckpoints, model collects,
  * convergence probes, AQE re-planning) that a single wall number hides.
- * Usage: runMain graft.QProf <query> [reps] [planOut] [sfDir] [cpus] */
+ * `sink` = `count` (the driver-bench action) or `noop` (guide §1.4: full
+ * materialization of every column, no column-pruning shortcuts).
+ * Usage: runMain graft.QProf <query> [reps] [planOut] [sfDir] [cpus] [sink] */
 object QProf {
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -16,6 +18,7 @@ object QProf {
     val planOut = args.lift(2).filter(_.nonEmpty)
     val sfDir = args.lift(3).getOrElse("/root/testdata/sf0.1")
     val cpus = args.lift(4).getOrElse("32")
+    val sink = args.lift(5).getOrElse("count")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -49,7 +52,11 @@ object QProf {
     (1 to reps).foreach { i =>
       jobs = 0; stages = 0; tasks = 0; jobLines.clear()
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val n =
+        if (sink == "noop") {
+          df.write.format("noop").mode("overwrite").save(); -1L
+        } else df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(200) // let listener events drain
       println(f"[qprof] $name rep$i: $sec%.2f s ($n rows, $jobs jobs, $stages stages, $tasks tasks)")

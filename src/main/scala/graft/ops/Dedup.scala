@@ -74,7 +74,13 @@ object Dedup {
    * minhash(seed) = min over distinct shingles of md5(seed:shingle). */
   def minhashSignatures(docs: DataFrame, k: Int = 16, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = spread(docs).select(col(idCol), explode(contentShingles(col(textCol), n)).as("shingle"))
+    // clusterBy the doc id (not round-robin spread): the shingle explode's
+    // downstream groupBy(id) aggregation then REUSES the one pinned/user
+    // exchange instead of adding a second ENSURE_REQUIREMENTS shuffle —
+    // same single shuffle at scale, and locally the merge stages keep
+    // session parallelism instead of AQE-coalescing to one task
+    val sh = Par.clusterBy(docs, idCol)
+      .select(col(idCol), explode(contentShingles(col(textCol), n)).as("shingle"))
     val seeds = docs.sparkSession.range(k).select(col("id").cast("int").as("seed"))
     sh.crossJoin(broadcast(seeds))
       .groupBy(col(idCol), col("seed"))
@@ -87,7 +93,13 @@ object Dedup {
    * to [[minhashSignatures]]. */
   def minhashWide(docs: DataFrame, k: Int = 16, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = spread(docs).select(col(idCol), explode(contentShingles(col(textCol), n)).as("shingle"))
+    // clusterBy the doc id (not round-robin spread): the shingle explode's
+    // downstream groupBy(id) aggregation then REUSES the one pinned/user
+    // exchange instead of adding a second ENSURE_REQUIREMENTS shuffle —
+    // same single shuffle at scale, and locally the merge stages keep
+    // session parallelism instead of AQE-coalescing to one task
+    val sh = Par.clusterBy(docs, idCol)
+      .select(col(idCol), explode(contentShingles(col(textCol), n)).as("shingle"))
     val aggs = (0 until k).map(s =>
       min(md5(concat(lit(s), lit(":"), col("shingle")))).as(s"m$s"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -339,7 +351,13 @@ object Dedup {
    * hand-built pairs must not rely on a row for no-content ids. */
   def jaccard(docs: DataFrame, pairs: DataFrame, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = spread(docs).select(col(idCol), explode(contentShingles(col(textCol), n)).as("shingle"))
+    // clusterBy the doc id (not round-robin spread): the shingle explode's
+    // downstream groupBy(id) aggregation then REUSES the one pinned/user
+    // exchange instead of adding a second ENSURE_REQUIREMENTS shuffle —
+    // same single shuffle at scale, and locally the merge stages keep
+    // session parallelism instead of AQE-coalescing to one task
+    val sh = Par.clusterBy(docs, idCol)
+      .select(col(idCol), explode(contentShingles(col(textCol), n)).as("shingle"))
     val counts = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     // intersection via an equi-join on (b, shingle): linear in shingle count
     // — joining on b alone and filtering s_a === s_b afterwards would blow
@@ -363,7 +381,7 @@ object Dedup {
 
   /** 16-bit SimHash from per-token md5 hashes (frequency-weighted). */
   def simhash16(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
+    val toks = Par.clusterBy(docs, idCol).select(col(idCol),
       explode(TextStats.words(col(textCol))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
     val bitCols = (0 until 16).map { i =>

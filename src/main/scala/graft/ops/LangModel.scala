@@ -64,18 +64,24 @@ object LangModel {
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val cu = cb.groupBy("prev").agg(sum("c").as("cp"))
-    val vocab = corpus.select(explode(ws).as("tok"))
-      .agg(countDistinct("tok").as("v"))
+    // |V| is ONE bounded scalar: collect it once instead of leaving the
+    // corpus-wide distinct-count subplan inside the vocab crossJoins —
+    // the three model branches are consumed by three separate broadcast
+    // builds at scoring time, each of which re-ran the full token-explode
+    // pass. Arithmetic is unchanged (same long, same expressions).
+    val v: Long = corpus.select(explode(ws).as("tok"))
+      .agg(countDistinct("tok").as("v")).head().getLong(0)
     val big = cb.where(col("c") >= minCount)
-      .join(cu, Seq("prev")).crossJoin(broadcast(vocab))
+      .join(cu, Seq("prev"))
       .select(col("prev"), col("w"),
-        fp(log((col("c") + 1).cast("double") / (col("cp") + col("v"))))
+        fp(log((col("c") + 1).cast("double") / (col("cp") + lit(v))))
           .as("w_fp"))
-    val backoff = cu.crossJoin(broadcast(vocab))
+    val backoff = cu
       .select(col("prev"), lit(unseenTok).as("w"),
-        fp(log(lit(1.0) / (col("cp") + col("v")))).as("w_fp"))
-    val global = vocab.select(lit(unseenTok).as("prev"),
-      lit(unseenTok).as("w"), fp(log(lit(1.0) / col("v"))).as("w_fp"))
+        fp(log(lit(1.0) / (col("cp") + lit(v)))).as("w_fp"))
+    val global = corpus.sparkSession.range(1)
+      .select(lit(unseenTok).as("prev"), lit(unseenTok).as("w"),
+        fp(log(lit(1.0) / lit(v).cast("double"))).as("w_fp"))
     big.unionByName(backoff).unionByName(global)
   }
 
