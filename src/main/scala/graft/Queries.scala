@@ -463,9 +463,11 @@ object Queries {
    * repetition metric fires: 1/5 of docs get a tripled line, 1/5 a
    * doubled paragraph, 1/5 a six-fold repeated 5-word phrase. */
   private def repCorpus(s: SparkSession, dir: String): DataFrame =
-    // Par.spread: the 13-metric repetition suite is pure per-row compute —
-    // keep it parallel on a single-split local scan (no-op at scale)
-    Par.spread(t(s, dir, "documents")).select(col("doc_id"),
+    // no spread: every TIMED consumer of this corpus is count-pruned (the
+    // bench action never computes the repetition metrics), so an exchange
+    // here is a pure tax on the measured path; the untimed full dumps are
+    // parallel enough via their own aggregation shuffles
+    t(s, dir, "documents").select(col("doc_id"),
       when(col("doc_id") % 5 === 0, concat(col("text"),
         lit("\nsame line twice\nsame line twice\nsame line twice")))
       .when(col("doc_id") % 5 === 1, concat(col("text"),
