@@ -169,6 +169,30 @@ object Gopher {
    */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // ONE codegen'd kernel pass ([[graft.functions.GopherRepetition]])
+    // instead of 9 interpreted shingle+sort HOF cascades per row — the
+    // higher-order functions underneath the expression form are all
+    // CodegenFallback, so the 13 projections ran interpreted at ~0.5 ms/doc
+    // (the per-row ceiling on web_curation). Values are bit-identical
+    // (differential-pinned by GopherKernelSpec against [[repetitionStatsHof]]
+    // on fuzz + corpus; GopherSpec's hand computations unchanged). The
+    // multi-use `_rep` alias keeps CollapseProject from inlining the kernel
+    // 13× — single evaluation per row, same column names and order.
+    docs
+      .select(col("*"),
+        graft.functions.GopherRepetition.of(coalesce(col(textCol), lit("")))
+          .as("_rep"))
+      .select(Seq(col("*")) ++
+        graft.functions.GopherRepetition.fieldNames.map(f =>
+          col(s"_rep.$f").as(f)): _*)
+      .drop("_rep")
+  }
+
+  /** The original Catalyst-expression form of [[repetitionStats]] — kept as
+   * the differential-test twin pinning the kernel's bit-exactness
+   * (GopherKernelSpec); not on any query path. */
+  private[graft] def repetitionStatsHof(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
     def norm(a: Column): Column =
       filter(transform(a, l => regexp_replace(lower(trim(l)), "\\s+", " ")),
