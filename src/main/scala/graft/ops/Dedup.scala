@@ -35,6 +35,16 @@ object Dedup {
    * join of no words) — callers that feed CROSS-document matching must use
    * [[contentShingles]] instead, which drops it. */
   def shingles(text: Column, n: Int = 5): Column =
+    // codegen'd kernel ([[graft.functions.Shingles]]): the HOF form below
+    // is CodegenFallback — an interpreted tree walk and several
+    // allocations per WINDOW on every minhash/LSH/Jaccard/decontam map
+    // side. Bit-identical (differential-pinned by ShingleKernelSpec
+    // against [[shinglesHof]]).
+    graft.functions.Shingles.of(text, n)
+
+  /** The original Catalyst HOF form of [[shingles]] — the differential-test
+   * twin (ShingleKernelSpec); not on any query path. */
+  private[graft] def shinglesHof(text: Column, n: Int = 5): Column =
     // Cols.bound: the slice lambda would otherwise re-run the tokenizing
     // split per WINDOW — O(words·len) per row, ×9 in the Gopher
     // repetition suite which calls this for n=2..10

@@ -54,6 +54,15 @@ object Dsir {
    * `zip_with` evaluates each input array once per ROW. The trailing
    * `(wₙ, null)` pair concats to null and is filtered. */
   def buckets(text: Column, b: Int): Column =
+    // codegen'd kernel ([[graft.functions.DsirBuckets]]): the HOF form
+    // below is CodegenFallback — interpreted per gram, with an md5/conv
+    // string round-trip each. Bit-identical (differential-pinned by
+    // ShingleKernelSpec against [[bucketsHof]]).
+    graft.functions.DsirBuckets.of(text, b)
+
+  /** The original Catalyst HOF form of [[buckets]] — the differential-test
+   * twin (ShingleKernelSpec); not on any query path. */
+  private[graft] def bucketsHof(text: Column, b: Int): Column =
     Cols.bound(toks(text)) { ws =>
       val bigrams = filter(
         zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),

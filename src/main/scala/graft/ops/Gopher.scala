@@ -122,7 +122,7 @@ object Gopher {
     // `aggregate` fold computed the same thing but ran interpreted —
     // higher-order functions have no codegen — at ~0.5 ms/doc; the zip
     // form is ~4 cheap scalar passes over bound arrays.)
-    Cols.bound(array_sort(Dedup.shingles(text, n))) { grams =>
+    Cols.bound(array_sort(Dedup.shinglesHof(text, n))) { grams =>
       val nG = size(grams)
       val prev = concat(array(lit(null).cast("string")),
         slice(grams, lit(1), greatest(nG - 1, lit(0))))
@@ -151,7 +151,7 @@ object Gopher {
   /** Duplicate n-gram character fraction in gram space: chars of repeat
    * occurrences / total gram chars (see [[dupFracs]]). */
   private def dupGramCharFrac(text: Column, n: Int): Column =
-    dupFracs(Dedup.shingles(text, n))._2
+    dupFracs(Dedup.shinglesHof(text, n))._2
 
   /**
    * The full Gopher repetition statistics (Rae et al. 2021 A1.1, table

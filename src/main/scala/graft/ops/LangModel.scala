@@ -40,11 +40,19 @@ object LangModel {
    * lambda — `element_at` inside a higher-order function re-evaluates a
    * computed `ws` (the tokenizing split) per ELEMENT, O(words²·len) per
    * row; the trailing `(wₙ, null)` pair is filtered. */
-  private def bigramsOf(ws: Column): Column =
+  private[graft] def bigramsOf(ws: Column): Column =
     filter(
       zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
         (a, b) => struct(a.as("prev"), b.as("w"))),
       p => p.getField("w").isNotNull)
+
+  /** [[bigramsOf]] over the word split of `text`, as ONE codegen'd kernel
+   * ([[graft.functions.WordBigrams]]): the HOF pair above is
+   * CodegenFallback — interpreted per element on the explode feeding
+   * every model join. Bit-identical (differential-pinned by
+   * ShingleKernelSpec against the HOF form). */
+  private def bigramsOfText(textCol: String): Column =
+    graft.functions.WordBigrams.of(col(textCol))
 
   private def fp(c: Column): Column = round(c * lit(1e6), 0).cast("long")
 
@@ -59,7 +67,7 @@ object LangModel {
     val ws = TextStats.words(col(textCol))
     // Materialized once: three consumers (context counts, kept bigrams,
     // and nothing re-scans the corpus for them).
-    val cb = corpus.select(explode(bigramsOf(ws)).as("b"))
+    val cb = corpus.select(explode(bigramsOfText(textCol)).as("b"))
       .groupBy(col("b.prev").as("prev"), col("b.w").as("w"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()
@@ -116,7 +124,7 @@ object LangModel {
     val global = model.where(col("w") === unseenTok &&
       col("prev") === unseenTok).select(col("w_fp").as("g_fp"))
     docs.select(col(idCol),
-        explode_outer(bigramsOf(TextStats.words(col(textCol)))).as("b"))
+        explode_outer(bigramsOfText(textCol)).as("b"))
       .select(col(idCol), col("b.prev").as("prev"), col("b.w").as("w"))
       .join(broadcast(big), Seq("prev", "w"), "left")
       .join(broadcast(backoff), Seq("prev"), "left")

@@ -50,11 +50,14 @@ object Passage {
   def occurrencesUnits(docs: DataFrame, units: Column, n: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(n > 0, "n must be positive")
+    // codegen'd kernel ([[graft.functions.GramMd5]]): the HOF form
+    // (`transform(sequence(...), i => md5(lower(concat_ws(" ",
+    // slice(ws, i+1, n)))))`) is CodegenFallback — interpreted per
+    // window. Bit-identical (differential-pinned by ShingleKernelSpec).
     docs.select(col(idCol), units.as("ws"))
       .where(size(col("ws")) >= n)
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0), size(col("ws")) - n),
-          i => md5(lower(concat_ws(" ", slice(col("ws"), i + 1, lit(n)))))))
+        posexplode(graft.functions.GramMd5.of(col("ws"), n))
           .as(Seq("start_idx", "gram")))
   }
 
