@@ -58,6 +58,24 @@ object C4 {
    */
   def lineFiltered(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // ONE codegen'd kernel pass ([[graft.functions.C4LineFilter]]) — the
+    // HOF form below ran interpreted per line, with a re-split per word
+    // count. Bit-identical, differential-pinned by CurationKernelSpec
+    // against [[lineFilteredHof]]; same column names/order.
+    val lf = graft.functions.C4LineFilter.of(coalesce(col(textCol), lit("")))
+    docs
+      .select(col("*"), lf.as("_lf"))
+      .select(col("*"),
+        col("_lf.text_clean").as("text_clean"),
+        col("_lf.n_lines_kept").as("n_lines_kept"),
+        col("_lf.n_lines_dropped").as("n_lines_dropped"))
+      .drop("_lf")
+  }
+
+  /** The original Catalyst HOF form of [[lineFiltered]] — the
+   * differential-test twin (CurationKernelSpec); not on any query path. */
+  private[graft] def lineFilteredHof(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     val lines = filter(transform(
       split(coalesce(col(textCol), lit("")), "\n"), l => trim(l)),
       l => l =!= "")
@@ -79,6 +97,25 @@ object C4 {
    * blocklist entries occur as words).
    */
   def stats(docs: DataFrame, blocklist: Seq[String] = defaultBlocklist,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // ONE codegen'd kernel pass ([[graft.functions.C4PageStats]]) — see
+    // [[lineFiltered]]. Bit-identical, differential-pinned by
+    // CurationKernelSpec against [[statsHof]]; same column names/order.
+    val ps = graft.functions.C4PageStats.of(
+      coalesce(col(textCol), lit("")), blocklist)
+    docs
+      .select(col("*"), ps.as("_ps"))
+      .select(col("*"),
+        col("_ps.n_sentences").as("n_sentences"),
+        col("_ps.has_lorem_ipsum").as("has_lorem_ipsum"),
+        col("_ps.has_brace").as("has_brace"),
+        col("_ps.n_bad_words").as("n_bad_words"))
+      .drop("_ps")
+  }
+
+  /** The original Catalyst form of [[stats]] — the differential-test twin
+   * (CurationKernelSpec); not on any query path. */
+  private[graft] def statsHof(docs: DataFrame, blocklist: Seq[String] = defaultBlocklist,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
     // one select, not a withColumn chain — see Gopher.repetitionStats

@@ -48,6 +48,28 @@ object Gopher {
    */
   def stats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // ONE codegen'd kernel pass ([[graft.functions.GopherQuality]]) — the
+    // HOF/regex legs below ran interpreted per element (same story as
+    // [[repetitionStats]]). Bit-identical, differential-pinned by
+    // CurationKernelSpec against [[statsHof]]; same column names/order.
+    val g = graft.functions.GopherQuality.of(coalesce(col(textCol), lit("")))
+    docs
+      .select(col("*"), g.as("_gq"))
+      .select(col("*"),
+        col("_gq.n_words").as("n_words"),
+        col("_gq.mean_word_len").as("mean_word_len"),
+        col("_gq.symbol_word_ratio").as("symbol_word_ratio"),
+        col("_gq.bullet_line_frac").as("bullet_line_frac"),
+        col("_gq.ellipsis_line_frac").as("ellipsis_line_frac"),
+        col("_gq.alpha_word_frac").as("alpha_word_frac"),
+        col("_gq.n_stop_hits").as("n_stop_hits"))
+      .drop("_gq")
+  }
+
+  /** The original Catalyst-expression form of [[stats]] — the
+   * differential-test twin (CurationKernelSpec); not on any query path. */
+  private[graft] def statsHof(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
     // one select (not a withColumn chain) so an upstream computed text
     // column evaluates once per row — see repetitionStats
