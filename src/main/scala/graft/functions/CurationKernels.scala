@@ -12,6 +12,15 @@ import org.apache.spark.sql.graftbridge.bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** The exact-integer half-up rounding shared by every kernel — ONE copy
+ * of the [[graft.ops.Cols.ratio4dp]] identity so the bit-identity
+ * contract with the SQL mirrors cannot drift between kernels. Callers
+ * guarantee p ≥ 0, q > 0. */
+private[functions] object KernelMath {
+  def ratio4dp(p: Long, q: Long): Double =
+    ((p * 20000L + q) / (2L * q)).toDouble / 10000.0
+}
+
 /** Shared scaffolding for the struct-returning curation kernels: a
  * string-input, never-null struct-output expression whose generated code
  * is one static kernel call (the [[GopherRepetition]] pattern). */
@@ -21,10 +30,15 @@ abstract class CurationKernel extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects STRING, got ${child.dataType.catalogString}")
   override def nullable: Boolean = false
-  /** Fully-qualified static kernel call target (Scala object forwarder). */
+  /** Fully-qualified static kernel call target (Scala object forwarder).
+   * A subclass overriding [[doGenCode]] itself (extra arguments, e.g.
+   * [[C4PageStats]]) leaves this empty — the base template guards
+   * against silently generating a call to nothing. */
   protected def kernelCall: String
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    require(kernelCall.nonEmpty,
+      s"$prettyName: kernelCall is empty — override doGenCode or set it")
     val childGen = child.genCode(ctx)
     ev.copy(code =
       code"""
@@ -80,8 +94,7 @@ object GopherQuality {
   private val stopwordsU: Array[UTF8String] =
     graft.ops.Gopher.requiredStopwords.map(UTF8String.fromString).toArray
 
-  private def ratio4dp(p: Long, q: Long): Double =
-    ((p * 20000L + q) / (2L * q)).toDouble / 10000.0
+  import KernelMath.ratio4dp
 
   private def isWs(c: Int): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
@@ -257,7 +270,7 @@ case class C4PageStats(child: Expression, blocklist: Seq[String])
     extends CurationKernel {
   override def dataType: DataType = C4PageStats.outType
   override def prettyName: String = "graft_c4_page_stats"
-  override protected def kernelCall: String = "" // unused: doGenCode below
+  override protected def kernelCall: String = "" // doGenCode overridden below
   @transient private lazy val blockU: Array[UTF8String] =
     blocklist.map(UTF8String.fromString).toArray
   override def eval(input: InternalRow): Any =

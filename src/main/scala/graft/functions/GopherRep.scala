@@ -91,9 +91,7 @@ object GopherRepetition {
   private val nlU = UTF8String.fromString("\n")
   private val nl2U = UTF8String.fromString("\n\n")
 
-  /** `Cols.ratio4dp` in long arithmetic (callers guarantee p ≥ 0, q > 0). */
-  private def ratio4dp(p: Long, q: Long): Double =
-    ((p * 20000L + q) / (2L * q)).toDouble / 10000.0
+  import KernelMath.ratio4dp
 
   /** Runtime kernel, called from generated code and from `eval`. */
   def compute(text0: UTF8String): InternalRow = {

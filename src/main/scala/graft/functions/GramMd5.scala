@@ -59,6 +59,13 @@ object GramMd5 {
 
   private val spaceU = UTF8String.fromString(" ")
 
+  // one digest per thread: DigestUtils.md5Hex allocates a MessageDigest
+  // (provider lookup included) per call — per WINDOW here, the hot loop
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def of(units: Column, n: Int): Column =
     bridge.column(GramMd5(bridge.expression(units), n))
 
@@ -84,8 +91,12 @@ object GramMd5 {
       System.arraycopy(elems, w, window, 0, n)
       val joined = UTF8String.concatWs(spaceU, window: _*)
       val lowered = joined.toLowerCase()
+      val md = digest.get()
+      md.reset()
+      // md5Hex = MD5 + lowercase hex; same bytes, no per-call digest alloc
       out(w) = UTF8String.fromString(
-        org.apache.commons.codec.digest.DigestUtils.md5Hex(lowered.getBytes))
+        org.apache.commons.codec.binary.Hex.encodeHexString(
+          md.digest(lowered.getBytes)))
       w += 1
     }
     new GenericArrayData(out)
