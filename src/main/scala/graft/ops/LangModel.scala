@@ -90,7 +90,19 @@ object LangModel {
     val global = corpus.sparkSession.range(1)
       .select(lit(unseenTok).as("prev"), lit(unseenTok).as("w"),
         fp(log(lit(1.0) / lit(v).cast("double"))).as("w_fp"))
-    big.unionByName(backoff).unionByName(global)
+    val model = big.unionByName(backoff).unionByName(global)
+    // ONE bounded collect, then a LOCAL relation: the model must fit in
+    // every executor anyway (xent broadcasts it three ways — seen-bigram,
+    // backoff, global), so collecting it to the driver first is the same
+    // memory class as the broadcast it feeds, and the three scoring
+    // broadcasts then build from a LocalTableScan with no Spark job each
+    // instead of re-running a small job over the checkpoint per branch.
+    // Values are identical: the collect happens AFTER the exact w_fp
+    // expressions (the Dsir.denseModel discipline).
+    val spark = corpus.sparkSession
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    model.collect().foreach(rows.add)
+    spark.createDataFrame(rows, model.schema)
   }
 
   /**
