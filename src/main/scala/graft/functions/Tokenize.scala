@@ -57,9 +57,79 @@ object Tokenize {
     StructField("tok", StringType, nullable = false),
     StructField("sep", StringType, nullable = false))), containsNull = false)
 
-  /** Runtime kernel, called from generated code and from `eval`. */
+  // Tok's char-class table rebuilt from its public delimiter sets: 0 =
+  // regular, 1 = whitespace, 2 = stand-alone delimiter. All classed
+  // codepoints are < 0x2220 (BMP), so astral codepoints — surrogate
+  // PAIRS on the String path, single codepoints here — are class 0 on
+  // both paths and token boundaries agree.
+  private val maxClassed: Int =
+    (Tok.whitespace ++ Tok.punctDelims).map(_.toInt).max
+  private val charClass: Array[Byte] = {
+    val t = new Array[Byte](maxClassed + 1)
+    Tok.whitespace.foreach(c => t(c.toInt) = 1)
+    Tok.punctDelims.foreach(c => t(c.toInt) = 2)
+    t
+  }
+
+  /** Runtime kernel, called from generated code and from `eval`.
+   *
+   * Fast path: scan the UTF-8 BYTES directly and emit tokens/separators
+   * as `fromBytes` slices over one shared array — no UTF-16 decode, no
+   * per-token re-encode, no substring copies (the `toString` →
+   * `Tok.tokenize` → `fromString` round-trip was the hottest frame
+   * group of the flagship reduce stage). Byte-identical to the String
+   * path for valid UTF-8 (same class table over decoded codepoints,
+   * same state machine; TokenizeKernelSpec pins the equivalence, the
+   * byte-exact fixture suites pin the pipeline); INVALID UTF-8 falls
+   * back to the String path so its U+FFFD sanitization semantics are
+   * preserved exactly. */
   def tokenize(u: UTF8String): ArrayData = {
     if (u == null) return new GenericArrayData(Array.empty[Any])
+    if (!u.isValid) return tokenizeViaString(u)
+    val b = u.getBytes
+    val n = b.length
+    val out = new java.util.ArrayList[Any](16 + n / 4)
+    var i = 0
+    var sepStart = 0
+    var sepEnd = 0
+    var tokStart = -1
+    def slice(from: Int, until: Int): UTF8String =
+      UTF8String.fromBytes(b, from, until - from)
+    def flushCur(end: Int): Unit = if (tokStart >= 0) {
+      out.add(InternalRow(slice(tokStart, end), slice(sepStart, sepEnd)))
+      sepStart = end; sepEnd = end; tokStart = -1
+    }
+    while (i < n) {
+      val b0 = b(i)
+      var cpLen = 1
+      var cp: Int = b0 & 0xFF
+      if ((b0 & 0x80) != 0) {
+        cpLen = UTF8String.numBytesForFirstByte(b0)
+        cp = cpLen match {
+          case 2 => ((b0 & 0x1F) << 6) | (b(i + 1) & 0x3F)
+          case 3 => ((b0 & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) |
+            (b(i + 2) & 0x3F)
+          case _ => 0x10000 // 4-byte: always astral, always class 0
+        }
+      }
+      val cls: Byte = if (cp <= maxClassed) charClass(cp) else 0
+      if (cls == 1) { // whitespace
+        flushCur(i)
+        sepEnd = i + cpLen
+      } else if (cls == 2) { // stand-alone delimiter token
+        flushCur(i)
+        out.add(InternalRow(slice(i, i + cpLen), slice(sepStart, sepEnd)))
+        sepStart = i + cpLen; sepEnd = i + cpLen
+      } else if (tokStart < 0) tokStart = i
+      i += cpLen
+    }
+    flushCur(n)
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The original String-path kernel — the invalid-UTF-8 fallback and
+   * the differential-test twin (TokenizeKernelSpec). */
+  private[graft] def tokenizeViaString(u: UTF8String): ArrayData = {
     val toks = Tok.tokenize(u.toString)
     val arr = new Array[Any](toks.length)
     var i = 0
