@@ -101,10 +101,16 @@ object Features {
     withFont(statused, w)
   }
 
-  /** Per-token scalar features (pure codegen, no window). */
+  /** Per-token scalar features (pure codegen, no window). f_digit and
+   * f_capitalisation come from ONE codepoint scan
+   * ([[graft.functions.TokCaps]]) instead of four per-token rlike legs —
+   * f_capitalisation is on the FSM hot path (values bit-identical,
+   * TokCapsKernelSpec). */
   private[extract] def scalars(df: DataFrame): DataFrame = df
-    .withColumn("f_digit", digitClass(col("tok")))
-    .withColumn("f_capitalisation", capitalisation(col("tok"), col("f_digit")))
+    .withColumn("_tc", graft.functions.TokCaps.of(col("tok")))
+    .withColumn("f_digit", col("_tc.digit_class"))
+    .withColumn("f_capitalisation", col("_tc.cap_class"))
+    .drop("_tc")
     .withColumn("f_punctType", punctType(col("tok")))
     .withColumn("f_singleChar", length(col("tok")) === 1)
 
@@ -315,8 +321,10 @@ object Features {
       .withColumn("f_firstRepetitive", col("f_repetitive") && col("rep_rank") === 1)
 
     withRep
-      .withColumn("f_digit", digitClass(col("f_string")))
-      .withColumn("f_capitalisation", capitalisation(col("f_string"), col("f_digit")))
+      .withColumn("_tc", graft.functions.TokCaps.of(col("f_string")))
+      .withColumn("f_digit", col("_tc.digit_class"))
+      .withColumn("f_capitalisation", col("_tc.cap_class"))
+      .drop("_tc")
       .withColumn("f_singleChar", length(col("f_string")) === 1)
       .withColumn("f_profile", punctuationProfile(col("line")))
       .withColumn("f_year", yearFlag(col("f_string")))
