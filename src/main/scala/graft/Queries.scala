@@ -23,6 +23,11 @@ object Queries {
   // query set calls t() several times per query. Reusing the DataFrame
   // handle reuses the resolved schema + file listing; it caches a PLAN, not
   // data — every action still computes from the parquet files.
+  // Contract (same as a real catalog's cached FileIndex): input dirs are
+  // immutable for the lifetime of a session — rewriting the part files
+  // under a cached path requires a new SparkSession (true of every driver
+  // main, which reads a fixed test-data dir). Entries are keyed by session
+  // and live for the JVM; the map stays a few dozen handles per session.
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def t(s: SparkSession, dir: String, name: String): DataFrame =

@@ -84,12 +84,14 @@ object Dedup {
    * minhash(seed) = min over distinct shingles of md5(seed:shingle). */
   def minhashSignatures(docs: DataFrame, k: Int = 16, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // clusterBy the doc id (not round-robin spread): the shingle explode's
-    // downstream groupBy(id) aggregation then REUSES the one pinned/user
-    // exchange instead of adding a second ENSURE_REQUIREMENTS shuffle —
-    // same single shuffle at scale, and locally the merge stages keep
-    // session parallelism instead of AQE-coalescing to one task
-    val sh = Par.clusterBy(docs, idCol)
+    // clusterSmall (keyed repartition ONLY on a sub-parallelism input): the
+    // shingle explode's downstream groupBy(id) aggregation then reuses the
+    // pinned exchange, so the heavy map work keeps session parallelism
+    // instead of AQE-coalescing to one task. At scale the bare frame is
+    // kept: partial aggregation collapses each doc map-side and the
+    // planner's post-agg exchange ships (id, seed, min-md5) partials —
+    // far fewer bytes than a pre-explode repartition of the full text
+    val sh = Par.clusterSmall(docs, idCol)
       .select(col(idCol), explode(contentShingles(col(textCol), n)).as("shingle"))
     val seeds = docs.sparkSession.range(k).select(col("id").cast("int").as("seed"))
     sh.crossJoin(broadcast(seeds))
@@ -103,12 +105,10 @@ object Dedup {
    * to [[minhashSignatures]]. */
   def minhashWide(docs: DataFrame, k: Int = 16, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // clusterBy the doc id (not round-robin spread): the shingle explode's
-    // downstream groupBy(id) aggregation then REUSES the one pinned/user
-    // exchange instead of adding a second ENSURE_REQUIREMENTS shuffle —
-    // same single shuffle at scale, and locally the merge stages keep
-    // session parallelism instead of AQE-coalescing to one task
-    val sh = Par.clusterBy(docs, idCol)
+    // clusterSmall, not clusterBy: see [[minhashSignatures]] — locally the
+    // groupBy(id) reuses the pinned exchange; at scale the bare frame wins
+    // (the post-agg exchange ships one (id, m0..m15) row per doc, not text)
+    val sh = Par.clusterSmall(docs, idCol)
       .select(col(idCol), explode(contentShingles(col(textCol), n)).as("shingle"))
     val aggs = (0 until k).map(s =>
       min(md5(concat(lit(s), lit(":"), col("shingle")))).as(s"m$s"))
@@ -257,7 +257,10 @@ object Dedup {
       idType == org.apache.spark.sql.types.StringType
     if (localizable) {
       val probe = edges.limit(localEdgeCap + 1).collect()
-      if (probe.length <= localEdgeCap) {
+      // null ids (possible only in hand-built pairs) fall through to the
+      // distributed loop, which tolerates them, instead of crashing in lt()
+      if (probe.length <= localEdgeCap &&
+          !probe.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
         edges.unpersist(blocking = false)
         def lt(x: Any, y: Any): Boolean = (x, y) match {
           case (a: Long, b: Long) => a < b
@@ -361,12 +364,12 @@ object Dedup {
    * hand-built pairs must not rely on a row for no-content ids. */
   def jaccard(docs: DataFrame, pairs: DataFrame, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // clusterBy the doc id (not round-robin spread): the shingle explode's
-    // downstream groupBy(id) aggregation then REUSES the one pinned/user
-    // exchange instead of adding a second ENSURE_REQUIREMENTS shuffle —
-    // same single shuffle at scale, and locally the merge stages keep
-    // session parallelism instead of AQE-coalescing to one task
-    val sh = Par.clusterBy(docs, idCol)
+    // clusterSmall, not clusterBy: see [[minhashSignatures]] — locally the
+    // counts groupBy(id) reuses the pinned exchange and the explode map
+    // work keeps session parallelism; at scale the bare frame wins (the
+    // intersection joins below re-shuffle by their own keys either way, so
+    // a pinned pre-explode text repartition would be pure extra bytes)
+    val sh = Par.clusterSmall(docs, idCol)
       .select(col(idCol), explode(contentShingles(col(textCol), n)).as("shingle"))
     val counts = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     // intersection via an equi-join on (b, shingle): linear in shingle count
@@ -391,7 +394,9 @@ object Dedup {
 
   /** 16-bit SimHash from per-token md5 hashes (frequency-weighted). */
   def simhash16(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = Par.clusterBy(docs, idCol).select(col(idCol),
+    // clusterSmall, not clusterBy: see [[minhashSignatures]] — the bit-sum
+    // groupBy(id) collapses each doc map-side at scale
+    val toks = Par.clusterSmall(docs, idCol).select(col(idCol),
       explode(TextStats.words(col(textCol))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
     val bitCols = (0 until 16).map { i =>

@@ -21,15 +21,24 @@ object Par {
    * estimate would silently report "huge" and never spread a
    * single-partition input — only there fall back to the physical
    * partition count (cheap for those plans: the RDD already exists). */
-  def spread(df: DataFrame): DataFrame = {
+  /** Optimizer-estimated input split count vs the session's default
+   * parallelism — the shared "is this input too small to parallelize by
+   * itself" probe behind [[spread]], [[clusterBy]] and [[clusterSmall]].
+   * Returns (estimated splits, defaultParallelism). */
+  private def estSplits(df: DataFrame): (BigInt, Int) = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val estSplits =
+    val est =
       if (size == spark.sessionState.conf.defaultSizeInBytes)
         BigInt(df.rdd.getNumPartitions)
       else size / maxSplit
+    (est, target)
+  }
+
+  def spread(df: DataFrame): DataFrame = {
+    val (splits, target) = estSplits(df)
     // The small branch pins a plan barrier ABOVE the repartition: the
     // optimizer pushes downstream filters/projections through a bare
     // Repartition (measured: web_curation's whole C4→Gopher cascade sank
@@ -39,9 +48,26 @@ object Par {
     // input is a few MB, so losing scan-side column pruning there is
     // irrelevant, while the large branch (real corpora) keeps the bare
     // frame — untouched plan, full pruning/pushdown.
-    if (estSplits < target)
+    if (splits < target)
       graft.extract.Chunked.barrier(df.repartition(target))
     else df
+  }
+
+  /** Keyed twin of [[spread]] for AGGREGATION consumers: repartition by
+   * `key` ONLY when the input is sub-parallelism (so the downstream
+   * groupBy(key…) reuses the pinned exchange instead of AQE-coalescing
+   * the heavy map work to one task), and return the BARE frame at scale.
+   * Unlike [[clusterBy]] — whose window/join consumers need the full-row
+   * shuffle anyway — an aggregation consumer is strictly better off
+   * unclustered on a real corpus: partial aggregation collapses each
+   * group map-side and the planner's post-agg exchange ships those small
+   * partials, whereas a pinned pre-agg repartition would ship the full
+   * input rows (e.g. document text). Small inputs are a few MB, so the
+   * pinned exchange there is free. */
+  def clusterSmall(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (splits, target) = estSplits(df)
+    if (splits < target) df.repartition(target, col(key)) else df
   }
 
   /**
@@ -88,15 +114,8 @@ object Par {
       // though its per-row compute is the actual cost. A large input keeps
       // the AQE-managed form: partition count follows the data, and AQE
       // coalescing/skew-handling stay available at scale.
-      val spark = df.sparkSession
-      val target = spark.sparkContext.defaultParallelism
-      val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-      val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      val estSplits =
-        if (size == spark.sessionState.conf.defaultSizeInBytes)
-          BigInt(df.rdd.getNumPartitions)
-        else size / maxSplit
-      if (estSplits < target) df.repartition(target, col(key))
+      val (splits, target) = estSplits(df)
+      if (splits < target) df.repartition(target, col(key))
       else df.repartition(col(key))
     }
   }

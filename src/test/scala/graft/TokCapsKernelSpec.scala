@@ -14,10 +14,15 @@ class TokCapsKernelSpec extends SparkSpec {
   import spark.implicits._
 
   private def assertSame(toks: Seq[String]): Unit = {
-    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-      .toDF("id", "tok")
-      // route through a parquet round-trip so the comparison exercises
-      // the codegen path, not constant folding over a local relation
+    // route through a parquet round-trip so the comparison exercises the
+    // codegen path (doGenCode + the generated null wiring) — a projection
+    // straight over a local Seq is folded by ConvertToLocalRelation and
+    // would only run the interpreted eval()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("tokcaps").resolve("toks").toString
+    toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "tok").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
     val rows = df
       .withColumn("_tc", graft.functions.TokCaps.of(col("tok")))
       .withColumn("kd", col("_tc.digit_class"))

@@ -22,14 +22,20 @@ def load(d, q):
     order = s.sort_values(by=list(s.columns), kind="mergesort").index
     return df.loc[order].reset_index(drop=True), s.loc[order].reset_index(drop=True)
 
-names = sorted(q for q in os.listdir(base)
-               if os.path.isdir(os.path.join(base, q)))
+# union of both sides, so a dir present only in newDir (renamed/new query)
+# is reported instead of silently skipped
+names = sorted({q for d in (base, new) for q in os.listdir(d)
+                if os.path.isdir(os.path.join(d, q))})
 bad = []
 for q in names:
     if only and q not in only:
         continue
     if not os.path.isdir(os.path.join(new, q)):
-        print(f"MISSING  {q}")
+        print(f"MISSING  {q} (in base only)")
+        bad.append(q)
+        continue
+    if not os.path.isdir(os.path.join(base, q)):
+        print(f"MISSING  {q} (in new only)")
         bad.append(q)
         continue
     b = load(base, q)
